@@ -1,38 +1,781 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship spatial-join + tiling pipeline on sf0.001.
+queries()      -> operator queries from SURVEY.md §2 (+ training-data ops).
+oracle_sql()   -> DuckDB-equivalent SQL for every SQL-expressible query.
+
+Oracle design notes:
+- Derived geo points: lon/lat are pure integer-arithmetic functions of table
+  keys (identical expressions in Spark SQL and DuckDB), offset to avoid all
+  quantization/bin boundaries.
+- Money aggregations run in DECIMAL (exact, order-independent) and cast to
+  DOUBLE at the end, so Spark's parallel partial aggregation and DuckDB's
+  sequential sum agree bit-for-bit.
+- Count/rank outputs are integers wherever possible; double outputs are
+  either exact (min/max) or rounded far from any boundary.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TABLES = ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
+          'lineitem', 'events', 'documents', 'embeddings']
+
+
+def _load(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        spark.read.parquet(os.path.join(sf_dir, f'{n}.parquet')).createOrReplaceTempView(n)
+
+
+# --- shared derivation expressions (valid in Spark SQL *and* DuckDB) -------
+
+def _pts_customer_sql() -> str:
+    """Derived point per customer row: deterministic integer arithmetic."""
+    return """
+      SELECT c_custkey AS pid, c_mktsegment AS seg,
+             ((c_custkey * 7919) % 360000) / 1000.0e0 - 180.0e0 + 0.000123e0 AS lon,
+             ((c_custkey * 104729) % 170000) / 1000.0e0 - 85.0e0 + 0.000321e0 AS lat
+      FROM customer
+    """
+
+
+def _pts_supplier_sql() -> str:
+    return """
+      SELECT s_suppkey AS qid,
+             ((s_suppkey * 7919) % 360000) / 1000.0e0 - 180.0e0 + 0.000123e0 AS q_lon,
+             ((s_suppkey * 104729) % 170000) / 1000.0e0 - 85.0e0 + 0.000321e0 AS q_lat
+      FROM supplier
+    """
+
+
+def _pts_events_sql() -> str:
+    return """
+      SELECT event_id, user_id, ts, event_type, value,
+             ((event_id * 7919) % 360000) / 1000.0e0 - 180.0e0 + 0.000123e0 AS lon,
+             ((event_id * 104729) % 170000) / 1000.0e0 - 85.0e0 + 0.000321e0 AS lat
+      FROM events
+    """
+
+
+_HAVERSINE_SQL = ('(2.0 * 6371000.0 * atan2(sqrt({a}), sqrt(1.0 - {a})))'
+                  .format(a='(power(sin(radians({lat2} - {lat1}) / 2), 2) + '
+                            'cos(radians({lat1})) * cos(radians({lat2})) * '
+                            'power(sin(radians({lon2} - {lon1}) / 2), 2))'))
+
+
+def _hav(lon1, lat1, lon2, lat2) -> str:
+    return _HAVERSINE_SQL.format(lon1=lon1, lat1=lat1, lon2=lon2, lat2=lat2)
+
+
+def _niemeyer6_duckdb(lon: str, lat: str) -> str:
+    """Niemeyer length-6 base-16 cell as DuckDB SQL: 12-bit quantization per
+    axis + MSB-first bit interleave (lon first) = the hex string of the
+    24-bit code. Matches kernels/niemeyer.py for points not on dyadic
+    boundaries (derived points are offset away from all boundaries)."""
+    qlon = f'CAST(floor(({lon} + 180.0) / 360.0 * 4096.0) AS BIGINT)'
+    qlat = f'CAST(floor(({lat} + 90.0) / 180.0 * 4096.0) AS BIGINT)'
+    terms = []
+    for b in range(12):
+        terms.append(f'((({qlon} >> {11 - b}) & 1) << {23 - 2 * b})')
+        terms.append(f'((({qlat} >> {11 - b}) & 1) << {22 - 2 * b})')
+    return f"printf('%06x', {' + '.join(terms)})"
+
+
+# --- flagship ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: supplier-centered circles spatially joined to
+    customer-derived points through the cell-candidate join + exact
+    haversine kernel, rolled up per supplier."""
+    sf_dir = '/root/testdata/sf0.001'
+    return _q_spatial_join_circles(spark, sf_dir)
+
+
+# --- query implementations --------------------------------------------------
+
+def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load(spark, sf_dir, 'lineitem')
+    return spark.sql("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2))) *
+                      (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+             CAST(COUNT(*) AS BIGINT) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """)
+
+
+_Q1_SQL = """
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (1 - CAST(l_discount AS DECIMAL(18,2))) *
+                  (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+         CAST(COUNT(*) AS BIGINT) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+  ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load(spark, sf_dir, 'customer', 'orders', 'lineitem')
+    return spark.sql(_Q3_SQL)
+
+
+_Q3_SQL = """
+  SELECT o.o_orderkey,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                  (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+  GROUP BY o.o_orderkey
+  ORDER BY revenue DESC, o_orderkey
+  LIMIT 10
+"""
+
+
+def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load(spark, sf_dir, 'events')
+    return spark.sql(_EVENTS_WINDOW_SQL_SPARK)
+
+
+_EVENTS_WINDOW_TEMPLATE = """
+  SELECT CAST(floor({epoch_us} / 3600000000.0) AS BIGINT) * 3600 AS window_start,
+         event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM events
+  GROUP BY 1, 2
+  ORDER BY 1, 2
+"""
+_EVENTS_WINDOW_SQL_SPARK = _EVENTS_WINDOW_TEMPLATE.format(epoch_us='unix_micros(CAST(ts AS TIMESTAMP))')
+_EVENTS_WINDOW_SQL_DUCK = _EVENTS_WINDOW_TEMPLATE.format(epoch_us='epoch_us(ts)')
+
+
+def _q_niemeyer_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiling: customer-derived points -> Niemeyer cell (the engine's real
+    pandas-UDF encoder) -> groupBy(cell).count — hash_coordinates at scale."""
+    from geostructures_spark.operators.tiling import with_cell
+    _load(spark, sf_dir, 'customer')
+    pts = spark.sql(_pts_customer_sql())
+    return (with_cell(pts, length=6, base=16)
+            .groupBy('cell').agg(F.count('*').cast('long').alias('n'))
+            .orderBy('cell'))
+
+
+def _q_pip_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ray-cast PIP (the engine's vectorized kernel UDF) of derived points
+    against the reference test triangle, counted per market segment."""
+    import numpy as np
+    from geostructures_spark.functions.geo import points_in_ring_udf
+    _load(spark, sf_dir, 'customer')
+    tri = np.array([[0., 1.], [1., 1.], [0.5, 0.], [0., 1.]])
+    pts = spark.sql(_pts_customer_sql())
+    pip = points_in_ring_udf(tri)
+    return (pts.withColumn('inside', pip(F.col('lon'), F.col('lat')))
+            .groupBy('seg')
+            .agg(F.sum(F.col('inside').cast('long')).cast('long').alias('n_inside'),
+                 F.count('*').cast('long').alias('n_total'))
+            .orderBy('seg'))
+
+
+# even-odd crossing test, unrolled for the fixed triangle; matches the
+# reference's half-open vertex rule for points off the boundary
+def _pip_triangle_duckdb() -> str:
+    edges = [((0., 1.), (1., 1.)), ((1., 1.), (0.5, 0.)), ((0.5, 0.), (0., 1.))]
+    crossings = []
+    for (x1, y1), (x2, y2) in edges:
+        if y1 == y2:
+            continue  # horizontal edge never crossed by the eastward ray
+        crossings.append(
+            f'(CASE WHEN ((({y1}) > lat) != (({y2}) > lat)) AND '
+            f'(({x1}) + (lat - ({y1})) * (({x2}) - ({x1})) / (({y2}) - ({y1})) > lon) '
+            f'THEN 1 ELSE 0 END)')
+    inside = f'(({" + ".join(crossings)}) % 2 = 1)'
+    return f"""
+      WITH pts AS ({_pts_customer_sql()})
+      SELECT seg, CAST(SUM(CASE WHEN {inside} THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+             CAST(COUNT(*) AS BIGINT) AS n_total
+      FROM pts GROUP BY seg ORDER BY seg
+    """
+
+
+def _q_circle_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoCircle containment (distance <= radius) of derived points around 3
+    probe centers, via the JVM haversine expression."""
+    from geostructures_spark.functions.geo import haversine_expr
+    _load(spark, sf_dir, 'customer')
+    pts = spark.sql(_pts_customer_sql())
+    probes = spark.createDataFrame(
+        [(1, -0.12, 51.5), (2, -74.0, 40.7), (3, 139.7, 35.7)],
+        'probe_id int, p_lon double, p_lat double')
+    return (pts.crossJoin(F.broadcast(probes))
+            .withColumn('d', haversine_expr(F.col('lon'), F.col('lat'),
+                                            F.col('p_lon'), F.col('p_lat')))
+            .filter(F.col('d') <= 2_000_000.0)
+            .groupBy('probe_id').agg(F.count('*').cast('long').alias('n_contained'))
+            .orderBy('probe_id'))
+
+
+def _circle_contains_duckdb() -> str:
+    d = _hav('lon', 'lat', 'p_lon', 'p_lat')
+    return f"""
+      WITH pts AS ({_pts_customer_sql()}),
+      probes(probe_id, p_lon, p_lat) AS (
+        VALUES (1, -0.12, 51.5), (2, -74.0, 40.7), (3, 139.7, 35.7))
+      SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_contained
+      FROM pts, probes
+      WHERE {d} <= 2000000.0
+      GROUP BY probe_id ORDER BY probe_id
+    """
+
+
+def _q_spatial_join_circles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE spatial join: supplier-centered 500 km circles x customer-derived
+    points through cover_shapes + cell equi-join + exact kernel predicate,
+    rolled up per shape."""
+    from geostructures_spark.operators.spatial_join import spatial_join_points
+    _load(spark, sf_dir, 'customer', 'supplier')
+    pts = (spark.sql(_pts_customer_sql())
+           .withColumnRenamed('pid', 'url'))  # operator's point key column
+    sup = spark.sql(_pts_supplier_sql())
+    shapes = sup.select(
+        F.col('qid').cast('long').alias('shape_id'),
+        F.lit('circle').alias('kind'),
+        F.struct(
+            F.col('q_lon').alias('center_lon'), F.col('q_lat').alias('center_lat'),
+            F.lit(500_000.0).alias('radius'),
+            F.lit(None).cast('double').alias('semi_major'),
+            F.lit(None).cast('double').alias('semi_minor'),
+            F.lit(None).cast('double').alias('rotation'),
+            F.lit(None).cast('double').alias('inner_radius'),
+            F.lit(None).cast('double').alias('outer_radius'),
+            F.lit(None).cast('double').alias('angle_min'),
+            F.lit(None).cast('double').alias('angle_max'),
+            F.lit(None).cast('double').alias('min_lon'),
+            F.lit(None).cast('double').alias('min_lat'),
+            F.lit(None).cast('double').alias('max_lon'),
+            F.lit(None).cast('double').alias('max_lat'),
+        ).alias('params'),
+        F.lit(None).cast('array<array<struct<lon:double,lat:double>>>').alias('rings'),
+        F.lit(None).cast('timestamp').alias('dt_start'),
+        F.lit(None).cast('timestamp').alias('dt_end'),
+        F.lit(None).cast('map<string,string>').alias('properties'),
+    )
+    joined = spatial_join_points(pts, shapes, length=4, base=16, time_gated=False)
+    return (joined.groupBy('shape_id')
+            .agg(F.count('*').cast('long').alias('n_points'))
+            .orderBy('shape_id'))
+
+
+def _spatial_join_circles_duckdb() -> str:
+    d = _hav('p.lon', 'p.lat', 's.q_lon', 's.q_lat')
+    return f"""
+      WITH pts AS ({_pts_customer_sql()}), sup AS ({_pts_supplier_sql()})
+      SELECT CAST(s.qid AS BIGINT) AS shape_id, CAST(COUNT(*) AS BIGINT) AS n_points
+      FROM pts p, sup s
+      WHERE {d} <= 500000.0
+      GROUP BY s.qid ORDER BY shape_id
+    """
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN: 5 supplier-derived query points, k=3 nearest customer points
+    (exact brute-force baseline; the cell-pruned variant is knn_join)."""
+    from geostructures_spark.operators.knn import knn_join_exact
+    _load(spark, sf_dir, 'customer', 'supplier')
+    pts = spark.sql(_pts_customer_sql()).withColumnRenamed('pid', 'url')
+    q = (spark.sql(_pts_supplier_sql())
+         .filter(F.col('qid') <= 5)
+         .select(F.col('qid').cast('long').alias('query_id'), 'q_lon', 'q_lat'))
+    out = knn_join_exact(pts, q, k=3)
+    return (out.select('query_id',
+                       F.col('neighbor_key').cast('long').alias('neighbor_id'),
+                       F.col('rank').cast('int').alias('rank'))
+            .orderBy('query_id', 'rank'))
+
+
+def _knn_duckdb() -> str:
+    d = _hav('p.lon', 'p.lat', 's.q_lon', 's.q_lat')
+    return f"""
+      WITH pts AS ({_pts_customer_sql()}),
+           sup AS (SELECT * FROM ({_pts_supplier_sql()}) WHERE qid <= 5),
+           scored AS (
+             SELECT s.qid AS query_id, p.pid AS neighbor_id,
+                    {d} AS dist,
+                    ROW_NUMBER() OVER (PARTITION BY s.qid
+                                       ORDER BY {d} ASC, p.pid ASC) AS rank
+             FROM pts p, sup s)
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             CAST(neighbor_id AS BIGINT) AS neighbor_id,
+             CAST(rank AS INT) AS rank
+      FROM scored WHERE rank <= 3
+      ORDER BY query_id, rank
+    """
+
+
+def _q_track_speeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Track analytics: events as per-user pings; lag-window distance/speed
+    (Track.centroid_distances/speed_diffs) aggregated per user."""
+    from geostructures_spark.operators.tracks import with_track_diffs
+    _load(spark, sf_dir, 'events')
+    pings = spark.sql(_pts_events_sql()).withColumn('entity', F.col('user_id'))
+    d = with_track_diffs(pings, entity_col='entity', time_col='ts')
+    return (d.filter(F.col('dist_m').isNotNull())
+            .groupBy('entity')
+            .agg(F.count('*').cast('long').alias('n_segments'),
+                 F.round(F.sum('dist_m') / 1000.0, 3).alias('total_km'),
+                 F.sum((F.col('speed_mps') > 1000.0).cast('long')).cast('long')
+                 .alias('n_fast_segments'))
+            .orderBy('entity')
+            .withColumnRenamed('entity', 'user_id'))
+
+
+def _track_speeds_duckdb() -> str:
+    d = _hav('prev_lon', 'prev_lat', 'lon', 'lat')
+    return f"""
+      WITH pings AS ({_pts_events_sql()}),
+      lagged AS (
+        SELECT user_id, ts, lon, lat,
+               LAG(lon) OVER w AS prev_lon,
+               LAG(lat) OVER w AS prev_lat,
+               LAG(ts) OVER w AS prev_ts
+        FROM pings
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ),
+      seg AS (
+        SELECT user_id, {d} AS dist_m,
+               (epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0 AS dt_sec
+        FROM lagged WHERE prev_lon IS NOT NULL
+      )
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_segments,
+             ROUND(SUM(dist_m) / 1000.0, 3) AS total_km,
+             CAST(SUM(CASE WHEN dist_m / dt_sec > 1000.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fast_segments
+      FROM seg GROUP BY user_id ORDER BY user_id
+    """
+
+
+def _q_interval_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-open interval logic: event intervals [ts, ts + value minutes)
+    vs 3 probe intervals — the reference's isdisjoint/intersects semantics
+    as pure column predicates (time.py:200-214)."""
+    from geostructures_spark.functions.geo import interval_intersects_expr
+    _load(spark, sf_dir, 'events')
+    ev = spark.sql("""
+      SELECT event_id, event_type, unix_micros(CAST(ts AS TIMESTAMP)) AS s_start,
+             unix_micros(CAST(ts AS TIMESTAMP)) + CAST(value * 60 AS BIGINT) * 1000000 AS s_end
+      FROM events
+    """)
+    probes = spark.createDataFrame(
+        [(1, '2024-01-01 06:00:00', '2024-01-01 12:00:00'),
+         (2, '2024-01-02 00:00:00', '2024-01-02 00:00:00'),   # instant probe
+         (3, '2024-01-03 12:00:00', '2024-01-04 00:00:00')],
+        'probe_id int, p0 string, p1 string').selectExpr(
+        'probe_id',
+        "unix_micros(CAST(p0 AS TIMESTAMP)) AS o_start",
+        "unix_micros(CAST(p1 AS TIMESTAMP)) AS o_end")
+    return (ev.crossJoin(F.broadcast(probes))
+            .filter(interval_intersects_expr(F.col('s_start'), F.col('s_end'),
+                                             F.col('o_start'), F.col('o_end')))
+            .groupBy('probe_id', 'event_type')
+            .agg(F.count('*').cast('long').alias('n'))
+            .orderBy('probe_id', 'event_type'))
+
+
+_INTERVAL_DUCK = """
+  WITH ev AS (
+    SELECT event_id, event_type, epoch_us(ts) AS s_start,
+           epoch_us(ts) + CAST(value * 60 AS BIGINT) * 1000000 AS s_end
+    FROM events
+  ),
+  probes(probe_id, o_start, o_end) AS (VALUES
+    (1, epoch_us(TIMESTAMP '2024-01-01 06:00:00'), epoch_us(TIMESTAMP '2024-01-01 12:00:00')),
+    (2, epoch_us(TIMESTAMP '2024-01-02 00:00:00'), epoch_us(TIMESTAMP '2024-01-02 00:00:00')),
+    (3, epoch_us(TIMESTAMP '2024-01-03 12:00:00'), epoch_us(TIMESTAMP '2024-01-04 00:00:00')))
+  SELECT probe_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev, probes
+  WHERE NOT (CASE
+    WHEN s_start = s_end AND o_start = o_end THEN s_start != o_start
+    WHEN s_start = s_end THEN NOT (o_start <= s_start AND s_start < o_end)
+    WHEN o_start = o_end THEN NOT (s_start <= o_start AND o_start < s_end)
+    ELSE s_end <= o_start OR s_start >= o_end END)
+  GROUP BY probe_id, event_type
+  ORDER BY probe_id, event_type
+"""
+
+
+def _q_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection bounds + geospan (collections.py:54-70,423-431): exact
+    min/max fold over derived points."""
+    _load(spark, sf_dir, 'customer')
+    return spark.sql(_BOUNDS_SQL)
+
+
+_BOUNDS_SQL = f"""
+  WITH pts AS ({_pts_customer_sql()})
+  SELECT MIN(lon) AS min_lon, MIN(lat) AS min_lat,
+         MAX(lon) AS max_lon, MAX(lat) AS max_lat,
+         MAX(lon) - MIN(lon) AS span_lon, MAX(lat) - MIN(lat) AS span_lat
+  FROM pts
+"""
+
+
+def _q_convolve_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """convolve_duplicate_timestamps (collections.py:875-904): bucket event
+    times to 10 minutes, mean lon/lat per (user, bucket) with >1 ping."""
+    _load(spark, sf_dir, 'events')
+    return spark.sql("""
+      WITH pings AS (
+        SELECT user_id,
+               CAST(floor(unix_micros(CAST(ts AS TIMESTAMP)) / 600000000.0) AS BIGINT) AS bucket,
+               ((event_id * 7919) % 360000) / 1000.0e0 - 180.0e0 + 0.000123e0 AS lon,
+               ((event_id * 104729) % 170000) / 1000.0e0 - 85.0e0 + 0.000321e0 AS lat
+        FROM events)
+      SELECT user_id, bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_convolved,
+             ROUND(AVG(lon), 6) AS lon, ROUND(AVG(lat), 6) AS lat
+      FROM pings GROUP BY user_id, bucket
+      HAVING COUNT(*) > 1
+      ORDER BY user_id, bucket
+    """)
+
+
+_CONVOLVE_DUCK = """
+  WITH pings AS (
+    SELECT user_id,
+           CAST(floor(epoch_us(ts) / 600000000.0) AS BIGINT) AS bucket,
+           ((event_id * 7919) % 360000) / 1000.0e0 - 180.0e0 + 0.000123e0 AS lon,
+           ((event_id * 104729) % 170000) / 1000.0e0 - 85.0e0 + 0.000321e0 AS lat
+    FROM events)
+  SELECT user_id, bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_convolved,
+         ROUND(AVG(lon), 6) AS lon, ROUND(AVG(lat), 6) AS lat
+  FROM pings GROUP BY user_id, bucket
+  HAVING COUNT(*) > 1
+  ORDER BY user_id, bucket
+"""
+
+
+def _q_impossible_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_impossible_journeys (collections.py:917-955) — sequential
+    greedy anchor scan per entity in applyInPandas. Not SQL-expressible;
+    rows-only driver check."""
+    from geostructures_spark.operators.tracks import filter_impossible_journeys
+    _load(spark, sf_dir, 'events')
+    pings = (spark.sql(_pts_events_sql())
+             .select(F.col('user_id').alias('entity'), F.col('ts').alias('dt_start'),
+                     'lon', 'lat'))
+    kept = filter_impossible_journeys(pings, max_speed_mps=200.0,
+                                      time_col='dt_start')
+    return (kept.groupBy('entity').agg(F.count('*').cast('long').alias('n_kept'))
+            .orderBy('entity'))
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups on a normalized key (40-char prefix)."""
+    from geostructures_spark.operators.dedup import exact_dedup_groups
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    groups = exact_dedup_groups(docs, key_expr=F.md5(F.substring('text', 1, 40)))
+    return groups.orderBy('dup_key')
+
+
+_EXACT_DEDUP_DUCK = """
+  SELECT md5(substr(text, 1, 40)) AS dup_key,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+  FROM documents
+  GROUP BY 1 HAVING COUNT(*) > 1
+  ORDER BY dup_key
+"""
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (4 bands, 5-shingles)."""
+    from geostructures_spark.operators.dedup import minhash_lsh_pairs
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    return (minhash_lsh_pairs(docs, n_bands=4, shingle_k=5)
+            .select(F.col('doc_a').cast('long').alias('doc_a'),
+                    F.col('doc_b').cast('long').alias('doc_b'),
+                    F.col('n_shared_bands').cast('long').alias('n_shared_bands'))
+            .orderBy('doc_a', 'doc_b'))
+
+
+_MINHASH_DUCK = """
+  WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents),
+  sh AS (
+    SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+      THEN list_transform(range(1, len(w) - 3),
+                          j -> array_to_string(w[j:j+4], ' '))
+      ELSE [array_to_string(w, ' ')] END) AS shingle
+    FROM toks),
+  sig AS (
+    SELECT doc_id, band, MIN(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS minhash
+    FROM sh, (SELECT unnest([0,1,2,3]) AS band)
+    GROUP BY doc_id, band)
+  SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+         CAST(COUNT(DISTINCT a.band) AS BIGINT) AS n_shared_bands
+  FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  ORDER BY doc_a, doc_b
+"""
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality signals per document."""
+    from geostructures_spark.operators.textstats import with_text_stats
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    return (with_text_stats(docs)
+            .select(F.col('doc_id').cast('long').alias('doc_id'),
+                    F.col('n_tokens').cast('long').alias('n_tokens'),
+                    F.col('n_chars_calc').cast('long').alias('n_chars_calc'),
+                    F.round('stopword_ratio', 6).alias('stopword_ratio'))
+            .orderBy('doc_id'))
+
+
+_TEXT_STATS_DUCK = """
+  WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), ' +') AS w,
+           length(text) AS n_chars_calc
+    FROM documents)
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(n_chars_calc AS BIGINT) AS n_chars_calc,
+         ROUND(len(list_filter(w, t -> t IN ('the', 'a', 'of', 'and', 'in')))
+               / greatest(len(w), 1), 6) AS stopword_ratio
+  FROM toks ORDER BY doc_id
+"""
+
+
+def _q_lang_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic agreement: marker-argmax prediction vs the
+    table's lang column, counted per (lang, pred_lang)."""
+    from geostructures_spark.operators.textstats import lang_id_scores
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    pred = lang_id_scores(docs).select('doc_id', 'pred_lang')
+    return (docs.join(pred, 'doc_id')
+            .groupBy('lang', 'pred_lang').agg(F.count('*').cast('long').alias('n'))
+            .orderBy('lang', 'pred_lang'))
+
+
+def _lang_markers_duckdb() -> str:
+    from geostructures_spark.operators.textstats import LANG_MARKERS
+    score_cols = []
+    for lang in LANG_MARKERS:
+        markers = ', '.join(f"'{m}'" for m in LANG_MARKERS[lang])
+        score_cols.append(
+            f"len(list_filter(w, t -> t IN ({markers}))) AS score_{lang}")
+    # argmax with lexical tie-break == max over (score, lang) structs;
+    # DuckDB: order the list of structs and take the last
+    structs = ', '.join(
+        f"{{'s': score_{lang}, 'l': '{lang}'}}" for lang in sorted(LANG_MARKERS))
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS w
+        FROM documents),
+      scored AS (
+        SELECT doc_id, lang, {', '.join(score_cols)} FROM toks),
+      best AS (
+        SELECT doc_id, lang,
+               list_sort([{structs}])[6].l AS pred_lang
+        FROM scored)
+      SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM best GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+    """
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embeddings table (queries = first
+    5 vectors)."""
+    from geostructures_spark.operators.simsearch import cosine_topk_exact
+    _load(spark, sf_dir, 'embeddings')
+    vecs = spark.table('embeddings')
+    q = (vecs.filter(F.col('vec_id') < 5)
+         .select(F.col('vec_id').alias('query_id'),
+                 F.col('embedding').alias('q_embedding')))
+    out = cosine_topk_exact(vecs, q, k=5)
+    return (out.select(F.col('query_id').cast('long').alias('query_id'),
+                       F.col('neighbor_id').cast('long').alias('neighbor_id'),
+                       F.col('rank').cast('int').alias('rank'))
+            .orderBy('query_id', 'rank'))
+
+
+_COSINE_DUCK = """
+  WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+             FROM embeddings WHERE vec_id < 5),
+  scored AS (
+    SELECT q.query_id, v.vec_id AS neighbor_id,
+           list_cosine_similarity(v.embedding, q.q_emb) AS cos_sim
+    FROM embeddings v, q WHERE v.vec_id != q.query_id),
+  ranked AS (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored)
+  SELECT CAST(query_id AS BIGINT) AS query_id,
+         CAST(neighbor_id AS BIGINT) AS neighbor_id,
+         CAST(rank AS INT) AS rank
+  FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def _q_ivf_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF bucket assignment: nearest of 8 centroid vectors per embedding,
+    counted per centroid (the ANN scale path's partitioning step)."""
+    from geostructures_spark.operators.simsearch import ivf_assign
+    _load(spark, sf_dir, 'embeddings')
+    vecs = spark.table('embeddings')
+    cents = (vecs.filter(F.col('vec_id') < 8)
+             .select(F.col('vec_id').alias('centroid_id'),
+                     F.col('embedding').alias('c_embedding')))
+    inv = ivf_assign(vecs, cents)
+    return (inv.groupBy('centroid_id').agg(F.count('*').cast('long').alias('n_vectors'))
+            .orderBy('centroid_id')
+            .select(F.col('centroid_id').cast('long').alias('centroid_id'), 'n_vectors'))
+
+
+_IVF_DUCK = """
+  WITH cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+                 FROM embeddings WHERE vec_id < 8),
+  scored AS (
+    SELECT v.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_cosine_similarity(v.embedding, c.c_emb) DESC,
+                                       c.centroid_id ASC) AS r
+    FROM embeddings v, cents c)
+  SELECT CAST(centroid_id AS BIGINT) AS centroid_id,
+         CAST(COUNT(*) AS BIGINT) AS n_vectors
+  FROM scored WHERE r = 1 GROUP BY centroid_id ORDER BY centroid_id
+"""
+
+
+def _q_streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming windowed aggregation driven to completion over
+    the events parquet (file source -> memory sink); same result contract
+    as the batch oracle."""
+    from geostructures_spark.streaming.events import run_stream_to_memory
+    out = run_stream_to_memory(spark, os.path.join(sf_dir, 'events.parquet'),
+                               query_name='events_agg_oracle')
+    return (out.select(F.unix_timestamp('window_start').cast('bigint').alias('window_start'),
+                       'event_type',
+                       F.col('n_events').cast('long').alias('n_events'),
+                       F.round('sum_value', 2).alias('sum_value'))
+            .orderBy('window_start', 'event_type'))
+
+
+_STREAMING_DUCK = """
+  SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) * 3600 AS window_start,
+         event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(SUM(value), 2) AS sum_value
+  FROM events
+  GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _q_niemeyer_cover_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape-cover tiling (NiemeyerHasher.hash_shape BFS) for supplier
+    circles: cover cell counts per shape. Kernel-verified vs reference
+    goldens in tests/; rows-only driver check (BFS flood fill is not
+    SQL-expressible)."""
+    from geostructures_spark.operators.tiling import cover_shapes
+    _load(spark, sf_dir, 'supplier')
+    sup = spark.sql(_pts_supplier_sql())
+    shapes = sup.select(
+        F.col('qid').cast('long').alias('shape_id'),
+        F.lit('circle').alias('kind'),
+        F.struct(F.col('q_lon').alias('center_lon'),
+                 F.col('q_lat').alias('center_lat'),
+                 F.lit(100_000.0).alias('radius')).alias('params'),
+        F.lit(None).cast('array<array<struct<lon:double,lat:double>>>').alias('rings'))
+    return (cover_shapes(shapes, length=4, base=16)
+            .groupBy('shape_id').agg(F.count('*').cast('long').alias('n_cells'))
+            .orderBy('shape_id'))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        'q1_pricing_summary': _q1_pricing_summary,
+        'q3_top_revenue': _q3_top_revenue,
+        'events_windowed_agg': _q_events_windowed,
+        'niemeyer_cell_counts': _q_niemeyer_cells,
+        'pip_triangle_counts': _q_pip_triangle,
+        'circle_contains_counts': _q_circle_contains,
+        'spatial_join_circles': _q_spatial_join_circles,
+        'knn_topk': _q_knn,
+        'track_speed_stats': _q_track_speeds,
+        'interval_intersects_counts': _q_interval_intersects,
+        'collection_bounds': _q_bounds,
+        'convolve_duplicate_timestamps': _q_convolve_dups,
+        'impossible_journeys': _q_impossible_journeys,
+        'exact_dedup_groups': _q_exact_dedup,
+        'minhash_lsh_pairs': _q_minhash_pairs,
+        'text_stats': _q_text_stats,
+        'lang_id_agreement': _q_lang_markers,
+        'cosine_topk': _q_cosine_topk,
+        'ivf_assign_counts': _q_ivf_counts,
+        'streaming_events_windowed': _q_streaming_events,
+        'niemeyer_cover_circle': _q_niemeyer_cover_circle,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pts = _pts_customer_sql()
+    return {
+        'q1_pricing_summary': _Q1_SQL,
+        'q3_top_revenue': _Q3_SQL,
+        'events_windowed_agg': _EVENTS_WINDOW_SQL_DUCK,
+        'niemeyer_cell_counts': f"""
+          WITH pts AS ({pts})
+          SELECT {_niemeyer6_duckdb('lon', 'lat')} AS cell,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM pts GROUP BY 1 ORDER BY cell
+        """,
+        'pip_triangle_counts': _pip_triangle_duckdb(),
+        'circle_contains_counts': _circle_contains_duckdb(),
+        'spatial_join_circles': _spatial_join_circles_duckdb(),
+        'knn_topk': _knn_duckdb(),
+        'track_speed_stats': _track_speeds_duckdb(),
+        'interval_intersects_counts': _INTERVAL_DUCK,
+        'collection_bounds': _BOUNDS_SQL,
+        'convolve_duplicate_timestamps': _CONVOLVE_DUCK,
+        # impossible_journeys: sequential greedy anchor — not SQL-expressible
+        'exact_dedup_groups': _EXACT_DEDUP_DUCK,
+        'minhash_lsh_pairs': _MINHASH_DUCK,
+        'text_stats': _TEXT_STATS_DUCK,
+        'lang_id_agreement': _lang_markers_duckdb(),
+        'cosine_topk': _COSINE_DUCK,
+        'ivf_assign_counts': _IVF_DUCK,
+        'streaming_events_windowed': _STREAMING_DUCK,
+        # niemeyer_cover_circle: BFS flood fill — not SQL-expressible
+    }

@@ -1,0 +1,134 @@
+"""Spark Column expressions and pandas UDFs for geodesy + tiling.
+
+Two tiers, by design (SURVEY.md §2.2):
+- **Column expressions** (JVM-side, whole-stage-codegen'd) for the hot
+  predicates of the spatial join: haversine distance/bearing, box
+  containment, time-interval logic. These stay inside Tungsten codegen —
+  no Python in the per-row path.
+- **Arrow-batched pandas UDFs** wrapping the NumPy kernels for the math
+  Catalyst cannot express (Niemeyer encode, ray-cast PIP, shape covers).
+  Never row-at-a-time Python (driver contract, BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geostructures_spark.kernels.geodesy import EARTH_RADIUS_METERS
+
+__all__ = [
+    'haversine_expr', 'bearing_expr', 'box_contains_expr',
+    'interval_intersects_expr', 'interval_contains_expr',
+    'interval_contains_instant_expr',
+    'niemeyer_encode_udf', 'points_in_ring_udf', 'xyz_exprs',
+]
+
+
+def haversine_expr(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Haversine distance (meters) as a pure Column expression — identical
+    formula to kernels.geodesy.haversine_distance (reference
+    geodesic.py:27-39), evaluated JVM-side inside codegen."""
+    rlon1, rlat1 = F.radians(lon1), F.radians(lat1)
+    rlon2, rlat2 = F.radians(lon2), F.radians(lat2)
+    dlon = rlon2 - rlon1
+    dlat = rlat2 - rlat1
+    a = (F.pow(F.sin(dlat / 2), 2) +
+         F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(dlon / 2), 2))
+    c = 2 * F.atan2(F.sqrt(a), F.sqrt(1 - a))
+    return F.lit(EARTH_RADIUS_METERS) * c
+
+
+def bearing_expr(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Initial bearing degrees [0,360) (reference geodesic.py:63-74)."""
+    rlon1, rlat1 = F.radians(lon1), F.radians(lat1)
+    rlon2, rlat2 = F.radians(lon2), F.radians(lat2)
+    dlon = rlon2 - rlon1
+    y = F.sin(dlon) * F.cos(rlat2)
+    x = F.cos(rlat1) * F.sin(rlat2) - F.sin(rlat1) * F.cos(rlat2) * F.cos(dlon)
+    return (F.degrees(F.atan2(y, x)) + 360) % 360
+
+
+def xyz_exprs(lon: Column, lat: Column):
+    """Unit-sphere vector columns (reference coordinates.py:104-117) —
+    compute once with withColumns, reuse across distance predicates."""
+    rlon, rlat = F.radians(lon), F.radians(lat)
+    clat = F.cos(rlat)
+    return clat * F.cos(rlon), clat * F.sin(rlon), F.sin(rlat)
+
+
+def box_contains_expr(lon: Column, lat: Column,
+                      min_lon, min_lat, max_lon, max_lat) -> Column:
+    """GeoBox containment (reference structures.py:752-763) — a plain range
+    predicate, pushdown-eligible."""
+    return ((lon >= min_lon) & (lon <= max_lon) &
+            (lat >= min_lat) & (lat <= max_lat))
+
+
+# --- right-open time intervals as Column predicates ------------------------
+# (reference time.py:188-226; see kernels.timeops for the NumPy twin)
+
+def interval_contains_instant_expr(start: Column, end: Column, t: Column) -> Column:
+    return F.when(start == end, start == t).otherwise((start <= t) & (t < end))
+
+
+def interval_intersects_expr(s_start: Column, s_end: Column,
+                             o_start: Column, o_end: Column) -> Column:
+    s_instant = s_start == s_end
+    o_instant = o_start == o_end
+    plain = ~((s_end <= o_start) | (s_start >= o_end))
+    return (
+        F.when(s_instant & o_instant, s_start == o_start)
+        .when(s_instant, interval_contains_instant_expr(o_start, o_end, s_start))
+        .when(o_instant, interval_contains_instant_expr(s_start, s_end, o_start))
+        .otherwise(plain)
+    )
+
+
+def interval_contains_expr(s_start: Column, s_end: Column,
+                           o_start: Column, o_end: Column) -> Column:
+    """s contains o: closed superset (time.py:216-222)."""
+    return (s_start <= o_start) & (o_end <= s_end)
+
+
+# --- pandas UDFs over the NumPy kernels ------------------------------------
+
+def niemeyer_encode_udf(length: int, base: int):
+    """Arrow-batched Niemeyer encoder: (lon, lat) -> cell string.
+
+    The engine's tiling/partition key producer (reference
+    geohash.py:129-183). One vectorized kernel call per Arrow batch.
+    """
+    from geostructures_spark.kernels import niemeyer as nie
+
+    @F.pandas_udf(T.StringType())
+    def _encode(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        if len(lon) == 0:
+            return pd.Series([], dtype=object)
+        cells = nie.encode(lon.to_numpy(np.float64), lat.to_numpy(np.float64),
+                           length, base)
+        return pd.Series(cells, index=lon.index).astype(object)
+
+    return _encode
+
+
+def points_in_ring_udf(ring: np.ndarray, include_boundary: bool = False):
+    """Arrow-batched ray-cast PIP against one fixed ring (reference
+    structures.py:357-431). For per-row shape tests use the spatial-join
+    operator, which batches by shape."""
+    ring = np.asarray(ring, dtype=np.float64)
+    from geostructures_spark.kernels import geometry as geom
+
+    @F.pandas_udf(T.BooleanType())
+    def _pip(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        res = geom.points_in_polygon(lon.to_numpy(np.float64),
+                                     lat.to_numpy(np.float64),
+                                     ring, include_boundary)
+        return pd.Series(res, index=lon.index)
+
+    return _pip

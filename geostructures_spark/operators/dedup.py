@@ -1,0 +1,145 @@
+"""Deduplication operators for large text corpora.
+
+First-class engine components for training-data pipelines (task brief):
+
+- ``exact_dedup_groups``: hash-groupBy exact duplicate detection. The group
+  key defaults to md5 of the full text; any deterministic key expression
+  works (e.g. a normalized prefix).
+- ``minhash_lsh_pairs``: MinHash + LSH banding near-dup candidate pairs.
+  Shingle -> per-band minhash -> band-bucket equi-join. The minhash uses
+  *string-min over md5(band_seed || shingle)* — exact, portable semantics
+  (identical in any engine that provides md5), no custom hash plumbing.
+- ``simhash_buckets``: 32-bit SimHash fingerprints from token md5 bits,
+  bucketed on the top 16 bits for candidate generation.
+- ``ngram_jaccard_pairs``: n-gram Jaccard similarity computed exactly for
+  candidate pairs (post-LSH verification).
+
+Scale notes: every stage is explode -> groupBy / equi-join (shuffle on
+shingle/bucket keys); no cross joins; candidate pair sets stay proportional
+to true near-dup density. Band count/rows tune recall as usual for LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    'tokens_expr', 'shingles_expr', 'exact_dedup_groups',
+    'minhash_signature', 'minhash_lsh_pairs', 'simhash_expr',
+    'simhash_buckets', 'ngram_jaccard_pairs',
+]
+
+
+def tokens_expr(text_col):
+    """Whitespace tokenization, trim first (portable: split on ' +')."""
+    return F.split(F.trim(text_col), ' +')
+
+
+def shingles_expr(text_col, k: int = 5):
+    """Word k-shingles as strings (space-joined)."""
+    toks = tokens_expr(text_col)
+    n = F.size(toks)
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda j: F.concat_ws(' ', F.slice(toks, j + 1, k)),
+    )).otherwise(F.array(F.concat_ws(' ', toks)))
+
+
+def exact_dedup_groups(docs: DataFrame, key_expr=None,
+                       id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
+    """Exact duplicate groups: groupBy(md5(key)) with count > 1.
+
+    Returns (dup_key, n_docs, min_doc_id) — min_doc_id is the canonical
+    survivor, the rest are drops."""
+    key = key_expr if key_expr is not None else F.md5(F.col(text_col))
+    return (docs
+            .select(F.col(id_col), key.alias('dup_key'))
+            .groupBy('dup_key')
+            .agg(F.count('*').alias('n_docs'), F.min(id_col).alias('min_doc_id'))
+            .filter(F.col('n_docs') > 1))
+
+
+def minhash_signature(docs: DataFrame, n_bands: int = 8, shingle_k: int = 5,
+                      id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
+    """(doc_id, band, minhash): per band b, min over shingles of
+    md5(b || ':' || shingle). String-min is a total order — portable and
+    exact. Computed as explode -> groupBy(doc, band).min — map-side combine
+    keeps the shuffle proportional to docs x bands."""
+    sh = docs.select(F.col(id_col), F.explode(shingles_expr(F.col(text_col), shingle_k)).alias('shingle'))
+    bands = sh.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias('band'),
+        'shingle')
+    return (bands
+            .withColumn('h', F.md5(F.concat_ws(':', F.col('band').cast('string'), F.col('shingle'))))
+            .groupBy(id_col, 'band')
+            .agg(F.min('h').alias('minhash')))
+
+
+def minhash_lsh_pairs(docs: DataFrame, n_bands: int = 8, shingle_k: int = 5,
+                      id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
+    """Near-dup candidate pairs: docs sharing any band minhash bucket.
+
+    Returns (doc_a, doc_b, n_shared_bands), doc_a < doc_b."""
+    sig = minhash_signature(docs, n_bands, shingle_k, id_col, text_col)
+    a = sig.select(F.col(id_col).alias('doc_a'), 'band', 'minhash')
+    b = sig.select(F.col(id_col).alias('doc_b'), 'band', 'minhash')
+    return (a.join(b, ['band', 'minhash'])
+            .filter(F.col('doc_a') < F.col('doc_b'))
+            .groupBy('doc_a', 'doc_b')
+            .agg(F.countDistinct('band').alias('n_shared_bands')))
+
+
+def simhash_expr(text_col, bits: int = 32):
+    """32-bit SimHash from token md5s: bit i of the fingerprint is the
+    majority vote of bit i across token hashes. Pure column expressions
+    (conv + bit ops), fully JVM-side."""
+    toks = tokens_expr(text_col)
+    # token hash: first 8 md5 hex chars -> 32-bit int
+    tok_hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast('long'))
+    cols = []
+    for i in range(bits):
+        # vote_i = sum over tokens of bit i (0/1), majority if 2*sum >= n
+        vote = F.aggregate(
+            tok_hashes, F.lit(0).cast('long'),
+            lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)))
+        cols.append(F.when(vote * 2 >= F.size(toks), F.lit(1).cast('long') << i)
+                    .otherwise(F.lit(0).cast('long')))
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+def simhash_buckets(docs: DataFrame, bits: int = 32, prefix_bits: int = 16,
+                    id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
+    """(doc_id, simhash, bucket): bucket = top prefix_bits of the simhash —
+    the LSH key for near-dup candidate joins."""
+    return docs.select(
+        F.col(id_col),
+        simhash_expr(F.col(text_col), bits).alias('simhash'),
+    ).withColumn('bucket', F.shiftright(F.col('simhash'), bits - prefix_bits))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, n: int = 3,
+                        id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
+    """Exact word-n-gram Jaccard for given candidate (doc_a, doc_b) pairs:
+    |A ∩ B| / |A ∪ B| via distinct-shingle explode + join on the pair list.
+    Verification stage after LSH candidate generation."""
+    grams = (docs.select(F.col(id_col), F.explode(shingles_expr(F.col(text_col), n)).alias('g'))
+             .distinct())
+    sizes = grams.groupBy(id_col).agg(F.count('*').alias('n_grams'))
+
+    ga = grams.select(F.col(id_col).alias('doc_a'), 'g')
+    gb = grams.select(F.col(id_col).alias('doc_b'), 'g')
+    inter = (pairs.join(ga, 'doc_a').join(gb, ['doc_b', 'g'])
+             .groupBy('doc_a', 'doc_b').agg(F.count('*').alias('n_inter')))
+    return (inter
+            .join(sizes.withColumnRenamed(id_col, 'doc_a')
+                       .withColumnRenamed('n_grams', 'grams_a'), 'doc_a')
+            .join(sizes.withColumnRenamed(id_col, 'doc_b')
+                       .withColumnRenamed('n_grams', 'grams_b'), 'doc_b')
+            .withColumn('jaccard',
+                        F.col('n_inter') /
+                        (F.col('grams_a') + F.col('grams_b') - F.col('n_inter'))))

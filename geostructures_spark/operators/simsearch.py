@@ -1,0 +1,87 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk_exact``: brute-force cosine top-k — the correctness
+  baseline. Dot products via F.aggregate/zip_with (JVM-side, no Python).
+- ``ivf_assign`` / ``ivf_topk``: IVF-style scale path — k-means-free
+  inverted file using a fixed centroid sample: vectors are bucketed to
+  their nearest centroid once (one shuffle), queries probe ``n_probe``
+  nearest centroid buckets only.
+
+Multimodal note (task brief): image/audio/video decode plumbing lives in
+operators/multimodal.py with the same pattern — binary column + typed
+metadata + batch UDF; the decode kernel itself is stubbed in this
+environment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ['cosine_sim_expr', 'cosine_topk_exact', 'ivf_assign', 'ivf_topk']
+
+
+def cosine_sim_expr(a, b):
+    """cos(a,b) as a Column expression over two array<float/double> columns."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: (x * y).cast('double')),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast('double')))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + (v * v).cast('double')))
+    return dot / (na * nb)
+
+
+def cosine_topk_exact(vectors: DataFrame, queries: DataFrame, k: int,
+                      id_col: str = 'vec_id', vec_col: str = 'embedding',
+                      q_id: str = 'query_id', q_vec: str = 'q_embedding') -> DataFrame:
+    """For each query vector: top-k most-cosine-similar vectors.
+    broadcast(queries) x vectors; excludes self-matches on equal ids.
+    Output: (query_id, neighbor_id, cos_sim, rank)."""
+    cand = (vectors
+            .crossJoin(F.broadcast(queries.select(q_id, q_vec)))
+            .filter(F.col(id_col) != F.col(q_id))
+            .withColumn('cos_sim', cosine_sim_expr(F.col(vec_col), F.col(q_vec)))
+            .select(F.col(q_id).alias('query_id'),
+                    F.col(id_col).alias('neighbor_id'), 'cos_sim'))
+    w = Window.partitionBy('query_id').orderBy(F.col('cos_sim').desc(),
+                                               F.col('neighbor_id').asc())
+    return cand.withColumn('rank', F.row_number().over(w)).filter(F.col('rank') <= k)
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame,
+               id_col: str = 'vec_id', vec_col: str = 'embedding',
+               c_id: str = 'centroid_id', c_vec: str = 'c_embedding') -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine). One
+    broadcast join + window; the result is the inverted file, typically
+    written out bucketed by centroid_id."""
+    scored = (vectors
+              .crossJoin(F.broadcast(centroids.select(c_id, c_vec)))
+              .withColumn('cos_sim', cosine_sim_expr(F.col(vec_col), F.col(c_vec))))
+    w = Window.partitionBy(id_col).orderBy(F.col('cos_sim').desc(), F.col(c_id).asc())
+    return (scored.withColumn('r', F.row_number().over(w)).filter(F.col('r') == 1)
+            .select(id_col, vec_col, c_id))
+
+
+def ivf_topk(inverted: DataFrame, centroids: DataFrame, queries: DataFrame,
+             k: int, n_probe: int = 2,
+             id_col: str = 'vec_id', vec_col: str = 'embedding',
+             c_id: str = 'centroid_id', c_vec: str = 'c_embedding',
+             q_id: str = 'query_id', q_vec: str = 'q_embedding') -> DataFrame:
+    """ANN top-k: probe the n_probe nearest centroid buckets per query,
+    exact cosine within the probed buckets. Recall < 1 by design; the
+    exact baseline is cosine_topk_exact."""
+    q_probe = (queries
+               .crossJoin(F.broadcast(centroids.select(c_id, c_vec)))
+               .withColumn('c_sim', cosine_sim_expr(F.col(q_vec), F.col(c_vec))))
+    w = Window.partitionBy(q_id).orderBy(F.col('c_sim').desc(), F.col(c_id).asc())
+    q_probe = (q_probe.withColumn('r', F.row_number().over(w))
+               .filter(F.col('r') <= n_probe)
+               .select(q_id, q_vec, c_id))
+
+    cand = (inverted.join(q_probe, c_id)
+            .filter(F.col(id_col) != F.col(q_id))
+            .withColumn('cos_sim', cosine_sim_expr(F.col(vec_col), F.col(q_vec)))
+            .select(F.col(q_id).alias('query_id'),
+                    F.col(id_col).alias('neighbor_id'), 'cos_sim'))
+    w2 = Window.partitionBy('query_id').orderBy(F.col('cos_sim').desc(),
+                                                F.col('neighbor_id').asc())
+    return cand.withColumn('rank', F.row_number().over(w2)).filter(F.col('rank') <= k)

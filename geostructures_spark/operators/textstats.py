@@ -1,0 +1,80 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+document fingerprinting. All pure Column expressions (JVM-side codegen) —
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geostructures_spark.operators.dedup import tokens_expr
+
+__all__ = ['with_text_stats', 'with_quality_score', 'lang_id_scores',
+           'fingerprint_expr']
+
+# tiny per-language stopword marker lists for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    'en': ['the', 'and', 'of'],
+    'de': ['der', 'und', 'die'],
+    'fr': ['le', 'et', 'les'],
+    'es': ['el', 'los', 'de'],
+    'pt': ['o', 'os', 'de'],
+    'zh': ['的', '是', '在'],
+}
+
+
+def with_text_stats(docs: DataFrame, text_col: str = 'text') -> DataFrame:
+    """Adds n_tokens, n_chars_calc, avg_token_len, punct_ratio,
+    stopword_ratio ('the/a/of/and/in' as the English stopword probe)."""
+    toks = tokens_expr(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r'[^\w\s]', ''))
+    stop = F.size(F.filter(toks, lambda t: t.isin('the', 'a', 'of', 'and', 'in')))
+    return (docs
+            .withColumn('n_tokens', n_tokens)
+            .withColumn('n_chars_calc', n_chars)
+            .withColumn('avg_token_len',
+                        (n_chars - (n_tokens - 1)) / n_tokens)
+            .withColumn('punct_ratio', n_punct / F.greatest(n_chars, F.lit(1)))
+            .withColumn('stopword_ratio', stop / F.greatest(n_tokens, F.lit(1))))
+
+
+def with_quality_score(docs: DataFrame, text_col: str = 'text') -> DataFrame:
+    """Composite quality score in [0,1]: length band + stopword presence -
+    punctuation excess. Deterministic column math (a Gopher-style rule set
+    reduced to the available signals)."""
+    d = with_text_stats(docs, text_col)
+    len_ok = F.when((F.col('n_tokens') >= 5) & (F.col('n_tokens') <= 100000), 0.4).otherwise(0.0)
+    stop_ok = F.when(F.col('stopword_ratio') > 0.01, 0.3).otherwise(0.0)
+    punct_ok = F.when(F.col('punct_ratio') < 0.2, 0.3).otherwise(0.0)
+    return d.withColumn('quality_score', len_ok + stop_ok + punct_ok)
+
+
+def lang_id_scores(docs: DataFrame, text_col: str = 'text',
+                   id_col: str = 'doc_id') -> DataFrame:
+    """Marker-token language scores: for each language, the count of its
+    marker tokens in the doc; predicted language = argmax (ties -> lexical
+    order). A deterministic n-gram-heuristic language ID."""
+    toks = tokens_expr(F.col(text_col))
+    out = docs.select(id_col, text_col)
+    for lang, markers in LANG_MARKERS.items():
+        cnt = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        out = out.withColumn(f'score_{lang}', cnt)
+    score_struct = F.array(*[
+        F.struct(F.col(f'score_{lang}').alias('s'), F.lit(lang).alias('l'))
+        for lang in sorted(LANG_MARKERS)
+    ])
+    best = F.array_max(score_struct)
+    return out.withColumn('pred_lang', best.getField('l')) \
+              .withColumn('pred_score', best.getField('s'))
+
+
+def fingerprint_expr(text_col, window: int = 8):
+    """Document fingerprint: md5 of the lexicographically-min window-gram
+    (a winnowing-style rolling fingerprint reduced to one representative
+    gram; deterministic and portable)."""
+    from geostructures_spark.operators.dedup import shingles_expr
+    grams = shingles_expr(text_col, window)
+    return F.md5(F.array_min(grams))

@@ -1,0 +1,130 @@
+"""Tiling operators: cell assignment, shape covers, cell aggregations.
+
+The Spark-side of the reference's hashers (geohash.py:328-764):
+
+- ``with_cell``: points + Niemeyer (or H3, once available) cell column —
+  the engine's partition/join key (one Arrow-batched kernel call per batch).
+- ``cover_shapes``: shapes -> exploded (shape_id, cell) cover rows via
+  ``applyInPandas`` (one shape's BFS cover is small and bounded; the
+  distributed dimension is the number of shapes, SURVEY.md §7.4).
+- ``hash_coordinates_agg`` / ``hash_collection_agg``: the reference's
+  hash_coordinates/hash_collection (geohash.py:446-510) as
+  explode -> groupBy(cell).agg(...) — count, total_time (sum of interval
+  seconds, utils/agg_functions.py:9-24), unique_entities (countDistinct of
+  the 'entity' property, :26-40).
+
+Skew note: cell keys are Zipf-hot for web data (cities). ``with_cell`` can
+emit a ``salted_cell`` (cell#shard) for the heavy side of a join; AQE skew
+splitting is on as backstop (plans/session.py).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geostructures_spark.functions.geo import niemeyer_encode_udf
+
+__all__ = [
+    'with_cell', 'with_salted_cell', 'cover_shapes', 'hash_coordinates_agg',
+    'hash_collection_agg', 'shape_row_to_kernel', 'SHAPES_SCHEMA_DDL',
+]
+
+SHAPES_SCHEMA_DDL = (
+    'shape_id long, kind string, '
+    'params struct<center_lon:double,center_lat:double,radius:double,'
+    'semi_major:double,semi_minor:double,rotation:double,'
+    'inner_radius:double,outer_radius:double,angle_min:double,angle_max:double,'
+    'min_lon:double,min_lat:double,max_lon:double,max_lat:double>, '
+    'rings array<array<struct<lon:double,lat:double>>>, '
+    'dt_start timestamp, dt_end timestamp, properties map<string,string>'
+)
+
+
+def shape_row_to_kernel(row: Dict) -> Dict:
+    """Convert a shapes-table row (dict form) to a kernel shape dict."""
+    params = {k: v for k, v in (row.get('params') or {}).items() if v is not None}
+    rings = row.get('rings')
+    np_rings: Optional[List[np.ndarray]] = None
+    if rings is not None and len(rings):
+        np_rings = [np.array([[c['lon'], c['lat']] if isinstance(c, dict)
+                              else [c[0], c[1]] for c in ring], dtype=np.float64)
+                    for ring in rings]
+    return {'kind': row['kind'], 'params': params, 'rings': np_rings,
+            'children': None}
+
+
+def with_cell(df: DataFrame, length: int = 8, base: int = 16,
+              lon: str = 'lon', lat: str = 'lat',
+              cell_col: str = 'cell') -> DataFrame:
+    """Assign the Niemeyer cell (reference geohash.py:129-183) — the tiling
+    and partition key."""
+    enc = niemeyer_encode_udf(length, base)
+    return df.withColumn(cell_col, enc(F.col(lon), F.col(lat)))
+
+
+def with_salted_cell(df: DataFrame, shards: int = 8,
+                     cell_col: str = 'cell',
+                     salt_col: str = 'salted_cell') -> DataFrame:
+    """cell#shard salting for hot cells: spreads a hot key over ``shards``
+    shuffle partitions. The small (broadcast) side replicates each cover
+    cell ``shards`` times instead (see spatial_join.salted variants)."""
+    return df.withColumn(
+        salt_col,
+        F.concat_ws('#', F.col(cell_col),
+                    (F.pmod(F.xxhash64('url'), F.lit(shards))).cast('string')))
+
+
+def cover_shapes(shapes: DataFrame, length: int = 8, base: int = 16) -> DataFrame:
+    """shapes -> (shape_id, cell) cover rows (NiemeyerHasher.hash_shape,
+    geohash.py:746-764). Runs per-shape BFS in applyInPandas, partitioned by
+    shape_id; output feeds the broadcast side of the spatial join."""
+    from geostructures_spark.kernels import tiling_niemeyer as tn
+
+    cols = ['shape_id', 'kind', 'params', 'rings']
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_ids, out_cells = [], []
+        for _, row in pdf.iterrows():
+            shape = shape_row_to_kernel(row.to_dict())
+            for cell in tn.cover_shape(shape, length, base):
+                out_ids.append(row['shape_id'])
+                out_cells.append(cell)
+        return pd.DataFrame({'shape_id': out_ids, 'cell': out_cells})
+
+    return (shapes.select(*cols)
+            .groupBy('shape_id')
+            .applyInPandas(per_group, schema='shape_id long, cell string'))
+
+
+def hash_coordinates_agg(points_with_cell: DataFrame,
+                         cell_col: str = 'cell') -> DataFrame:
+    """{cell: count} (reference hash_coordinates, geohash.py:482-510) as a
+    hash aggregation with map-side partial combine."""
+    return points_with_cell.groupBy(cell_col).agg(F.count('*').alias('n'))
+
+
+def hash_collection_agg(shapes: DataFrame, length: int = 8, base: int = 16,
+                        agg: str = 'count') -> DataFrame:
+    """{cell: agg(shapes covering cell)} (reference hash_collection,
+    geohash.py:446-480). agg in {'count', 'total_time', 'unique_entities'}
+    (utils/agg_functions.py:9-40)."""
+    covers = cover_shapes(shapes, length, base)
+    joined = covers.join(
+        F.broadcast(shapes.select('shape_id', 'dt_start', 'dt_end', 'properties')),
+        'shape_id')
+    if agg == 'count':
+        return joined.groupBy('cell').agg(F.count('*').alias('value'))
+    if agg == 'total_time':
+        return joined.groupBy('cell').agg(
+            F.sum(F.unix_timestamp('dt_end') - F.unix_timestamp('dt_start'))
+            .cast('double').alias('value'))
+    if agg == 'unique_entities':
+        return joined.groupBy('cell').agg(
+            F.countDistinct(F.col('properties').getItem('entity')).alias('value'))
+    raise ValueError(f'unknown agg: {agg}')

@@ -1,0 +1,135 @@
+"""Track analytics: window-function ping metrics + sequential filters.
+
+The Spark-side of the reference's Track (collections.py:707-955):
+
+- consecutive-ping distance / time / speed diffs as lag-window expressions
+  (centroid_distances :795-805, time_start_diffs :859-869, speed_diffs
+  :841-849) — one shuffle on the entity key, everything else JVM-side;
+- time slicing ``[t0:t1)`` as a filter ``start >= t0 AND end < t1``
+  (:770-782);
+- convolve_duplicate_timestamps (:875-904) as groupBy(entity, dt) mean;
+- filter_impossible_journeys (:917-955) — greedy scan whose anchor is the
+  last *kept* ping, inherently sequential per entity -> ``applyInPandas``
+  with a NumPy loop, never cluster-wide (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geostructures_spark.functions.geo import haversine_expr
+
+__all__ = [
+    'with_track_diffs', 'slice_track', 'convolve_duplicate_timestamps',
+    'filter_impossible_journeys', 'has_duplicate_timestamps',
+]
+
+
+def _track_window(entity_col: str, time_col: str, idx_col: str = None):
+    order = [F.col(time_col)] + ([F.col(idx_col)] if idx_col else [])
+    return Window.partitionBy(entity_col).orderBy(*order)
+
+
+def with_track_diffs(tracks: DataFrame, entity_col: str = 'entity',
+                     time_col: str = 'dt_start',
+                     lon_col: str = 'lon', lat_col: str = 'lat') -> DataFrame:
+    """Adds dist_m (to previous ping), dt_sec, speed_mps via lag windows.
+
+    Reference semantics: distances use the active geodesic (haversine
+    default, geodesic.py:358-361); speed = distance / seconds
+    (collections.py:841-849). First ping per entity has NULLs (the reference
+    returns n-1 values)."""
+    w = _track_window(entity_col, time_col)
+    prev_lon = F.lag(lon_col).over(w)
+    prev_lat = F.lag(lat_col).over(w)
+    prev_t = F.lag(time_col).over(w)
+    dist = haversine_expr(prev_lon, prev_lat, F.col(lon_col), F.col(lat_col))
+    dt_sec = (F.unix_timestamp(F.col(time_col)) - F.unix_timestamp(prev_t)).cast('double')
+    return (tracks
+            .withColumn('dist_m', dist)
+            .withColumn('dt_sec', dt_sec)
+            .withColumn('speed_mps', F.col('dist_m') / F.col('dt_sec')))
+
+
+def slice_track(tracks: DataFrame, t0, t1,
+                start_col: str = 'dt_start', end_col: str = 'dt_end') -> DataFrame:
+    """Track time slicing [t0, t1): start >= t0 AND end < t1
+    (reference collections.py:770-782)."""
+    return tracks.filter((F.col(start_col) >= F.lit(t0)) & (F.col(end_col) < F.lit(t1)))
+
+
+def has_duplicate_timestamps(tracks: DataFrame, entity_col: str = 'entity',
+                             time_col: str = 'dt_start') -> DataFrame:
+    """Per entity: count(*) > countDistinct(dt) (collections.py:823-831)."""
+    return (tracks.groupBy(entity_col)
+            .agg((F.count('*') > F.countDistinct(time_col)).alias('has_dupes')))
+
+
+def convolve_duplicate_timestamps(tracks: DataFrame, entity_col: str = 'entity',
+                                  time_col: str = 'dt_start',
+                                  lon_col: str = 'lon', lat_col: str = 'lat') -> DataFrame:
+    """Same-timestamp pings -> mean lon/lat (collections.py:875-904) as a
+    hash aggregation."""
+    return (tracks.groupBy(entity_col, time_col)
+            .agg(F.avg(lon_col).alias(lon_col), F.avg(lat_col).alias(lat_col),
+                 F.count('*').alias('n_convolved')))
+
+
+def filter_by_time_of_day(tracks: DataFrame, start_hms: str, end_hms: str,
+                          start_col: str = 'dt_start',
+                          end_col: str = 'dt_end') -> DataFrame:
+    """Time-of-day window filter incl. the spanning case
+    (reference collections.py:905-914): keep a ping if its start or end
+    time-of-day falls in [start_hms, end_hms], or the ping spans the window."""
+    s = F.date_format(F.col(start_col), 'HH:mm:ss')
+    e = F.date_format(F.col(end_col), 'HH:mm:ss')
+    lo, hi = F.lit(start_hms), F.lit(end_hms)
+    return tracks.filter(
+        ((lo <= e) & (e <= hi)) |
+        ((lo <= s) & (s <= hi)) |
+        ((s <= lo) & (lo <= hi) & (hi <= e)))
+
+
+def filter_impossible_journeys(tracks: DataFrame, max_speed_mps: float,
+                               entity_col: str = 'entity',
+                               time_col: str = 'dt_start',
+                               lon_col: str = 'lon', lat_col: str = 'lat') -> DataFrame:
+    """Greedy per-entity scan (collections.py:917-955): keep ping j iff the
+    speed from the last *kept* ping i is <= max_speed_mps; pings sharing the
+    anchor's timestamp are dropped; NaN speed resets nothing (anchor stays).
+
+    Not expressible as a window function (the anchor depends on prior keep
+    decisions) -> applyInPandas with a vectorized-setup NumPy loop.
+    """
+    from geostructures_spark.kernels.geodesy import haversine_distance
+
+    out_schema = tracks.schema
+
+    def per_entity(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col, kind='stable').reset_index(drop=True)
+        lons = pdf[lon_col].to_numpy(np.float64)
+        lats = pdf[lat_col].to_numpy(np.float64)
+        ts = pdf[time_col].astype('int64').to_numpy() / 1e9  # seconds
+        n = len(pdf)
+        keep = np.zeros(n, dtype=bool)
+        if n == 0:
+            return pdf.iloc[keep]
+        keep[0] = True
+        anchor = 0
+        for j in range(1, n):
+            dt = ts[j] - ts[anchor]
+            if dt == 0:
+                continue  # duplicate timestamp vs anchor: dropped (ref :940-945)
+            dist = float(haversine_distance(lons[anchor], lats[anchor], lons[j], lats[j]))
+            speed = 0.0 if dist == 0 else dist / dt  # ref :947
+            if np.isnan(speed):
+                anchor = j  # NaN resets the anchor without keeping (ref :949-950)
+            elif speed <= max_speed_mps:
+                keep[j] = True
+                anchor = j
+        return pdf.iloc[keep]
+
+    return tracks.groupBy(entity_col).applyInPandas(per_entity, schema=out_schema)
