@@ -348,7 +348,7 @@ def _q_track_speeds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy('entity')
             .agg(F.count('*').cast('long').alias('n_segments'),
                  F.round(F.sum('dist_m') / 1000.0, 3).alias('total_km'),
-                 F.sum((F.col('speed_mps') > 1000.0).cast('long')).cast('long')
+                 F.sum((F.col('dist_m') > F.col('dt_sec') * 1000.0).cast('long')).cast('long')
                  .alias('n_fast_segments'))
             .orderBy('entity')
             .withColumnRenamed('entity', 'user_id'))
@@ -374,7 +374,7 @@ def _track_speeds_duckdb() -> str:
       SELECT CAST(user_id AS BIGINT) AS user_id,
              CAST(COUNT(*) AS BIGINT) AS n_segments,
              ROUND(SUM(dist_m) / 1000.0, 3) AS total_km,
-             CAST(SUM(CASE WHEN dist_m / dt_sec > 1000.0 THEN 1 ELSE 0 END) AS BIGINT)
+             CAST(SUM(CASE WHEN dist_m > dt_sec * 1000.0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_fast_segments
       FROM seg GROUP BY user_id ORDER BY user_id
     """

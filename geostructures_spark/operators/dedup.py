@@ -82,7 +82,10 @@ def minhash_lsh_pairs(docs: DataFrame, n_bands: int = 8, shingle_k: int = 5,
     """Near-dup candidate pairs: docs sharing any band minhash bucket.
 
     Returns (doc_a, doc_b, n_shared_bands), doc_a < doc_b."""
-    sig = minhash_signature(docs, n_bands, shingle_k, id_col, text_col)
+    # materialize the signature once: the self-join references it twice and
+    # would otherwise recompute the full shingle+md5 lineage for both sides
+    # (at cluster scale this is a checkpoint/bucketed table write)
+    sig = minhash_signature(docs, n_bands, shingle_k, id_col, text_col).persist()
     a = sig.select(F.col(id_col).alias('doc_a'), 'band', 'minhash')
     b = sig.select(F.col(id_col).alias('doc_b'), 'band', 'minhash')
     return (a.join(b, ['band', 'minhash'])

@@ -6,23 +6,28 @@ text -> coordinate mining"). Two steps:
 1. ``extract_text``: html BINARY -> text STRING, a pure JVM-side expression
    (cast + regexp) — byte-identical inverse of the generator's wrapper,
    enforced by tests (north_rule: byte-identical extracted text per url).
-2. ``mine_points``: one Arrow-batched pandas UDF running a single combined
-   regex via pandas' vectorized ``str.extractall``, then NumPy conversion of
-   DMS/QDMS groups using the reference's exact formulas
-   (coordinates.py:127-148 from_dms — no rounding; :181-203 from_qdms —
-   round_half_up at 6 decimals).
+2. ``mine_points``: Arrow-batched ``mapInPandas``. Each batch joins its
+   texts into one buffer and runs a single compiled-regex scan (one C-level
+   pass per batch, no per-row regex calls), maps match offsets back to rows
+   with searchsorted, converts DMS/QDMS groups vectorized with NumPy using
+   the reference's exact formulas (coordinates.py:127-148 from_dms — no
+   rounding; :181-203 from_qdms — round_half_up at 6 decimals), and emits
+   the exploded points frame directly (no intermediate array column).
 
-The mined mentions are returned as an array column and ``posexplode``d so
-``point_idx`` is the mention ordinal within the page (FIXTURES.md §2).
+``point_idx`` is the mention ordinal within the page (FIXTURES.md §2);
+matches come out of the single scan in position order, so a per-row running
+count gives the ordinal.
 """
 
 from __future__ import annotations
+
+import re
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from geostructures_spark.kernels.geodesy import normalize_lonlat, round_half_up
 
@@ -33,12 +38,13 @@ _DMS = (r'(?P<lod>\d+)°(?P<lom>\d+)\'(?P<los>\d+(?:\.\d+)?)"(?P<loq>[EW]) '
         r'(?P<lad>\d+)°(?P<lam>\d+)\'(?P<las>\d+(?:\.\d+)?)"(?P<laq>[NS])')
 _QDMS = r'(?P<qlon>[EW]\d{9}) (?P<qlat>[NS]\d{8})'
 MENTION_REGEX = f'(?:{_DEC})|(?:{_DMS})|(?:{_QDMS})'
+_COMPILED = re.compile(MENTION_REGEX)
 
-_POINT_ARRAY_TYPE = T.ArrayType(T.StructType([
-    T.StructField('lon', T.DoubleType()),
-    T.StructField('lat', T.DoubleType()),
-    T.StructField('fmt', T.StringType()),
-]))
+# batch separator that can never occur inside a match
+_SEP = '\n\x00\n'
+
+POINTS_SCHEMA = ('url string, warc_ts timestamp, point_idx int, '
+                 'lon double, lat double, fmt string')
 
 
 def extract_text_expr(html_col: Column) -> Column:
@@ -47,80 +53,127 @@ def extract_text_expr(html_col: Column) -> Column:
     return F.regexp_extract(html_col.cast('string'), r'(?s)^<html><body>(.*)</body></html>$', 1)
 
 
-@F.pandas_udf(_POINT_ARRAY_TYPE)
-def _mine_udf(text: pd.Series) -> pd.Series:
-    out = pd.Series([[] for _ in range(len(text))], index=text.index, dtype=object)
-    if len(text) == 0:
-        return out
-    matches = text.str.extractall(MENTION_REGEX)
-    if len(matches) == 0:
-        return out
+def _mine_batch(texts: pd.Series) -> tuple:
+    """One regex scan over the whole batch. Returns (row_positions,
+    point_idx, lon, lat, fmt) numpy arrays."""
+    tl = texts.fillna('').tolist()
+    if not tl:
+        z = np.zeros(0)
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64), z, z.copy(),
+                np.zeros(0, dtype=object))
+    big = _SEP.join(tl)
+    starts = np.zeros(len(tl), dtype=np.int64)
+    lens = np.fromiter((len(t) for t in tl), dtype=np.int64, count=len(tl))
+    if len(tl) > 1:
+        starts[1:] = np.cumsum(lens[:-1] + len(_SEP))
 
-    # decimal mentions
-    dec = matches[matches['flag'].notna()]
-    lon = np.where(dec['flag'].to_numpy() == 'lonlat',
-                   dec['a'].to_numpy(np.float64), dec['b'].to_numpy(np.float64))
-    lat = np.where(dec['flag'].to_numpy() == 'lonlat',
-                   dec['b'].to_numpy(np.float64), dec['a'].to_numpy(np.float64))
-    dec_vals = pd.DataFrame({'lon': lon, 'lat': lat, 'fmt': 'decimal'}, index=dec.index)
+    rows, kinds = [], []
+    g_dec, g_dms, g_q = [], [], []
+    for m in _COMPILED.finditer(big):
+        rows.append(m.start())
+        if m.group('flag') is not None:
+            kinds.append(0)
+            g_dec.append((m.group('flag'), m.group('a'), m.group('b')))
+        elif m.group('lod') is not None:
+            kinds.append(1)
+            g_dms.append((m.group('lod'), m.group('lom'), m.group('los'),
+                          m.group('loq'), m.group('lad'), m.group('lam'),
+                          m.group('las'), m.group('laq')))
+        else:
+            kinds.append(2)
+            g_q.append((m.group('qlon'), m.group('qlat')))
 
-    # DMS mentions (from_dms: deg + min/60 + sec/3600, sign by quadrant;
-    # no rounding — coordinates.py:145-148)
-    dms = matches[matches['lod'].notna()]
-    dlon = (dms['lod'].to_numpy(np.float64) + dms['lom'].to_numpy(np.float64) / 60
-            + dms['los'].to_numpy(np.float64) / 3600)
-    dlon = dlon * np.where(dms['loq'].to_numpy() == 'W', -1.0, 1.0)
-    dlat = (dms['lad'].to_numpy(np.float64) + dms['lam'].to_numpy(np.float64) / 60
-            + dms['las'].to_numpy(np.float64) / 3600)
-    dlat = dlat * np.where(dms['laq'].to_numpy() == 'S', -1.0, 1.0)
-    dms_vals = pd.DataFrame({'lon': dlon, 'lat': dlat, 'fmt': 'dms'}, index=dms.index)
+    n = len(rows)
+    if n == 0:
+        z = np.zeros(0)
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64), z, z.copy(),
+                np.zeros(0, dtype=object))
 
-    # QDMS mentions (from_qdms: seconds carry two implied decimals;
-    # round_half_up at 6dp — coordinates.py:181-203)
-    q = matches[matches['qlon'].notna()]
-    if len(q):
-        qlon_s = q['qlon'].astype(str)
-        qlat_s = q['qlat'].astype(str)
-        qlon = (qlon_s.str[1:4].astype(np.float64)
-                + qlon_s.str[4:6].astype(np.float64) / 60
-                + (qlon_s.str[6:8] + '.' + qlon_s.str[8:]).astype(np.float64) / 3600)
-        qlon = qlon.to_numpy() * np.where(qlon_s.str[0].to_numpy() == 'W', -1.0, 1.0)
-        qlat = (qlat_s.str[1:3].astype(np.float64)
-                + qlat_s.str[3:5].astype(np.float64) / 60
-                + (qlat_s.str[5:7] + '.' + qlat_s.str[7:]).astype(np.float64) / 3600)
-        qlat = qlat.to_numpy() * np.where(qlat_s.str[0].to_numpy() == 'S', -1.0, 1.0)
-        q_vals = pd.DataFrame({'lon': round_half_up(qlon, 6),
-                               'lat': round_half_up(qlat, 6), 'fmt': 'qdms'},
-                              index=q.index)
-    else:
-        q_vals = pd.DataFrame(columns=['lon', 'lat', 'fmt'])
+    pos = np.asarray(rows, dtype=np.int64)
+    row_idx = np.searchsorted(starts, pos, side='right') - 1
+    kinds = np.asarray(kinds, dtype=np.int64)
 
-    allv = pd.concat([dec_vals, dms_vals, q_vals]).sort_index()
-    if len(allv):
-        nl, na = normalize_lonlat(allv['lon'].to_numpy(np.float64),
-                                  allv['lat'].to_numpy(np.float64))
-        allv['lon'], allv['lat'] = nl, na
-    for row_idx, grp in allv.groupby(level=0):
-        out.at[row_idx] = list(grp[['lon', 'lat', 'fmt']].itertuples(index=False, name=None))
-    return out
+    lon = np.zeros(n)
+    lat = np.zeros(n)
+    fmt = np.empty(n, dtype=object)
+
+    if g_dec:
+        d = np.array(g_dec, dtype=object)
+        a = d[:, 1].astype(np.float64)
+        b = d[:, 2].astype(np.float64)
+        is_lonlat = d[:, 0] == 'lonlat'
+        sel = kinds == 0
+        lon[sel] = np.where(is_lonlat, a, b)
+        lat[sel] = np.where(is_lonlat, b, a)
+        fmt[sel] = 'decimal'
+
+    if g_dms:
+        d = np.array(g_dms, dtype=object)
+        # from_dms: deg + min/60 + sec/3600, sign by quadrant; no rounding
+        dlon = (d[:, 0].astype(np.float64) + d[:, 1].astype(np.float64) / 60
+                + d[:, 2].astype(np.float64) / 3600)
+        dlon *= np.where(d[:, 3] == 'W', -1.0, 1.0)
+        dlat = (d[:, 4].astype(np.float64) + d[:, 5].astype(np.float64) / 60
+                + d[:, 6].astype(np.float64) / 3600)
+        dlat *= np.where(d[:, 7] == 'S', -1.0, 1.0)
+        sel = kinds == 1
+        lon[sel] = dlon
+        lat[sel] = dlat
+        fmt[sel] = 'dms'
+
+    if g_q:
+        qlon_s = np.array([s for s, _ in g_q])
+        qlat_s = np.array([s for _, s in g_q])
+        # from_qdms: QDDDMMSSHH -> deg + min/60 + 'SS.HH'/3600; 6dp round_half_up
+        lon_deg = np.array([s[1:4] for s in qlon_s], dtype=np.float64)
+        lon_min = np.array([s[4:6] for s in qlon_s], dtype=np.float64)
+        lon_sec = np.array([s[6:8] + '.' + s[8:] for s in qlon_s], dtype=np.float64)
+        vlon = (lon_deg + lon_min / 60 + lon_sec / 3600)
+        vlon *= np.where(np.array([s[0] for s in qlon_s]) == 'W', -1.0, 1.0)
+        lat_deg = np.array([s[1:3] for s in qlat_s], dtype=np.float64)
+        lat_min = np.array([s[3:5] for s in qlat_s], dtype=np.float64)
+        lat_sec = np.array([s[5:7] + '.' + s[7:] for s in qlat_s], dtype=np.float64)
+        vlat = (lat_deg + lat_min / 60 + lat_sec / 3600)
+        vlat *= np.where(np.array([s[0] for s in qlat_s]) == 'S', -1.0, 1.0)
+        sel = kinds == 2
+        lon[sel] = round_half_up(vlon, 6)
+        lat[sel] = round_half_up(vlat, 6)
+        fmt[sel] = 'qdms'
+
+    lon, lat = normalize_lonlat(lon, lat)
+
+    # point_idx: running count within each row (matches are in position order)
+    point_idx = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        # vectorized segmented cumcount (reset at each row change)
+        change = np.r_[True, row_idx[1:] != row_idx[:-1]]
+        seg_starts = np.flatnonzero(change)
+        seg_id = np.cumsum(change) - 1
+        point_idx = np.arange(n) - seg_starts[seg_id]
+    return row_idx, point_idx, lon, lat, fmt
 
 
 def mine_points(pages: DataFrame, from_html: bool = False) -> DataFrame:
     """pages -> points with (url, warc_ts, point_idx, lon, lat, fmt).
 
-    Column-prunes to (url, warc_ts, text) before the UDF so the heavy
-    ``html`` binary never crosses the Arrow boundary (unless ``from_html``
-    exercises the extraction path).
-    """
+    Column-prunes to (url, warc_ts, text) before the Arrow boundary so the
+    heavy ``html`` binary never crosses it (unless ``from_html`` exercises
+    the extraction path)."""
     text_col = extract_text_expr(F.col('html')) if from_html else F.col('text')
-    mined = (pages
-             .select('url', 'warc_ts', text_col.alias('_text'))
-             .withColumn('mentions', _mine_udf(F.col('_text')))
-             .drop('_text'))
-    return (mined
-            .select('url', 'warc_ts',
-                    F.posexplode('mentions').alias('point_idx', 'pt'))
-            .select('url', 'warc_ts', 'point_idx',
-                    F.col('pt.lon').alias('lon'),
-                    F.col('pt.lat').alias('lat'),
-                    F.col('pt.fmt').alias('fmt')))
+    pruned = pages.select('url', 'warc_ts', text_col.alias('_text'))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            row_idx, point_idx, lon, lat, fmt = _mine_batch(pdf['_text'])
+            urls = pdf['url'].to_numpy()[row_idx]
+            ts = pdf['warc_ts'].to_numpy()[row_idx]
+            yield pd.DataFrame({
+                'url': urls,
+                'warc_ts': ts,
+                'point_idx': point_idx.astype(np.int32),
+                'lon': lon,
+                'lat': lat,
+                'fmt': fmt,
+            })
+
+    return pruned.mapInPandas(run, schema=POINTS_SCHEMA)

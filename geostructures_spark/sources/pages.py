@@ -113,7 +113,46 @@ def _fmt_qdms_part(val: float, is_lon: bool) -> str:
     return f'{quad}{deg:0{width}d}{mins:02d}{hund:04d}'
 
 
+def _f2s(arr: np.ndarray) -> np.ndarray:
+    """float64 array -> shortest-roundtrip decimal strings (vectorized)."""
+    return np.array([repr(float(v)) for v in arr], dtype=object)
+
+
+def _dms_strings(vals: np.ndarray, is_lon: bool) -> np.ndarray:
+    quad = np.where(vals >= 0, 'E' if is_lon else 'N', 'W' if is_lon else 'S')
+    a = np.abs(vals)
+    deg = a.astype(np.int64)
+    rem = (a - deg) * 60
+    mins = rem.astype(np.int64)
+    secs = np.round((rem - mins) * 60, 4)
+    return (deg.astype(str).astype(object) + '°'
+            + mins.astype(str).astype(object) + "'"
+            + _f2s(secs) + '"' + quad.astype(object))
+
+
+def _qdms_strings(vals: np.ndarray, is_lon: bool) -> np.ndarray:
+    quad = np.where(vals >= 0, 'E' if is_lon else 'N', 'W' if is_lon else 'S')
+    a = np.abs(vals)
+    deg = a.astype(np.int64)
+    rem = (a - deg) * 60
+    mins = rem.astype(np.int64)
+    hund = np.round((rem - mins) * 60 * 100).astype(np.int64)
+    carry = hund >= 6000
+    hund = np.where(carry, hund - 6000, hund)
+    mins = mins + carry
+    carry2 = mins >= 60
+    mins = np.where(carry2, mins - 60, mins)
+    deg = deg + carry2
+    width = 3 if is_lon else 2
+    deg_s = np.char.zfill(deg.astype(str), width)
+    return (quad.astype(object) + deg_s.astype(object)
+            + np.char.zfill(mins.astype(str), 2).astype(object)
+            + np.char.zfill(hund.astype(str), 4).astype(object))
+
+
 def _gen_batch(pdf: pd.DataFrame, seed: int) -> pd.DataFrame:
+    """Fully vectorized page synthesis — no per-row Python in the loop body
+    except the final shortest-float repr (C-level float repr per value)."""
     ids = pdf['id'].to_numpy(np.int64)
     n = len(ids)
     h = _hash_stream(ids, seed)
@@ -124,46 +163,49 @@ def _gen_batch(pdf: pd.DataFrame, seed: int) -> pd.DataFrame:
     n_mentions = np.where(no_mention, 0, np.maximum(n_mentions, 1))
 
     fmt_h = _hash_stream(ids, seed + 9)
-
-    texts = []
     all_langs = _LANGS[(h % np.uint64(len(_LANGS))).astype(np.int64)]
     noise_idx = (_hash_stream(ids, seed + 10) % np.uint64(len(_NOISE))).astype(np.int64)
 
-    mention_data = []
+    # leading noise phrase: 6 words by index arithmetic
+    lead = _NOISE[(noise_idx + 0) % len(_NOISE)].astype(object)
+    for w in range(1, 6):
+        lead = lead + ' ' + _NOISE[(noise_idx + w * 7) % len(_NOISE)].astype(object)
+
+    text = lead
     for m in range(4):
         lon, lat = _mention_coords(ids, m, seed)
-        mention_data.append((lon, lat))
+        fmt = ((fmt_h >> np.uint64(m * 2)) & np.uint64(3)).astype(np.int64)
+        lon_s, lat_s = _f2s(lon), _f2s(lat)
+        mention = np.empty(n, dtype=object)
+        mask0 = fmt == 0
+        mask1 = fmt == 1
+        mask2 = fmt == 2
+        mask3 = fmt == 3
+        mention[mask0] = 'coords@lonlat: ' + lon_s[mask0] + ', ' + lat_s[mask0]
+        mention[mask1] = 'coords@latlon: ' + lat_s[mask1] + ', ' + lon_s[mask1]
+        if mask2.any():
+            mention[mask2] = (_dms_strings(lon[mask2], True) + ' '
+                              + _dms_strings(lat[mask2], False))
+        if mask3.any():
+            mention[mask3] = (_qdms_strings(lon[mask3], True) + ' '
+                              + _qdms_strings(lat[mask3], False))
+        tail = _NOISE[(noise_idx + m) % len(_NOISE)].astype(object)
+        has_m = n_mentions > m
+        text = np.where(has_m, text + ' ' + mention + ' ' + tail, text)
 
-    for row in range(n):
-        words = []
-        for w in range(6):
-            widx = int((noise_idx[row] + w * 7) % len(_NOISE))
-            words.append(_NOISE[widx])
-        parts = [' '.join(words)]
-        for m in range(int(n_mentions[row])):
-            lon = float(mention_data[m][0][row])
-            lat = float(mention_data[m][1][row])
-            fmt = int((fmt_h[row] >> np.uint64(m * 2)) & np.uint64(3))
-            if fmt == 0:
-                parts.append(f'coords@lonlat: {lon}, {lat}')
-            elif fmt == 1:
-                parts.append(f'coords@latlon: {lat}, {lon}')
-            elif fmt == 2:
-                parts.append(f'{_fmt_dms_part(lon, True)} {_fmt_dms_part(lat, False)}')
-            else:
-                parts.append(f'{_fmt_qdms_part(lon, True)} {_fmt_qdms_part(lat, False)}')
-            parts.append(_NOISE[int((noise_idx[row] + m) % len(_NOISE))])
-        texts.append(' '.join(parts))
-
-    urls = [f'https://site{int(i) % 1000}.example/{int(hh):016x}'
-            for i, hh in zip(ids, h)]
-    ts = pd.to_datetime('2020-01-01', utc=True) + pd.to_timedelta(ids * 137, unit='s')
-    html = [f'<html><body>{t}</body></html>'.encode('utf-8') for t in texts]
+    text = text.astype(object)
+    urls = ('https://site' + (ids % 1000).astype(str).astype(object)
+            + '.example/' + np.char.zfill(
+                np.vectorize(lambda x: format(int(x), 'x'), otypes=[str])(h), 16).astype(object))
+    ts = (pd.Timestamp('2020-01-01').to_datetime64()
+          + (ids * 137).astype('timedelta64[s]'))
+    html_arr = ('<html><body>' + text + '</body></html>')
+    html = [s.encode('utf-8') for s in html_arr]
     return pd.DataFrame({
         'url': urls,
-        'warc_ts': ts.tz_localize(None) if getattr(ts, 'tz', None) is None else ts.tz_convert('UTC').tz_localize(None),
+        'warc_ts': ts,
         'html': html,
-        'text': texts,
+        'text': text,
         'lang': all_langs,
     })
 
