@@ -723,6 +723,39 @@ def _q_niemeyer_cover_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy('shape_id'))
 
 
+
+def _q_h3_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 tiling: customer-derived points -> res-7 H3 cell (the from-scratch
+    vectorized kernel, golden-verified vs the h3 C library in
+    tests/test_kernels_h3.py) -> groupBy(cell).count. Rows-only driver check
+    (DuckDB has no H3)."""
+    from geostructures_spark.operators.tiling import with_cell
+    _load(spark, sf_dir, 'customer')
+    pts = spark.sql(_pts_customer_sql())
+    return (with_cell(pts, scheme='h3', resolution=7)
+            .groupBy('cell').agg(F.count('*').cast('long').alias('n'))
+            .orderBy('cell'))
+
+
+def _q_h3_cover_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 shape covers (H3Hasher.hash_shape polyfill semantics): supplier
+    100km circles -> res-5 cover cell counts per shape. Rows-only check."""
+    from geostructures_spark.operators.tiling import cover_shapes
+    _load(spark, sf_dir, 'supplier')
+    sup = spark.sql(_pts_supplier_sql())
+    shapes = sup.select(
+        F.col('qid').cast('long').alias('shape_id'),
+        F.lit('circle').alias('kind'),
+        F.struct(F.col('q_lon').alias('center_lon'),
+                 F.col('q_lat').alias('center_lat'),
+                 F.lit(100_000.0).alias('radius')).alias('params'),
+        F.lit(None).cast('array<array<struct<lon:double,lat:double>>>').alias('rings'))
+    return (cover_shapes(shapes, scheme='h3', resolution=5)
+            .groupBy('shape_id').agg(F.count('*').cast('long').alias('n_cells'))
+            .orderBy('shape_id'))
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         'q1_pricing_summary': _q1_pricing_summary,
@@ -746,6 +779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ivf_assign_counts': _q_ivf_counts,
         'streaming_events_windowed': _q_streaming_events,
         'niemeyer_cover_circle': _q_niemeyer_cover_circle,
+        'h3_cell_counts': _q_h3_cells,
+        'h3_cover_circle': _q_h3_cover_circle,
     }
 
 
@@ -778,4 +813,6 @@ def oracle_sql() -> dict[str, str]:
         'ivf_assign_counts': _IVF_DUCK,
         'streaming_events_windowed': _STREAMING_DUCK,
         # niemeyer_cover_circle: BFS flood fill — not SQL-expressible
+        # h3_cell_counts / h3_cover_circle: no H3 in DuckDB — kernel is
+        # golden-verified against the h3 C library values in tests/
     }

@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     'q1_pricing_summary',
     'niemeyer_cell_counts',
+    'h3_cell_counts',
     'pip_triangle_counts',
     'spatial_join_circles',
     'knn_topk',

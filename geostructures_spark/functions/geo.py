@@ -26,7 +26,7 @@ __all__ = [
     'haversine_expr', 'bearing_expr', 'box_contains_expr',
     'interval_intersects_expr', 'interval_contains_expr',
     'interval_contains_instant_expr',
-    'niemeyer_encode_udf', 'points_in_ring_udf', 'xyz_exprs',
+    'niemeyer_encode_udf', 'h3_encode_udf', 'points_in_ring_udf', 'xyz_exprs',
 ]
 
 
@@ -115,6 +115,23 @@ def niemeyer_encode_udf(length: int, base: int):
         return pd.Series(cells, index=lon.index).astype(object)
 
     return _encode
+
+
+def h3_encode_udf(resolution: int):
+    """Arrow-batched H3 encoder: (lon, lat) -> cell hex string, via the
+    from-scratch vectorized kernel (kernels/h3_core.py)."""
+    from geostructures_spark.kernels import h3_core as h3c
+
+    @F.pandas_udf(T.StringType())
+    def _encode_h3(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        if len(lon) == 0:
+            return pd.Series([], dtype=object)
+        cells = h3c.latlng_to_cell(lat.to_numpy(np.float64),
+                                   lon.to_numpy(np.float64), resolution)
+        return pd.Series([format(int(c), 'x') for c in cells],
+                         index=lon.index, dtype=object)
+
+    return _encode_h3
 
 
 def points_in_ring_udf(ring: np.ndarray, include_boundary: bool = False):

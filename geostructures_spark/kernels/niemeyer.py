@@ -54,8 +54,9 @@ def encode(lons, lats, length: int, base: int) -> np.ndarray:
     lat_lo = np.full(n, -90.0)
     lat_hi = np.full(n, 90.0)
 
-    # accumulate bit matrix (n, total_bits)
-    bits = np.zeros((n, total_bits), dtype=np.uint8)
+    # accumulate the bit string into one uint64 code (MSB-first), exactly
+    # mirroring the reference's interval halving with strict `>` comparisons
+    code = np.zeros(n, dtype=np.uint64)
     for b in range(total_bits):
         if b % 2 == 0:  # lon component
             mid = (lon_lo + lon_hi) / 2.0
@@ -67,15 +68,17 @@ def encode(lons, lats, length: int, base: int) -> np.ndarray:
             hi_side = lats > mid
             lat_lo = np.where(hi_side, mid, lat_lo)
             lat_hi = np.where(hi_side, lat_hi, mid)
-        bits[:, b] = hi_side
+        code |= hi_side.astype(np.uint64) << np.uint64(total_bits - 1 - b)
 
-    charset = np.array(list(CHARSETS[base]))
-    # group bits into characters (MSB first within each char, reference
-    # 'bits' tables are descending powers of two)
-    weights = (1 << np.arange(bits_per_char - 1, -1, -1)).astype(np.int64)
-    vals = bits.reshape(n, length, bits_per_char) @ weights
-    chars = charset[vals]
-    return np.array([''.join(row) for row in chars], dtype=f'<U{length}')
+    # fully vectorized code -> string: per-character LUT into an ASCII byte
+    # matrix viewed as fixed-width bytes, then a C-level bytes->str cast
+    lut = np.frombuffer(CHARSETS[base].encode('ascii'), dtype=np.uint8)
+    mask = np.uint64(base - 1)
+    ascii_mat = np.empty((n, length), dtype=np.uint8)
+    for c in range(length):
+        shift = np.uint64((length - 1 - c) * bits_per_char)
+        ascii_mat[:, c] = lut[((code >> shift) & mask).astype(np.int64)]
+    return ascii_mat.reshape(-1).view(f'S{length}').astype(f'U{length}')
 
 
 def encode_scalar(lon: float, lat: float, length: int, base: int) -> str:

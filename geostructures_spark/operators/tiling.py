@@ -61,10 +61,15 @@ def shape_row_to_kernel(row: Dict) -> Dict:
 
 def with_cell(df: DataFrame, length: int = 8, base: int = 16,
               lon: str = 'lon', lat: str = 'lat',
-              cell_col: str = 'cell') -> DataFrame:
-    """Assign the Niemeyer cell (reference geohash.py:129-183) — the tiling
-    and partition key."""
-    enc = niemeyer_encode_udf(length, base)
+              cell_col: str = 'cell', scheme: str = 'niemeyer',
+              resolution: int = 9) -> DataFrame:
+    """Assign the tiling/partition cell key: Niemeyer (reference
+    geohash.py:129-183) or H3 (from-scratch kernel, geohash.py:420-444)."""
+    if scheme == 'h3':
+        from geostructures_spark.functions.geo import h3_encode_udf
+        enc = h3_encode_udf(resolution)
+    else:
+        enc = niemeyer_encode_udf(length, base)
     return df.withColumn(cell_col, enc(F.col(lon), F.col(lat)))
 
 
@@ -80,11 +85,14 @@ def with_salted_cell(df: DataFrame, shards: int = 8,
                     (F.pmod(F.xxhash64('url'), F.lit(shards))).cast('string')))
 
 
-def cover_shapes(shapes: DataFrame, length: int = 8, base: int = 16) -> DataFrame:
-    """shapes -> (shape_id, cell) cover rows (NiemeyerHasher.hash_shape,
-    geohash.py:746-764). Runs per-shape BFS in applyInPandas, partitioned by
-    shape_id; output feeds the broadcast side of the spatial join."""
+def cover_shapes(shapes: DataFrame, length: int = 8, base: int = 16,
+                 scheme: str = 'niemeyer', resolution: int = 9) -> DataFrame:
+    """shapes -> (shape_id, cell) cover rows (hash_shape semantics:
+    NiemeyerHasher geohash.py:746-764 / H3Hasher geohash.py:512-542). Runs
+    per-shape covering in applyInPandas, partitioned by shape_id; output
+    feeds the broadcast side of the spatial join."""
     from geostructures_spark.kernels import tiling_niemeyer as tn
+    from geostructures_spark.kernels import h3_cover as hc
 
     cols = ['shape_id', 'kind', 'params', 'rings']
 
@@ -92,7 +100,9 @@ def cover_shapes(shapes: DataFrame, length: int = 8, base: int = 16) -> DataFram
         out_ids, out_cells = [], []
         for _, row in pdf.iterrows():
             shape = shape_row_to_kernel(row.to_dict())
-            for cell in tn.cover_shape(shape, length, base):
+            cells = (hc.cover_shape_h3(shape, resolution) if scheme == 'h3'
+                     else tn.cover_shape(shape, length, base))
+            for cell in cells:
                 out_ids.append(row['shape_id'])
                 out_cells.append(cell)
         return pd.DataFrame({'shape_id': out_ids, 'cell': out_cells})

@@ -1,0 +1,107 @@
+"""Golden-parity tests for the from-scratch H3 kernel.
+
+Expected values are the h3 C library's answers as baked into the reference
+test suite (/root/reference/tests/test_geohash.py) — the parity anchor for
+tile assignments (BASELINE.json)."""
+
+import numpy as np
+
+from geostructures_spark.kernels import h3_core as H
+from geostructures_spark.kernels import h3_cover as HC
+from geostructures_spark.kernels import shapes as shp
+
+
+def test_latlng_to_cell_goldens():
+    # tests/test_geohash.py:48-57 and :100-103
+    assert H.latlng_to_cell_scalar(0.0, 0.0, 8) == '88754e6499fffff'
+    assert H.latlng_to_cell_scalar(1.0, 1.0, 8) == '887541ad5bfffff'
+    # the h3_to_geopolygon golden cell is at res 7 over London (:292-313)
+    assert H.latlng_to_cell_scalar(51.51, -0.14, 7) == '87195da49ffffff'
+
+
+def test_get_resolution():
+    assert H.get_resolution(H.str_to_h3('88754e6499fffff')) == 8
+    assert H.get_resolution(H.str_to_h3('89754a9325bffff')) == 9
+
+
+def test_cell_to_boundary_london_golden():
+    # tests/test_geohash.py:292-313: assert_shape_equivalence precision=5
+    expected = {(-0.14556, 51.52194), (-0.1602, 51.51508), (-0.15716, 51.50285),
+                (-0.13948, 51.49748), (-0.12484, 51.50435), (-0.12788, 51.51658)}
+    bnd = H.cell_to_boundary('87195da49ffffff')
+    got = {(round(lng, 5), round(lat, 5)) for lat, lng in bnd}
+    assert got == expected
+
+
+def test_circle_polyfill_goldens():
+    # tests/test_geohash.py:60-83
+    circle = shp.make_shape('circle', {'center_lon': 0.0, 'center_lat': 0.0,
+                                       'radius': 500.0})
+    assert HC.cover_shape_h3(circle, 9) == {
+        '89754a9325bffff', '89754e64983ffff', '89754e64993ffff',
+        '89754e64997ffff', '89754e6499bffff', '89754e64d23ffff',
+        '89754e64d27ffff', '89754e64d2bffff', '89754e64d2fffff',
+        '89754e64d67ffff'}
+    assert HC.cover_shape_h3(circle, 8) == {'88754e6499fffff', '88754e64d3fffff'}
+
+
+def test_linestring_cover_golden():
+    # tests/test_geohash.py:90-99
+    ls = shp.make_shape('linestring',
+                        rings=[np.array([[0.0, 0.0], [0.01, 0.01], [0.02, 0.0]])])
+    assert HC.cover_shape_h3(ls, 8) == {
+        '88754a9363fffff', '88754a9367fffff', '88754e6499fffff',
+        '88754e64d3fffff', '88754e64dbfffff'}
+
+
+def test_point_and_multipoint():
+    pt = shp.make_shape('point', {'center_lon': 0.0, 'center_lat': 0.0})
+    assert HC.cover_shape_h3(pt, 8) == {'88754e6499fffff'}
+    multi = shp.make_shape('multipoint', children=[
+        shp.make_shape('point', {'center_lon': 0.0, 'center_lat': 0.0}),
+        shp.make_shape('point', {'center_lon': 1.0, 'center_lat': 1.0})])
+    assert HC.cover_shape_h3(multi, 8) == {'88754e6499fffff', '887541ad5bfffff'}
+
+
+def test_collection_map_golden():
+    # tests/test_geohash.py:109-133: 600m + 300m circles at res 9
+    c600 = shp.make_shape('circle', {'center_lon': 0.0, 'center_lat': 0.0, 'radius': 600.0})
+    c300 = shp.make_shape('circle', {'center_lon': 0.0, 'center_lat': 0.0, 'radius': 300.0})
+    counts = {}
+    for s in (c600, c300):
+        for cell in HC.cover_shape_h3(s, 9):
+            counts[cell] = counts.get(cell, 0) + 1
+    assert counts == {
+        '89754e64d2fffff': 2, '89754e64d2bffff': 1, '89754e64983ffff': 1,
+        '89754e64987ffff': 1, '89754e64993ffff': 2, '89754e64997ffff': 2,
+        '89754e64d27ffff': 1, '89754e64d67ffff': 1, '89754a9324bffff': 1,
+        '89754e64d23ffff': 1, '89754a9325bffff': 1, '89754e6499bffff': 1}
+
+
+def test_roundtrip_global_fuzz():
+    rng = np.random.RandomState(7)
+    lats = rng.uniform(-89.9, 89.9, 500)
+    lngs = rng.uniform(-180, 180, 500)
+    for res in (1, 4, 8, 9):
+        cells = H.latlng_to_cell(lats, lngs, res)
+        for idx in range(0, 500, 11):
+            s = H.h3_to_str(int(cells[idx]))
+            clat, clng = H.cell_to_latlng(int(cells[idx]))
+            assert H.latlng_to_cell_scalar(clat, clng, res) == s
+
+
+def test_neighbors():
+    nb = H.neighbors_geometric('88754e6499fffff')
+    assert len(nb) == 6
+    assert len(set(nb)) == 6
+    # neighbor relation is symmetric
+    for c in nb:
+        assert '88754e6499fffff' in H.neighbors_geometric(c)
+
+
+def test_pentagon_has_five_neighbors():
+    # a res-1 pentagon cell: all-zero digits under pentagon base cell 4
+    pent = H._assemble_index(1, 4, [0], T_face := 0, 0)
+    assert H.is_pentagon(pent)
+    nb = H.neighbors_geometric(pent)
+    assert len(nb) == 5
