@@ -4,22 +4,23 @@ Reimplements the covering semantics the reference gets from the h3 C
 library (geohash.py:347-418):
 
 - ``polygon_to_cells``: centroid-containment polyfill — the set of cells
-  whose *center* falls inside the outline (and outside any hole). Candidate
-  cells come from a BFS seeded at the outline vertices, densified outline
-  samples, and the centroid, expanding while centers stay within the
-  bbox padded by two cell radii.
+  whose *center* falls inside the outline (and outside any hole).
 - ``linestring_cells``: the reference's buffered-path filter
-  (geohash.py:374-418): per segment, candidate cells = grid-path cells +
-  their 1-ring, kept iff one of the cell's boundary edges intersects the
-  segment (exact find_line_intersection semantics, _geometry.py:346-428).
-  The grid path is generated by sub-cell-spaced sampling along the segment
-  — a superset-equivalent of h3's planar lerp for candidate purposes (the
-  intersection filter makes the final set identical).
+  (geohash.py:374-418): per segment, candidate cells = path cells + their
+  1-ring, kept iff one of the cell's boundary edges intersects the segment
+  (exact find_line_intersection semantics, _geometry.py:346-428).
+
+Batched design: BFS levels expand the whole frontier at once — 12 probe
+points around each frontier cell's center (vectorized latlng_to_cell over
+the full probe matrix) discover neighbors without per-cell boundary
+computation; the region test and the final membership predicate are
+vectorized over all candidates. Cell centers are memoized per call.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Set
+import math
+from typing import Dict, List, Set, Tuple
 
 import numpy as np
 
@@ -37,6 +38,9 @@ _HEX_RADIUS_KM = [1281.256, 483.057, 182.513, 68.979, 26.072, 9.854, 3.725,
                   1.406, 0.531, 0.201, 0.076, 0.0287, 0.0108, 0.0041,
                   0.0015, 0.00058]
 
+# probe pattern: 12 azimuths x 1 distance (~center-to-neighbor-center)
+_PROBE_AZ = np.radians(np.arange(0, 360, 30, dtype=np.float64))
+
 
 def cell_to_ring_lonlat(cell: str) -> np.ndarray:
     """Cell boundary as a self-closing (n, 2) [lon, lat] ring."""
@@ -45,31 +49,46 @@ def cell_to_ring_lonlat(cell: str) -> np.ndarray:
     return np.vstack([ring, ring[:1]])
 
 
-def _centers_in_polygon(cells: List[str], rings: List[np.ndarray]) -> np.ndarray:
-    lons = np.empty(len(cells))
-    lats = np.empty(len(cells))
-    for i, c in enumerate(cells):
-        la, ln = H.cell_to_latlng(c)
-        lons[i], lats[i] = ln, la
-    outline = rings[0]
-    inside = geom.points_in_polygon(lons, lats, outline)
-    for hole in rings[1:]:
-        if inside.any():
-            in_hole = geom.points_in_polygon(lons, lats, np.asarray(hole))
-            inside &= ~in_hole
-    return inside
+class _CellIndex:
+    """Memoized cell centers + batched BFS expansion for one resolution."""
+
+    def __init__(self, res: int):
+        self.res = res
+        self.centers: Dict[str, Tuple[float, float]] = {}  # cell -> (lat, lng)
+        # neighbor-center distance ~ sqrt(3) * inradius ~ 1.5 * circumradius
+        self.probe_rad = math.radians(_HEX_RADIUS_KM[res] / 111.0) * 1.5
+
+    def center(self, cell: str) -> Tuple[float, float]:
+        c = self.centers.get(cell)
+        if c is None:
+            c = H.cell_to_latlng(cell)
+            self.centers[cell] = c
+        return c
+
+    def expand(self, frontier: List[str]) -> Set[str]:
+        """All cells touched by the 12-probe ring around each frontier
+        cell's center (one vectorized latlng_to_cell call)."""
+        if not frontier:
+            return set()
+        lats = np.empty(len(frontier))
+        lngs = np.empty(len(frontier))
+        for i, c in enumerate(frontier):
+            lats[i], lngs[i] = self.center(c)
+        rl = np.radians(lats)[:, None]
+        rg = np.radians(lngs)[:, None]
+        d = self.probe_rad
+        plat = np.arcsin(np.clip(
+            np.sin(rl) * math.cos(d) +
+            np.cos(rl) * math.sin(d) * np.cos(_PROBE_AZ)[None, :], -1, 1))
+        plng = rg + np.arctan2(
+            np.sin(_PROBE_AZ)[None, :] * math.sin(d) * np.cos(rl),
+            math.cos(d) - np.sin(rl) * np.sin(plat))
+        cells = H.latlng_to_cell(np.degrees(plat).ravel(),
+                                 np.degrees(plng).ravel(), self.res)
+        return {H.h3_to_str(int(c)) for c in cells}
 
 
-def polygon_to_cells(rings: List[np.ndarray], res: int) -> Set[str]:
-    """Centroid-containment polyfill of [outline, *holes] rings."""
-    outline = np.asarray(rings[0], dtype=np.float64)
-    min_lon, min_lat, max_lon, max_lat = geom.ring_bounds(outline)
-    # pad the bbox by ~2 cell radii (degrees)
-    pad = 2.2 * _HEX_RADIUS_KM[res] / 111.0
-    b0, b1 = min_lon - pad, max_lon + pad
-    b2, b3 = min_lat - pad, max_lat + pad
-
-    # seeds: outline vertices + densified edge samples + centroid
+def _seed_cells(outline: np.ndarray, res: int, extra_lon=None, extra_lat=None) -> Set[str]:
     seeds_lon = [outline[:, 0]]
     seeds_lat = [outline[:, 1]]
     step_km = _HEX_RADIUS_KM[res] * 0.8
@@ -80,62 +99,71 @@ def polygon_to_cells(rings: List[np.ndarray], res: int) -> Set[str]:
             t = np.linspace(0, 1, k + 1)
             seeds_lon.append(a[0] + (b[0] - a[0]) * t)
             seeds_lat.append(a[1] + (b[1] - a[1]) * t)
-    cx, cy = geom.polygon_centroid(outline)
-    seeds_lon.append(np.array([cx]))
-    seeds_lat.append(np.array([cy]))
+    if extra_lon is not None:
+        seeds_lon.append(np.atleast_1d(extra_lon))
+        seeds_lat.append(np.atleast_1d(extra_lat))
     slon = np.concatenate(seeds_lon)
     slat = np.concatenate(seeds_lat)
-    seed_cells = {H.h3_to_str(int(c))
-                  for c in H.latlng_to_cell(slat, slon, res)}
+    return {H.h3_to_str(int(c)) for c in H.latlng_to_cell(slat, slon, res)}
 
-    # BFS over the padded bbox
-    checked: Set[str] = set(seed_cells)
-    frontier = list(seed_cells)
+
+def polygon_to_cells(rings: List[np.ndarray], res: int) -> Set[str]:
+    """Centroid-containment polyfill of [outline, *holes] rings."""
+    outline = np.asarray(rings[0], dtype=np.float64)
+    min_lon, min_lat, max_lon, max_lat = geom.ring_bounds(outline)
+    pad = 2.2 * _HEX_RADIUS_KM[res] / 111.0
+    b0, b1 = min_lon - pad, max_lon + pad
+    b2, b3 = min_lat - pad, max_lat + pad
+
+    cx, cy = geom.polygon_centroid(outline)
+    idx = _CellIndex(res)
+    checked: Set[str] = _seed_cells(outline, res, cx, cy)
+    frontier = list(checked)
     while frontier:
-        nxt = []
-        for cell in frontier:
-            for nb in H.neighbors_geometric(cell):
-                if nb in checked:
-                    continue
-                checked.add(nb)
-                la, ln = H.cell_to_latlng(nb)
-                if b0 <= ln <= b1 and b2 <= la <= b3:
-                    nxt.append(nb)
-        frontier = nxt
+        new = idx.expand(frontier) - checked
+        checked |= new
+        frontier = []
+        for cell in new:
+            la, ln = idx.center(cell)
+            if b0 <= ln <= b1 and b2 <= la <= b3:
+                frontier.append(cell)
 
     cells = sorted(checked)
-    np_rings = [np.asarray(r, dtype=np.float64) for r in rings]
-    inside = _centers_in_polygon(cells, np_rings)
+    lons = np.array([idx.center(c)[1] for c in cells])
+    lats = np.array([idx.center(c)[0] for c in cells])
+    inside = geom.points_in_polygon(lons, lats, outline)
+    for hole in rings[1:]:
+        if inside.any():
+            inside &= ~geom.points_in_polygon(lons, lats, np.asarray(hole))
     return {c for c, ok in zip(cells, inside) if ok}
 
 
 def linestring_cells(vertices: np.ndarray, res: int) -> Set[str]:
-    """The reference's _hash_linestring (geohash.py:374-418)."""
+    """The reference's _hash_linestring (geohash.py:374-418): per segment,
+    path cells + 1-ring buffer, filtered by boundary-edge intersection with
+    the segment (vectorized intersect_matrix, same arithmetic as
+    find_line_intersection)."""
     vertices = np.asarray(vertices, dtype=np.float64)
+    idx = _CellIndex(res)
     out: Set[str] = set()
     step_km = _HEX_RADIUS_KM[res] * 0.7
     for a, b in zip(vertices[:-1], vertices[1:]):
-        # path cells: sub-cell-spaced samples along the segment
         d_km = float(haversine_distance(a[0], a[1], b[0], b[1])) / 1000.0
         k = max(int(d_km / step_km) + 1, 1)
         t = np.linspace(0, 1, k + 1)
         slon = a[0] + (b[0] - a[0]) * t
         slat = a[1] + (b[1] - a[1]) * t
         path = {H.h3_to_str(int(c)) for c in H.latlng_to_cell(slat, slon, res)}
+        cand = sorted(path | idx.expand(sorted(path)))
 
-        cand = set(path)
-        for cell in path:
-            cand.update(H.neighbors_geometric(cell))
-
-        seg = ((float(a[0]), float(a[1])), (float(b[0]), float(b[1])))
+        seg = np.array([[a[0], a[1], b[0], b[1]]])
         for cell in cand:
+            if cell in out:
+                continue
             ring = cell_to_ring_lonlat(cell)
-            for e0, e1 in zip(ring[:-1], ring[1:]):
-                if geom.find_line_intersection(
-                        seg, ((float(e0[0]), float(e0[1])),
-                              (float(e1[0]), float(e1[1])))) is not None:
-                    out.add(cell)
-                    break
+            edges = np.hstack([ring[:-1], ring[1:]])
+            if geom.intersect_matrix(seg, edges).any():
+                out.add(cell)
     return out
 
 

@@ -18,6 +18,8 @@ Two physical strategies:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -60,7 +62,6 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
     ring) to the data density, or verify counts vs knn_join_exact at sample
     scale.
     """
-    import pandas as pd
     from geostructures_spark.kernels import niemeyer as nie
 
     from geostructures_spark.operators.tiling import with_cell

@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 
 from geostructures_spark.functions.geo import niemeyer_encode_udf
 
+DEFAULT_COVER_PARTITIONS = 64
+
 __all__ = [
     'with_cell', 'with_salted_cell', 'cover_shapes', 'hash_coordinates_agg',
     'hash_collection_agg', 'shape_row_to_kernel', 'SHAPES_SCHEMA_DDL',
@@ -96,20 +98,25 @@ def cover_shapes(shapes: DataFrame, length: int = 8, base: int = 16,
 
     cols = ['shape_id', 'kind', 'params', 'rings']
 
-    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        out_ids, out_cells = [], []
-        for _, row in pdf.iterrows():
-            shape = shape_row_to_kernel(row.to_dict())
-            cells = (hc.cover_shape_h3(shape, resolution) if scheme == 'h3'
-                     else tn.cover_shape(shape, length, base))
-            for cell in cells:
-                out_ids.append(row['shape_id'])
-                out_cells.append(cell)
-        return pd.DataFrame({'shape_id': out_ids, 'cell': out_cells})
+    def per_batch(batches):
+        for pdf in batches:
+            out_ids, out_cells = [], []
+            for _, row in pdf.iterrows():
+                shape = shape_row_to_kernel(row.to_dict())
+                cells = (hc.cover_shape_h3(shape, resolution) if scheme == 'h3'
+                         else tn.cover_shape(shape, length, base))
+                for cell in cells:
+                    out_ids.append(row['shape_id'])
+                    out_cells.append(cell)
+            yield pd.DataFrame({'shape_id': out_ids, 'cell': out_cells})
 
+    # explicit repartition: per-shape covering is CPU-bound Python; an
+    # AQE-coalesced tiny shuffle would serialize it onto one task. A
+    # user-specified repartition count is never coalesced.
+    n_parts = max(32, DEFAULT_COVER_PARTITIONS)
     return (shapes.select(*cols)
-            .groupBy('shape_id')
-            .applyInPandas(per_group, schema='shape_id long, cell string'))
+            .repartition(n_parts, 'shape_id')
+            .mapInPandas(per_batch, schema='shape_id long, cell string'))
 
 
 def hash_coordinates_agg(points_with_cell: DataFrame,

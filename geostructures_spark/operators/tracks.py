@@ -49,8 +49,10 @@ def with_track_diffs(tracks: DataFrame, entity_col: str = 'entity',
     dist = haversine_expr(prev_lon, prev_lat, F.col(lon_col), F.col(lat_col))
     dt_sec = (F.unix_timestamp(F.col(time_col)) - F.unix_timestamp(prev_t)).cast('double')
     # IEEE division semantics under ANSI mode: 0/0 -> NaN, x/0 -> inf
-    # (mirrors the reference's NumPy array division, collections.py:841-849)
-    speed = (F.when(dt_sec != 0, dist / dt_sec)
+    # (mirrors the reference's NumPy array division, collections.py:841-849);
+    # first ping per entity stays NULL (lag is NULL)
+    speed = (F.when(dt_sec.isNull() | dist.isNull(), F.lit(None).cast('double'))
+             .when(dt_sec != 0, dist / dt_sec)
              .when(dist == 0, F.lit(float('nan')))
              .otherwise(F.lit(float('inf'))))
     return (tracks

@@ -45,6 +45,15 @@ def get_session(app: str = 'geostructures_spark',
         .config('spark.driver.memory', os.environ.get('SPARK_GRAFT_DRIVER_MEM', '48g'))
         .config('spark.ui.enabled', 'false')
     )
+    # shuffle/spill dirs on tmpfs when available: this sandbox's disk writes
+    # ~140 MB/s, which would serialize every shuffle; a real deployment
+    # configures executor local dirs on NVMe the same way
+    shm = os.environ.get('SPARK_GRAFT_LOCAL_DIR', '/dev/shm/spark-local')
+    try:
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config('spark.local.dir', shm)
+    except OSError:
+        pass
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

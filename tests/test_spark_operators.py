@@ -1,0 +1,196 @@
+"""Spark-side operator parity tests: the reference's golden test cases
+(tests/test_collections.py, BASELINE.json invariants) replayed through the
+distributed operators on a shared local session.
+"""
+
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from geostructures_spark.plans.session import get_session
+
+
+@pytest.fixture(scope='module')
+def spark():
+    s = get_session(app='tests', cores=4, shuffle_partitions=8)
+    yield s
+
+
+def _pings(spark, rows):
+    return spark.createDataFrame(
+        [(e, datetime(*t), lon, lat) for e, t, lon, lat in rows],
+        'entity string, dt_start timestamp, lon double, lat double')
+
+
+def test_track_speed_diffs_golden(spark):
+    # tests/test_collections.py:916-932
+    rows = [('a', (2020, 1, 1), 1.0, 1.0), ('a', (2020, 1, 2), 2.0, 2.0),
+            ('a', (2020, 1, 3), 3.0, 3.0)]
+    from geostructures_spark.operators.tracks import with_track_diffs
+    out = (with_track_diffs(_pings(spark, rows))
+           .filter(F.col('speed_mps').isNotNull())
+           .orderBy('dt_start').select('speed_mps').collect())
+    got = np.round([r.speed_mps for r in out], 5)
+    assert list(got) == list(np.round([1.8197388, 1.81918463], 5))
+
+
+def test_track_distances_golden(spark):
+    # tests/test_collections.py:936-961: consecutive distances 157.241 m
+    rows = [('a', (2020, 1, 1, h), h * 0.001, 1.0 + h * 0.001) for h in range(8)]
+    from geostructures_spark.operators.tracks import with_track_diffs
+    out = (with_track_diffs(_pings(spark, rows))
+           .filter(F.col('dist_m').isNotNull()).select('dist_m').collect())
+    got = np.round([r.dist_m for r in out], 3)
+    assert list(got) == [157.241] * 7
+
+
+def test_impossible_journeys_golden(spark):
+    # tests/test_collections.py:1067-1083
+    rows = [
+        ('a', (2020, 1, 1), 0.0, 0.0),
+        ('a', (2020, 1, 1, 0, 1), 0.0001, 0.0001),
+        ('a', (2020, 1, 1, 0, 2), 1.0, 1.0),        # impossible
+        ('a', (2020, 1, 1, 0, 3), 1.0, 1.0),        # impossible
+        ('a', (2020, 1, 1, 0, 4), 0.0002, 0.0002),
+        ('a', (2020, 1, 1, 0, 5), 0.0002, 0.0002),  # zero movement
+        ('a', (2020, 1, 1, 0, 5), 0.0003, 0.0003),  # zero timediff: dropped
+    ]
+    from geostructures_spark.operators.tracks import filter_impossible_journeys
+    kept = (filter_impossible_journeys(_pings(spark, rows), max_speed_mps=5.0)
+            .orderBy('dt_start').collect())
+    got = [(r.dt_start.minute, r.lon) for r in kept]
+    assert got == [(0, 0.0), (1, 0.0001), (4, 0.0002), (5, 0.0002)]
+
+
+def test_track_slicing_golden(spark):
+    # tests/test_collections.py:819-835: [t0, t1) slicing
+    rows = [('a', (2020, 1, d), 1.0, 1.0) for d in (1, 2, 3)]
+    df = _pings(spark, rows).withColumn('dt_end', F.col('dt_start'))
+    from geostructures_spark.operators.tracks import slice_track
+    got = slice_track(df, datetime(2020, 1, 2), datetime(2020, 1, 3)).collect()
+    assert len(got) == 1 and got[0].dt_start.day == 2
+
+
+def test_pages_extraction_byte_identical(spark):
+    # north rule: byte-identical extracted text per url
+    from geostructures_spark.operators.miner import extract_text_expr
+    from geostructures_spark.sources.pages import pages_df
+    pages = pages_df(spark, 300, seed=42)
+    assert pages.filter(extract_text_expr(F.col('html')) != F.col('text')).count() == 0
+    # mining from html equals mining from text
+    from geostructures_spark.operators.miner import mine_points
+    a = mine_points(pages).orderBy('url', 'point_idx').collect()
+    b = mine_points(pages, from_html=True).orderBy('url', 'point_idx').collect()
+    assert a == b
+    assert len(a) > 100
+
+
+def test_spatial_join_matches_brute_force(spark):
+    # cell-join + exact kernel == brute-force haversine filter
+    from geostructures_spark.operators.miner import mine_points
+    from geostructures_spark.operators.spatial_join import spatial_join_points
+    from geostructures_spark.functions.geo import haversine_expr
+    from geostructures_spark.sources.pages import pages_df
+
+    pts = mine_points(pages_df(spark, 300, seed=1)).cache()
+    shapes = spark.createDataFrame(
+        [(1, -0.12, 51.5, 80_000.0), (2, 139.7, 35.7, 120_000.0)],
+        'shape_id long, c_lon double, c_lat double, radius double'
+    ).select(
+        'shape_id', F.lit('circle').alias('kind'),
+        F.struct(F.col('c_lon').alias('center_lon'),
+                 F.col('c_lat').alias('center_lat'),
+                 F.col('radius').alias('radius')).alias('params'),
+        F.lit(None).cast('array<array<struct<lon:double,lat:double>>>').alias('rings'),
+        F.lit(None).cast('timestamp').alias('dt_start'),
+        F.lit(None).cast('timestamp').alias('dt_end'))
+
+    joined = spatial_join_points(pts, shapes, length=4, base=16,
+                                 time_gated=False)
+    got = {(r.shape_id, r.url, r.point_idx) for r in joined.collect()}
+
+    brute = set()
+    for sid, clon, clat, rad in [(1, -0.12, 51.5, 80_000.0), (2, 139.7, 35.7, 120_000.0)]:
+        rows = (pts.withColumn('d', haversine_expr(F.col('lon'), F.col('lat'),
+                                                   F.lit(clon), F.lit(clat)))
+                .filter(F.col('d') <= rad).collect())
+        brute |= {(sid, r.url, r.point_idx) for r in rows}
+    assert got == brute
+    assert len(got) > 0
+
+
+def test_salted_spatial_join_same_result(spark):
+    from geostructures_spark.operators.miner import mine_points
+    from geostructures_spark.operators.spatial_join import spatial_join_points
+    from geostructures_spark.sources.pages import pages_df
+    pts = mine_points(pages_df(spark, 200, seed=2))
+    shapes = spark.createDataFrame(
+        [(7, -74.0, 40.7, 150_000.0)],
+        'shape_id long, c_lon double, c_lat double, radius double'
+    ).select(
+        'shape_id', F.lit('circle').alias('kind'),
+        F.struct(F.col('c_lon').alias('center_lon'),
+                 F.col('c_lat').alias('center_lat'),
+                 F.col('radius').alias('radius')).alias('params'),
+        F.lit(None).cast('array<array<struct<lon:double,lat:double>>>').alias('rings'),
+        F.lit(None).cast('timestamp').alias('dt_start'),
+        F.lit(None).cast('timestamp').alias('dt_end'))
+    plain = {(r.shape_id, r.url, r.point_idx) for r in
+             spatial_join_points(pts, shapes, length=4, time_gated=False).collect()}
+    salted = {(r.shape_id, r.url, r.point_idx) for r in
+              spatial_join_points(pts, shapes, length=4, time_gated=False,
+                                  salt_shards=4).collect()}
+    assert plain == salted
+
+
+def test_time_gated_join(spark):
+    # untimed shapes match all; timed shapes gate by right-open interval
+    from geostructures_spark.operators.spatial_join import spatial_join_points
+    pts = spark.createDataFrame(
+        [('u1', datetime(2020, 1, 1, 12), 0, 0.0, 51.5, 'decimal'),
+         ('u2', datetime(2020, 6, 1, 12), 0, 0.0, 51.5, 'decimal')],
+        'url string, warc_ts timestamp, point_idx int, lon double, lat double, fmt string')
+    shapes = spark.createDataFrame(
+        [(1, datetime(2020, 1, 1), datetime(2020, 2, 1))],
+        'shape_id long, dt_start timestamp, dt_end timestamp'
+    ).select(
+        'shape_id', F.lit('circle').alias('kind'),
+        F.struct(F.lit(0.0).alias('center_lon'), F.lit(51.5).alias('center_lat'),
+                 F.lit(10_000.0).alias('radius')).alias('params'),
+        F.lit(None).cast('array<array<struct<lon:double,lat:double>>>').alias('rings'),
+        'dt_start', 'dt_end')
+    got = spatial_join_points(pts, shapes, length=4, time_gated=True).collect()
+    assert [r.url for r in got] == ['u1']
+
+
+def test_knn_cell_pruned_matches_exact(spark):
+    from geostructures_spark.operators.knn import knn_join, knn_join_exact
+    from geostructures_spark.operators.miner import mine_points
+    from geostructures_spark.sources.pages import pages_df
+    pts = mine_points(pages_df(spark, 300, seed=3)).cache()
+    q = spark.createDataFrame([(1, -0.12, 51.5), (2, 139.7, 35.7)],
+                              'query_id long, q_lon double, q_lat double')
+    exact = {(r.query_id, r.rank, r.neighbor_key) for r in
+             knn_join_exact(pts, q, k=3).collect()}
+    pruned = {(r.query_id, r.rank, r.neighbor_key) for r in
+              knn_join(pts, q, k=3, length=2, base=16, ring=1).collect()}
+    # hot-cluster queries: ring-1 candidates at length 2 cover the true k
+    assert exact == pruned
+
+
+def test_streaming_matches_batch(spark):
+    import os
+    from geostructures_spark.streaming.events import (
+        run_stream_to_memory, windowed_event_agg)
+    sf = '/root/testdata/sf0.001'
+    batch = spark.read.parquet(os.path.join(sf, 'events.parquet')) \
+        .withColumn('ts', F.col('ts').cast('timestamp'))
+    b = {(r.window_start, r.event_type, r.n_events) for r in
+         windowed_event_agg(batch).collect()}
+    s = {(r.window_start, r.event_type, r.n_events) for r in
+         run_stream_to_memory(spark, os.path.join(sf, 'events.parquet'),
+                              query_name='t_stream').collect()}
+    assert b == s and len(b) > 10
