@@ -756,6 +756,271 @@ def _q_h3_cover_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def _q_wkt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT interchange: construct POINT WKT strings from derived points,
+    parse them through the engine's WKT parser (reference grammar,
+    _base.py:30-75), and recover the coordinates."""
+    from geostructures_spark.operators.interchange import parse_wkt_df
+    _load(spark, sf_dir, 'customer')
+    pts = spark.sql(_pts_customer_sql())
+    wkt = pts.select('pid', F.concat(F.lit('POINT ('),
+                                     F.col('lon').cast('string'), F.lit(' '),
+                                     F.col('lat').cast('string'), F.lit(')')).alias('wkt'))
+    parsed = parse_wkt_df(wkt)
+    return (parsed.select(F.col('pid').cast('long').alias('pid'),
+                          F.element_at(F.element_at('rings', 1), 1).getField('lon').alias('lon'),
+                          F.element_at(F.element_at('rings', 1), 1).getField('lat').alias('lat'))
+            .orderBy('pid'))
+
+
+def _q_geojson_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON interchange: Feature strings -> parsed kind + coordinates +
+    properties (reference parsers.py:121-171)."""
+    from geostructures_spark.operators.interchange import parse_geojson_df
+    _load(spark, sf_dir, 'customer')
+    pts = spark.sql(_pts_customer_sql())
+    gj = pts.select('pid', F.concat(
+        F.lit('{"type":"Feature","geometry":{"type":"Point","coordinates":['),
+        F.col('lon').cast('string'), F.lit(','), F.col('lat').cast('string'),
+        F.lit(']},"properties":{"seg":"'), F.col('seg'), F.lit('"}}')).alias('geojson'))
+    parsed = parse_geojson_df(gj)
+    return (parsed.select(F.col('pid').cast('long').alias('pid'),
+                          F.col('kind'),
+                          F.element_at(F.element_at('rings', 1), 1).getField('lon').alias('lon'),
+                          F.element_at(F.element_at('rings', 1), 1).getField('lat').alias('lat'),
+                          F.col('properties').getItem('seg').alias('seg'))
+            .orderBy('pid'))
+
+
+_WKT_PARSE_DUCK = f"""
+  WITH pts AS ({_pts_customer_sql()})
+  SELECT CAST(pid AS BIGINT) AS pid, lon, lat FROM pts ORDER BY pid
+"""
+
+_GEOJSON_PARSE_DUCK = f"""
+  WITH pts AS ({_pts_customer_sql()})
+  SELECT CAST(pid AS BIGINT) AS pid, 'point' AS kind, lon, lat, seg
+  FROM pts ORDER BY pid
+"""
+
+
+def _shapes_from_keys(spark, sql, radius_expr):
+    df = spark.sql(sql)
+    return df.select(
+        F.col(df.columns[0]).cast('long').alias('shape_id'),
+        F.lit('circle').alias('kind'),
+        F.struct(F.col(df.columns[-2]).alias('center_lon'),
+                 F.col(df.columns[-1]).alias('center_lat'),
+                 F.expr(radius_expr).alias('radius')).alias('params'),
+        F.lit(None).cast('array<array<struct<lon:double,lat:double>>>').alias('rings'),
+        F.lit(None).cast('timestamp').alias('dt_start'),
+        F.lit(None).cast('timestamp').alias('dt_end'),
+        F.lit(None).cast('map<string,string>').alias('properties'))
+
+
+def _q_shape_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape-vs-shape intersects join (filter_by_intersection semantics,
+    collections.py:119-131): nation-derived circles x region-derived
+    circles via cover-cell candidates + exact shape kernels."""
+    from geostructures_spark.operators.shape_join import shape_join
+    _load(spark, sf_dir, 'nation', 'region')
+    a = _shapes_from_keys(spark, """
+      SELECT n_nationkey AS sid,
+             ((n_nationkey * 7919) % 360000) / 1000.0e0 - 180.0e0 + 0.000123e0 AS lon,
+             ((n_nationkey * 104729) % 170000) / 1000.0e0 - 85.0e0 + 0.000321e0 AS lat
+      FROM nation""", '200000.0 + (shape_id * 13 % 7) * 50000.0')
+    b = _shapes_from_keys(spark, """
+      SELECT r_regionkey AS sid,
+             ((r_regionkey * 104729) % 360000) / 1000.0e0 - 180.0e0 + 0.000123e0 AS lon,
+             ((r_regionkey * 7919) % 170000) / 1000.0e0 - 85.0e0 + 0.000321e0 AS lat
+      FROM region""", '400000.0 + (shape_id * 29 % 5) * 100000.0')
+    pairs = shape_join(a, b, predicate='intersects', length=4, base=16,
+                       time_gated=False)
+    return pairs.select(F.col('a_id').cast('long').alias('a_id'),
+                        F.col('b_id').cast('long').alias('b_id'))                 .orderBy('a_id', 'b_id')
+
+
+def _shape_join_duckdb() -> str:
+    # two discretized circles (36-gon, vertices on the circle) intersect
+    # iff center distance <= r_a + r_b, up to the sub-0.4% discretization
+    # margin; the derived radii/centers keep every pair far from the margin
+    d = _hav('a.lon', 'a.lat', 'b.lon', 'b.lat')
+    return f"""
+      WITH a AS (
+        SELECT n_nationkey AS sid,
+               ((n_nationkey * 7919) % 360000) / 1000.0e0 - 180.0e0 + 0.000123e0 AS lon,
+               ((n_nationkey * 104729) % 170000) / 1000.0e0 - 85.0e0 + 0.000321e0 AS lat,
+               200000.0 + (n_nationkey * 13 % 7) * 50000.0 AS r
+        FROM nation),
+      b AS (
+        SELECT r_regionkey AS sid,
+               ((r_regionkey * 104729) % 360000) / 1000.0e0 - 180.0e0 + 0.000123e0 AS lon,
+               ((r_regionkey * 7919) % 170000) / 1000.0e0 - 85.0e0 + 0.000321e0 AS lat,
+               400000.0 + (r_regionkey * 29 % 5) * 100000.0 AS r
+        FROM region)
+      SELECT CAST(a.sid AS BIGINT) AS a_id, CAST(b.sid AS BIGINT) AS b_id
+      FROM a, b
+      WHERE {d} <= 0.9993908270190958e0 * (a.r + b.r)
+      ORDER BY a_id, b_id
+    """
+
+
+def _q_filter_by_property(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_by_property (collections.py:161-179): a predicate over a
+    properties bag — here events.props JSON 'k' > 50, counted by type."""
+    _load(spark, sf_dir, 'events')
+    return spark.sql("""
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+      WHERE CAST(get_json_object(props, '$.k') AS BIGINT) > 50
+      GROUP BY event_type ORDER BY event_type
+    """)
+
+
+_FILTER_PROP_DUCK = """
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+  GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection convex hull (collections.py:72-92; monotone chain,
+    _geometry.py:40-79) per market segment over derived points; outputs
+    hull vertex count + exact hull bbox. Hull itself is not
+    SQL-expressible; the bbox columns are oracle-checked implicitly via
+    collection_bounds."""
+    import pandas as pd
+    from geostructures_spark.kernels import geometry as geom
+    _load(spark, sf_dir, 'customer')
+    pts = spark.sql(_pts_customer_sql())
+
+    def hull(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        ring = geom.convex_hull(pdf[['lon', 'lat']].to_numpy())
+        return pd.DataFrame({
+            'seg': [pdf['seg'].iloc[0]],
+            'n_hull_vertices': [max(len(ring) - 1, len(ring))],
+            'min_lon': [float(ring[:, 0].min())],
+            'max_lat': [float(ring[:, 1].max())],
+        })
+
+    return (pts.groupBy('seg')
+            .applyInPandas(hull, 'seg string, n_hull_vertices long, '
+                                 'min_lon double, max_lat double')
+            .orderBy('seg'))
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring: deterministic length/stopword/punctuation
+    rules composed to a [0,1] score, counted per score bucket."""
+    from geostructures_spark.operators.textstats import with_quality_score
+    _load(spark, sf_dir, 'documents')
+    d = with_quality_score(spark.table('documents'))
+    return (d.groupBy(F.round('quality_score', 1).alias('score'))
+            .agg(F.count('*').cast('long').alias('n'))
+            .orderBy('score'))
+
+
+_QUALITY_DUCK = """
+  WITH toks AS (
+    SELECT doc_id, text, string_split_regex(trim(text), ' +') AS w,
+           length(text) AS n_chars FROM documents),
+  stats AS (
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           len(list_filter(w, t -> t IN ('the','a','of','and','in')))
+             / greatest(len(w), 1) AS stop_ratio,
+           (n_chars - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+             / greatest(n_chars, 1) AS punct_ratio
+    FROM toks),
+  scored AS (
+    SELECT (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END
+          + CASE WHEN stop_ratio > 0.01 THEN 0.3 ELSE 0.0 END
+          + CASE WHEN punct_ratio < 0.2 THEN 0.3 ELSE 0.0 END) AS q
+    FROM stats)
+  SELECT ROUND(q, 1) AS score, CAST(COUNT(*) AS BIGINT) AS n
+  FROM scored GROUP BY 1 ORDER BY score
+"""
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the lexicographically-min 8-gram
+    (winnowing-style representative), with duplicate-fingerprint counts."""
+    from geostructures_spark.operators.textstats import fingerprint_expr
+    _load(spark, sf_dir, 'documents')
+    d = spark.table('documents').select(
+        F.col('doc_id').cast('long').alias('doc_id'),
+        fingerprint_expr(F.col('text')).alias('fingerprint'))
+    return d.orderBy('doc_id')
+
+
+_FINGERPRINT_DUCK = """
+  WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents),
+  grams AS (
+    SELECT doc_id, CASE WHEN len(w) >= 8
+      THEN list_transform(range(1, len(w) - 6), j -> array_to_string(w[j:j+7], ' '))
+      ELSE [array_to_string(w, ' ')] END AS gs
+    FROM toks)
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         md5(list_aggregate(gs, 'min')) AS fingerprint
+  FROM grams ORDER BY doc_id
+"""
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for the MinHash-LSH candidate pairs (the
+    verify stage of near-dup dedup)."""
+    from geostructures_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    pairs = minhash_lsh_pairs(docs, n_bands=4, shingle_k=5).select('doc_a', 'doc_b')
+    jac = ngram_jaccard_pairs(docs, pairs, n=3)
+    return (jac.select(F.col('doc_a').cast('long').alias('doc_a'),
+                       F.col('doc_b').cast('long').alias('doc_b'),
+                       F.round('jaccard', 6).alias('jaccard'))
+            .orderBy('doc_a', 'doc_b'))
+
+
+_JACCARD_DUCK = """
+  WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents),
+  sh5 AS (
+    SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+      THEN list_transform(range(1, len(w) - 3), j -> array_to_string(w[j:j+4], ' '))
+      ELSE [array_to_string(w, ' ')] END) AS shingle
+    FROM toks),
+  sig AS (
+    SELECT doc_id, band, MIN(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS minhash
+    FROM sh5, (SELECT unnest([0,1,2,3]) AS band) GROUP BY doc_id, band),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+    WHERE a.doc_id < b.doc_id),
+  g3 AS (
+    SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
+      THEN list_transform(range(1, len(w) - 1), j -> array_to_string(w[j:j+2], ' '))
+      ELSE [array_to_string(w, ' ')] END) AS g
+    FROM toks),
+  sizes AS (SELECT doc_id, COUNT(*) AS n FROM g3 GROUP BY doc_id),
+  inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS ni
+    FROM pairs p
+    JOIN g3 ga ON ga.doc_id = p.doc_a
+    JOIN g3 gb ON gb.doc_id = p.doc_b AND gb.g = ga.g
+    GROUP BY p.doc_a, p.doc_b)
+  SELECT CAST(i.doc_a AS BIGINT) AS doc_a, CAST(i.doc_b AS BIGINT) AS doc_b,
+         ROUND(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 6) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  ORDER BY doc_a, doc_b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         'q1_pricing_summary': _q1_pricing_summary,
@@ -781,6 +1046,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'niemeyer_cover_circle': _q_niemeyer_cover_circle,
         'h3_cell_counts': _q_h3_cells,
         'h3_cover_circle': _q_h3_cover_circle,
+        'wkt_parse_roundtrip': _q_wkt_parse,
+        'geojson_parse': _q_geojson_parse,
+        'shape_join_intersects': _q_shape_join,
+        'filter_by_property': _q_filter_by_property,
+        'convex_hull_by_segment': _q_convex_hull,
+        'quality_score_buckets': _q_quality_score,
+        'doc_fingerprints': _q_fingerprint,
+        'ngram_jaccard_pairs': _q_ngram_jaccard,
     }
 
 
@@ -815,4 +1088,12 @@ def oracle_sql() -> dict[str, str]:
         # niemeyer_cover_circle: BFS flood fill — not SQL-expressible
         # h3_cell_counts / h3_cover_circle: no H3 in DuckDB — kernel is
         # golden-verified against the h3 C library values in tests/
+        'wkt_parse_roundtrip': _WKT_PARSE_DUCK,
+        'geojson_parse': _GEOJSON_PARSE_DUCK,
+        'shape_join_intersects': _shape_join_duckdb(),
+        'filter_by_property': _FILTER_PROP_DUCK,
+        # convex_hull_by_segment: monotone chain — not SQL-expressible
+        'quality_score_buckets': _QUALITY_DUCK,
+        'doc_fingerprints': _FINGERPRINT_DUCK,
+        'ngram_jaccard_pairs': _JACCARD_DUCK,
     }

@@ -1,0 +1,280 @@
+"""WKT / GeoJSON interchange operators.
+
+The Spark-side of the reference's parsers/serializers (parsers.py:121-191,
+serializers.py:55-120, per-shape from_wkt/to_wkt): batch UDF parsing of WKT
+and GeoJSON geometry strings into canonical shapes-table rows
+(SURVEY.md §1.3), and the inverse emitters.
+
+The WKT grammar mirrors the reference's regex grammar (_base.py:30-75):
+POINT/LINESTRING/POLYGON and MULTI* with optional Z/M designators and
+scientific-notation numbers; Z/M values are parsed and dropped from the
+geometry (the engine's canonical rows are 2-D, matching the reference's
+geometric operations which ignore Z/M).
+
+KML/KMZ/shapefile connectors are out of scope for the distributed engine
+(file-format connectors; SURVEY.md §2.1) — WKT/GeoJSON are the interchange
+formats.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ['parse_wkt_df', 'to_wkt_df', 'parse_geojson_df', 'to_geojson_df',
+           'wkt_to_shape_row', 'shape_row_to_wkt', 'SHAPE_ROW_SCHEMA']
+
+SHAPE_ROW_SCHEMA = ('kind string, '
+                    'rings array<array<struct<lon:double,lat:double>>>')
+
+_HEAD_RE = re.compile(
+    r'^\s*(MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|POINT|LINESTRING|POLYGON)'
+    r'\s*([ZM]{0,2})\s*\((.*)\)\s*$', re.IGNORECASE | re.DOTALL)
+_RING_RE = re.compile(r'\(([^()]*)\)')
+
+
+def _parse_coords(body: str) -> List[Tuple[float, float]]:
+    """'x y [z [m]], x y ...' -> [(lon, lat), ...] (Z/M parsed + dropped,
+    matching from_wkt semantics for geometric ops)."""
+    out = []
+    for part in body.split(','):
+        nums = part.split()
+        if len(nums) < 2:
+            continue
+        out.append((float(nums[0]), float(nums[1])))
+    return out
+
+
+def wkt_to_shape_row(wkt: str) -> Optional[dict]:
+    """One WKT string -> {'kind', 'rings'} canonical row (None if invalid).
+
+    multishapes explode into ring lists: multipolygon rings are flattened
+    [outline1, holes1..., outline2, ...] with kind retained."""
+    m = _HEAD_RE.match(wkt or '')
+    if not m:
+        return None
+    tag = m.group(1).upper()
+    body = m.group(3)
+
+    if tag == 'POINT':
+        pts = _parse_coords(body)
+        if not pts:
+            return None
+        return {'kind': 'point', 'rings': [[{'lon': pts[0][0], 'lat': pts[0][1]}]]}
+    if tag == 'LINESTRING':
+        pts = _parse_coords(body)
+        return {'kind': 'linestring',
+                'rings': [[{'lon': x, 'lat': y} for x, y in pts]]}
+    if tag == 'POLYGON':
+        rings = [_parse_coords(r) for r in _RING_RE.findall(f'({body})')]
+        rings = [r for r in rings if r]
+        return {'kind': 'polygon',
+                'rings': [[{'lon': x, 'lat': y} for x, y in ring] for ring in rings]}
+    if tag == 'MULTIPOINT':
+        # both '(1 2, 3 4)' and '((1 2), (3 4))' forms
+        inner = _RING_RE.findall(f'({body})')
+        if len(inner) > 1 or (inner and inner[0] != body):
+            pts = [p for r in inner for p in _parse_coords(r)]
+        else:
+            pts = _parse_coords(body)
+        return {'kind': 'multipoint',
+                'rings': [[{'lon': x, 'lat': y}] for x, y in pts]}
+    if tag == 'MULTILINESTRING':
+        rings = [_parse_coords(r) for r in _RING_RE.findall(f'({body})')]
+        return {'kind': 'multilinestring',
+                'rings': [[{'lon': x, 'lat': y} for x, y in r] for r in rings if r]}
+    if tag == 'MULTIPOLYGON':
+        # split top-level ring groups
+        groups = []
+        depth = 0
+        start = None
+        for i, ch in enumerate(body):
+            if ch == '(':
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == ')':
+                depth -= 1
+                if depth == 0:
+                    groups.append(body[start:i + 1])
+        rings = []
+        for g in groups:
+            for r in _RING_RE.findall(g):
+                pts = _parse_coords(r)
+                if pts:
+                    rings.append([{'lon': x, 'lat': y} for x, y in pts])
+        return {'kind': 'multipolygon', 'rings': rings}
+    return None
+
+
+def shape_row_to_wkt(kind: str, rings) -> str:
+    """Canonical row -> WKT (reference to_wkt emitters,
+    structures.py:217-233, _base.py:207-220)."""
+    def xy(c):
+        try:
+            return c['lon'], c['lat']
+        except (KeyError, TypeError, IndexError):
+            return c[0], c[1]
+
+    def ring_str(ring):
+        return '(' + ', '.join('{} {}'.format(*xy(c)) for c in ring) + ')'
+
+    if kind == 'point':
+        lon, lat = xy(rings[0][0])
+        return f'POINT ({lon} {lat})'
+    if kind == 'linestring':
+        return 'LINESTRING ' + ring_str(rings[0])
+    if kind == 'polygon':
+        return 'POLYGON (' + ', '.join(ring_str(r) for r in rings) + ')'
+    if kind == 'multipoint':
+        return 'MULTIPOINT (' + ', '.join(ring_str(r) for r in rings) + ')'
+    if kind == 'multilinestring':
+        return 'MULTILINESTRING (' + ', '.join(ring_str(r) for r in rings) + ')'
+    if kind == 'multipolygon':
+        return 'MULTIPOLYGON (' + ', '.join(f'({ring_str(r)})' for r in rings) + ')'
+    raise ValueError(f'cannot emit WKT for kind: {kind}')
+
+
+def parse_wkt_df(df: DataFrame, wkt_col: str = 'wkt') -> DataFrame:
+    """DataFrame with a WKT string column -> parsed (kind, rings) columns
+    appended (invalid rows get NULL kind). Arrow-batched."""
+    out_schema = ', '.join(f'{f.name} {f.dataType.simpleString()}'
+                           for f in df.schema.fields) + ', ' + SHAPE_ROW_SCHEMA
+
+    cols = [f.name for f in df.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kinds, rings = [], []
+            for w in pdf[wkt_col]:
+                row = wkt_to_shape_row(w)
+                kinds.append(row['kind'] if row else None)
+                rings.append([[ (c['lon'], c['lat']) for c in ring]
+                              for ring in row['rings']] if row else None)
+            pdf = pdf.copy()
+            pdf['kind'] = kinds
+            pdf['rings'] = rings
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def to_wkt_df(shapes: DataFrame, kind_col: str = 'kind',
+              rings_col: str = 'rings', out_col: str = 'wkt') -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [shape_row_to_wkt(k, r)
+                            for k, r in zip(pdf[kind_col], pdf[rings_col])]
+            yield pdf
+
+    out_schema = ', '.join(f'{f.name} {f.dataType.simpleString()}'
+                           for f in shapes.schema.fields) + f', {out_col} string'
+    return shapes.mapInPandas(run, schema=out_schema)
+
+
+# --- GeoJSON ---------------------------------------------------------------
+
+_GJ_KIND = {'Point': 'point', 'LineString': 'linestring', 'Polygon': 'polygon',
+            'MultiPoint': 'multipoint', 'MultiLineString': 'multilinestring',
+            'MultiPolygon': 'multipolygon'}
+_KIND_GJ = {v: k for k, v in _GJ_KIND.items()}
+
+
+def _gj_to_rings(kind: str, coords) -> list:
+    if kind == 'point':
+        return [[{'lon': coords[0], 'lat': coords[1]}]]
+    if kind == 'linestring':
+        return [[{'lon': c[0], 'lat': c[1]} for c in coords]]
+    if kind == 'polygon':
+        return [[{'lon': c[0], 'lat': c[1]} for c in ring] for ring in coords]
+    if kind == 'multipoint':
+        return [[{'lon': c[0], 'lat': c[1]}] for c in coords]
+    if kind == 'multilinestring':
+        return [[{'lon': c[0], 'lat': c[1]} for c in line] for line in coords]
+    if kind == 'multipolygon':
+        return [[{'lon': c[0], 'lat': c[1]} for c in ring]
+                for poly in coords for ring in poly]
+    raise ValueError(kind)
+
+
+def parse_geojson_df(df: DataFrame, geojson_col: str = 'geojson') -> DataFrame:
+    """GeoJSON geometry/Feature strings -> (kind, rings, properties)
+    appended. Dispatch on 'type' (reference parsers.py:121-171)."""
+    out_schema = (', '.join(f'{f.name} {f.dataType.simpleString()}'
+                            for f in df.schema.fields)
+                  + ', ' + SHAPE_ROW_SCHEMA + ', properties map<string,string>')
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kinds, rings, props = [], [], []
+            for s in pdf[geojson_col]:
+                try:
+                    obj = json.loads(s)
+                    if obj.get('type') == 'Feature':
+                        geom = obj['geometry']
+                        prop = {str(k): str(v) for k, v in
+                                (obj.get('properties') or {}).items()}
+                    else:
+                        geom = obj
+                        prop = {}
+                    kind = _GJ_KIND[geom['type']]
+                    rr = _gj_to_rings(kind, geom['coordinates'])
+                    kinds.append(kind)
+                    rings.append([[(c['lon'], c['lat']) for c in ring] for ring in rr])
+                    props.append(prop)
+                except Exception:
+                    kinds.append(None)
+                    rings.append(None)
+                    props.append(None)
+            pdf = pdf.copy()
+            pdf['kind'] = kinds
+            pdf['rings'] = rings
+            pdf['properties'] = props
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def to_geojson_df(shapes: DataFrame, kind_col: str = 'kind',
+                  rings_col: str = 'rings', out_col: str = 'geojson') -> DataFrame:
+    """Canonical rows -> GeoJSON geometry strings (serializers.py:55-120)."""
+    def emit(kind, rings):
+        def xy(c):
+            try:
+                return float(c['lon']), float(c['lat'])
+            except (KeyError, TypeError, IndexError):
+                return float(c[0]), float(c[1])
+        rr = [[list(xy(c)) for c in ring] for ring in rings]
+        if kind == 'point':
+            coords = rr[0][0]
+        elif kind == 'linestring':
+            coords = rr[0]
+        elif kind == 'polygon':
+            coords = rr
+        elif kind == 'multipoint':
+            coords = [r[0] for r in rr]
+        elif kind == 'multilinestring':
+            coords = rr
+        elif kind == 'multipolygon':
+            coords = [[r] for r in rr]
+        else:
+            raise ValueError(kind)
+        return json.dumps({'type': _KIND_GJ[kind], 'coordinates': coords},
+                          separators=(',', ':'))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [emit(k, r) for k, r in zip(pdf[kind_col], pdf[rings_col])]
+            yield pdf
+
+    out_schema = ', '.join(f'{f.name} {f.dataType.simpleString()}'
+                           for f in shapes.schema.fields) + f', {out_col} string'
+    return shapes.mapInPandas(run, schema=out_schema)

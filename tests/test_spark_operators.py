@@ -194,3 +194,72 @@ def test_streaming_matches_batch(spark):
          run_stream_to_memory(spark, os.path.join(sf, 'events.parquet'),
                               query_name='t_stream').collect()}
     assert b == s and len(b) > 10
+
+
+def test_wkt_geojson_interchange(spark):
+    from geostructures_spark.operators.interchange import (
+        parse_geojson_df, parse_wkt_df, to_geojson_df, to_wkt_df)
+    df = spark.createDataFrame(
+        [(1, 'POLYGON ((0 0, 1 0, 1 1, 0 0), (0.2 0.2, 0.4 0.2, 0.2 0.4, 0.2 0.2))'),
+         (2, 'POINT Z (1.5 2.5 9.0)'),
+         (3, 'MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))'),
+         (4, 'not wkt at all')],
+        'id long, wkt string')
+    parsed = parse_wkt_df(df)
+    rows = {r.id: r for r in parsed.collect()}
+    assert rows[1].kind == 'polygon' and len(rows[1].rings) == 2
+    assert rows[2].kind == 'point' and rows[2].rings[0][0][0] == 1.5
+    assert rows[3].kind == 'multilinestring'
+    assert rows[4].kind is None
+    # emit -> reparse is stable
+    emitted = to_wkt_df(parsed.filter(parsed.kind.isNotNull())
+                        .select('id', 'kind', 'rings'), out_col='wkt2')
+    re_parsed = parse_wkt_df(emitted.select('id', 'wkt2'), wkt_col='wkt2')
+    back = {r.id: r for r in re_parsed.collect()}
+    for i in (1, 2, 3):
+        assert back[i].kind == rows[i].kind
+        assert back[i].rings == rows[i].rings
+
+    gj = spark.createDataFrame(
+        [(1, '{"type":"Feature","geometry":{"type":"Point","coordinates":[3.0,4.0]},"properties":{"a":"b"}}')],
+        'id long, geojson string')
+    g = parse_geojson_df(gj).collect()[0]
+    assert g.kind == 'point' and g.rings[0][0][0] == 3.0 and g.properties == {'a': 'b'}
+    out = to_geojson_df(parse_geojson_df(gj).select('id', 'kind', 'rings')).collect()[0]
+    assert '"type":"Point"' in out.geojson
+
+
+def test_shape_join_matches_kernel_brute_force(spark):
+    from geostructures_spark.operators.shape_join import shape_join
+    from geostructures_spark.operators.tiling import shape_row_to_kernel
+    from geostructures_spark.sources.shapes import shapes_df
+    from geostructures_spark.kernels import shapes as shp
+    a = shapes_df(spark, 60, seed=42).cache()
+    b = shapes_df(spark, 200, seed=9).filter('shape_id < 4').cache()
+    got = {(r.a_id, r.b_id) for r in
+           shape_join(a, b, predicate='intersects', time_gated=False).collect()}
+    ca = {r['shape_id']: shape_row_to_kernel(r.asDict(recursive=True)) for r in a.collect()}
+    cb = {r['shape_id']: shape_row_to_kernel(r.asDict(recursive=True)) for r in b.collect()}
+    brute = {(x, y) for x in ca for y in cb if shp.shapes_intersect(ca[x], cb[y])}
+    assert got == brute
+
+
+def test_shape_join_contains(spark):
+    from geostructures_spark.operators.shape_join import shape_join
+    from pyspark.sql import functions as F
+
+    def circles(rows):
+        return spark.createDataFrame(rows, 'shape_id long, lon double, lat double, r double') \
+            .select('shape_id', F.lit('circle').alias('kind'),
+                    F.struct(F.col('lon').alias('center_lon'),
+                             F.col('lat').alias('center_lat'),
+                             F.col('r').alias('radius')).alias('params'),
+                    F.lit(None).cast('array<array<struct<lon:double,lat:double>>>').alias('rings'),
+                    F.lit(None).cast('timestamp').alias('dt_start'),
+                    F.lit(None).cast('timestamp').alias('dt_end'),
+                    F.lit(None).cast('map<string,string>').alias('properties'))
+    big = circles([(1, 0.0, 0.0, 50_000.0)])
+    small = circles([(10, 0.0, 0.0, 5_000.0), (11, 3.0, 3.0, 5_000.0)])
+    got = {(r.a_id, r.b_id) for r in
+           shape_join(big, small, predicate='contains', time_gated=False).collect()}
+    assert got == {(1, 10)}
