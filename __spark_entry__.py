@@ -1021,6 +1021,80 @@ _JACCARD_DUCK = """
 """
 
 
+
+def _q_shape_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shape derived columns (the reference's bounds/centroid surface,
+    structures.py:860-871): circle bounds via the 4 cardinal destination
+    points, rounded to 6dp for cross-engine trig tolerance."""
+    from geostructures_spark.operators.derive import with_shape_derived
+    _load(spark, sf_dir, 'supplier')
+    shapes = _shapes_from_keys(spark, _pts_supplier_sql(),
+                               '50000.0 + (shape_id % 9) * 10000.0')
+    d = with_shape_derived(shapes)
+    return (d.select(F.col('shape_id').cast('long').alias('shape_id'),
+                     F.round('min_lon', 6).alias('min_lon'),
+                     F.round('min_lat', 6).alias('min_lat'),
+                     F.round('max_lon', 6).alias('max_lon'),
+                     F.round('max_lat', 6).alias('max_lat'),
+                     F.round('centroid_lon', 6).alias('centroid_lon'),
+                     F.round('centroid_lat', 6).alias('centroid_lat'))
+            .orderBy('shape_id'))
+
+
+_SHAPE_BOUNDS_DUCK = f"""
+  WITH s AS (
+    SELECT qid AS shape_id, q_lon AS lon, q_lat AS lat,
+           50000.0 + (qid % 9) * 10000.0 AS r
+    FROM ({_pts_supplier_sql()})),
+  ang AS (SELECT shape_id, lon, lat, r, r / 6371000.0 AS a,
+                 radians(lat) AS rlat, radians(lon) AS rlon FROM s)
+  SELECT CAST(shape_id AS BIGINT) AS shape_id,
+         -- west (bearing 270): lon component only
+         ROUND(degrees(rlon + atan2(-sin(a) * cos(rlat),
+               cos(a) - sin(rlat) * sin(asin(sin(rlat) * cos(a))))), 6) AS min_lon,
+         -- south (bearing 180): lat - a
+         ROUND(degrees(asin(sin(rlat) * cos(a) - cos(rlat) * sin(a))), 6) AS min_lat,
+         -- east (bearing 90)
+         ROUND(degrees(rlon + atan2(sin(a) * cos(rlat),
+               cos(a) - sin(rlat) * sin(asin(sin(rlat) * cos(a))))), 6) AS max_lon,
+         -- north (bearing 0): lat + a
+         ROUND(degrees(asin(sin(rlat) * cos(a) + cos(rlat) * sin(a))), 6) AS max_lat,
+         ROUND(lon, 6) AS centroid_lon,
+         ROUND(lat, 6) AS centroid_lat
+  FROM ang ORDER BY shape_id
+"""
+
+
+def _q_track_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Track.first/last/start/end (collections.py:807-857) as
+    min_by/max_by aggregations over event-derived pings."""
+    from geostructures_spark.operators.derive import track_extremes
+    _load(spark, sf_dir, 'events')
+    pings = (spark.sql(_pts_events_sql())
+             .select(F.col('user_id').alias('entity'),
+                     F.col('ts').cast('timestamp').alias('dt_start'), 'lon', 'lat'))
+    out = track_extremes(pings)
+    return (out.select(F.col('entity').cast('long').alias('entity'),
+                       F.unix_micros('start').alias('start_us'),
+                       F.unix_micros('end').alias('end_us'),
+                       'first_lon', 'last_lon',
+                       F.col('n_pings').cast('long').alias('n_pings'))
+            .orderBy('entity'))
+
+
+_TRACK_EXTREMES_DUCK = """
+  WITH pings AS (
+    SELECT user_id AS entity, ts,
+           ((event_id * 7919) % 360000) / 1000.0e0 - 180.0e0 + 0.000123e0 AS lon
+    FROM events)
+  SELECT CAST(entity AS BIGINT) AS entity,
+         epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us,
+         arg_min(lon, ts) AS first_lon, arg_max(lon, ts) AS last_lon,
+         CAST(COUNT(*) AS BIGINT) AS n_pings
+  FROM pings GROUP BY entity ORDER BY entity
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         'q1_pricing_summary': _q1_pricing_summary,
@@ -1054,6 +1128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'quality_score_buckets': _q_quality_score,
         'doc_fingerprints': _q_fingerprint,
         'ngram_jaccard_pairs': _q_ngram_jaccard,
+        'shape_derived_bounds': _q_shape_bounds,
+        'track_extremes': _q_track_extremes,
     }
 
 
@@ -1096,4 +1172,6 @@ def oracle_sql() -> dict[str, str]:
         'quality_score_buckets': _QUALITY_DUCK,
         'doc_fingerprints': _FINGERPRINT_DUCK,
         'ngram_jaccard_pairs': _JACCARD_DUCK,
+        'shape_derived_bounds': _SHAPE_BOUNDS_DUCK,
+        'track_extremes': _TRACK_EXTREMES_DUCK,
     }

@@ -1,0 +1,137 @@
+"""Per-shape derived columns: the reference's "SELECT surface"
+(SURVEY.md §2.4) over the canonical shapes table.
+
+``with_shape_derived`` adds, per shape row:
+  bounds (min_lon, min_lat, max_lon, max_lat)   structures.py bounds impls
+  centroid_lon / centroid_lat                   per-kind centroid rules
+  area_m2                                       spherical-excess substitute
+                                                (pyproj unavailable; documented
+                                                deviation, SURVEY.md §2.4)
+  circum_radius_m / circum_lon / circum_lat     circumscribing circle
+                                                (Welzl for polygons,
+                                                _geometry.py:147-182; per-kind
+                                                shortcuts elsewhere)
+  volume_m2s                                    area * interval seconds
+                                                (_base.py:697-712)
+
+Runs as one Arrow-batched mapInPandas over the shape rows (shape catalogs
+are small relative to the points side; this is a dimension-table transform).
+Also exposes unit conversions (reference conversion.py:7-70) as plain
+constants/Column helpers.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ['with_shape_derived', 'METERS_PER', 'convert_to_meters',
+           'buffer_dt', 'set_dt', 'strip_dt', 'track_extremes']
+
+# unit conversions (reference conversion.py:7-70)
+METERS_PER = {
+    'km': 1000.0, 'mi': 1609.344, 'ft': 0.3048, 'nmi': 1852.0,
+    'yd': 0.9144, 'm': 1.0,
+}
+
+
+def convert_to_meters(col, unit: str):
+    return col * F.lit(METERS_PER[unit])
+
+
+def with_shape_derived(shapes: DataFrame) -> DataFrame:
+    from geostructures_spark.kernels import geometry as geom
+    from geostructures_spark.kernels import shapes as shp
+    from geostructures_spark.operators.tiling import shape_row_to_kernel
+
+    out_schema = (', '.join(f'{f.name} {f.dataType.simpleString()}'
+                            for f in shapes.schema.fields) +
+                  ', min_lon double, min_lat double, max_lon double, max_lat double'
+                  ', centroid_lon double, centroid_lat double, area_m2 double'
+                  ', circum_lon double, circum_lat double, circum_radius_m double'
+                  ', volume_m2s double')
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = pdf.to_dict('records')
+            cols = {k: [] for k in ('min_lon', 'min_lat', 'max_lon', 'max_lat',
+                                    'centroid_lon', 'centroid_lat', 'area_m2',
+                                    'circum_lon', 'circum_lat', 'circum_radius_m',
+                                    'volume_m2s')}
+            for row in rows:
+                shape = shape_row_to_kernel(row)
+                b = shp.shape_bounds(shape)
+                c = shp.shape_centroid(shape)
+                if shape['kind'] in ('point',):
+                    area = 0.0
+                elif shape['kind'] == 'linestring':
+                    area = 0.0
+                else:
+                    outline = shp.shape_linear_rings(shape)[0]
+                    area = geom.spherical_ring_area_m2(outline)
+                    for hole in shp.shape_linear_rings(shape)[1:]:
+                        area -= geom.spherical_ring_area_m2(hole)
+                # circumscribing circle
+                kind = shape['kind']
+                p = shape['params']
+                if kind == 'circle':
+                    cc = (p['center_lon'], p['center_lat'], p['radius'])
+                elif kind == 'ellipse':
+                    cc = (p['center_lon'], p['center_lat'], p['semi_major'])
+                elif kind == 'ring':
+                    cc = (p['center_lon'], p['center_lat'], p['outer_radius'])
+                elif kind == 'point':
+                    cc = (c[0], c[1], 0.0)
+                else:
+                    outline = shp.shape_linear_rings(shape)[0]
+                    (ctr, rad) = geom.min_enclosing_circle(outline[:-1])
+                    cc = (float(ctr[0]), float(ctr[1]), float(rad))
+                # volume = area * elapsed seconds (_base.py:697-712)
+                t0, t1 = row.get('dt_start'), row.get('dt_end')
+                vol = 0.0
+                if t0 is not None and t1 is not None and not pd.isna(t0) and not pd.isna(t1):
+                    vol = area * (pd.Timestamp(t1) - pd.Timestamp(t0)).total_seconds()
+                for k, v in zip(cols, (*b, *c, area, *cc, vol)):
+                    cols[k].append(float(v))
+            out = pdf.copy()
+            for k, v in cols.items():
+                out[k] = v
+            yield out
+
+    return shapes.mapInPandas(run, schema=out_schema)
+
+
+# --- dt mutation helpers (reference _base.py:403-461) -----------------------
+
+def buffer_dt(shapes: DataFrame, before_sec: int, after_sec: int) -> DataFrame:
+    """Expand every shape's interval (buffer_dt)."""
+    return (shapes
+            .withColumn('dt_start', F.col('dt_start') - F.expr(f'INTERVAL {before_sec} SECOND'))
+            .withColumn('dt_end', F.col('dt_end') + F.expr(f'INTERVAL {after_sec} SECOND')))
+
+
+def set_dt(shapes: DataFrame, start, end) -> DataFrame:
+    return (shapes.withColumn('dt_start', F.lit(start).cast('timestamp'))
+            .withColumn('dt_end', F.lit(end).cast('timestamp')))
+
+
+def strip_dt(shapes: DataFrame) -> DataFrame:
+    return (shapes.withColumn('dt_start', F.lit(None).cast('timestamp'))
+            .withColumn('dt_end', F.lit(None).cast('timestamp')))
+
+
+def track_extremes(tracks: DataFrame, entity_col: str = 'entity',
+                   time_col: str = 'dt_start') -> DataFrame:
+    """Track.first/last/start/end (collections.py:807-857) as min_by/max_by."""
+    return tracks.groupBy(entity_col).agg(
+        F.min(time_col).alias('start'),
+        F.max(time_col).alias('end'),
+        F.min_by('lon', time_col).alias('first_lon'),
+        F.min_by('lat', time_col).alias('first_lat'),
+        F.max_by('lon', time_col).alias('last_lon'),
+        F.max_by('lat', time_col).alias('last_lat'),
+        F.count('*').alias('n_pings'))
