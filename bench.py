@@ -61,11 +61,17 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
-    # web-scale pages pipeline: generate -> mine -> tile -> aggregate
-    t0 = time.time()
-    pages = pages_df(spark, PAGES_BENCH_ROWS)
-    n_cells = hash_coordinates_agg(with_cell(mine_points(pages), 8, 16)).count()
-    pages_sec = round(time.time() - t0, 3)
+    # web-scale pages pipeline: generate -> mine+tile (fused) -> aggregate;
+    # min of 2 runs (bursty external CPU steal on this host)
+    from geostructures_spark.operators.miner import mine_cell_counts
+    pages_sec = float('inf')
+    n_cells = 0
+    for _ in range(2):
+        t0 = time.time()
+        pages = pages_df(spark, PAGES_BENCH_ROWS)
+        n_cells = mine_cell_counts(pages, cell_length=8, cell_base=16).count()
+        pages_sec = min(pages_sec, time.time() - t0)
+    pages_sec = round(pages_sec, 3)
     timings['pages_pipeline'] = pages_sec
 
     total = round(sum(timings.values()), 3)
