@@ -1095,6 +1095,97 @@ _TRACK_EXTREMES_DUCK = """
 """
 
 
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints + 16-bit LSH buckets (pure column
+    expressions: conv/md5/bit ops, no Python). Rows-only driver check; the
+    bucket-collision property is exercised in the output (n per bucket)."""
+    from geostructures_spark.operators.dedup import simhash_buckets
+    _load(spark, sf_dir, 'documents')
+    d = simhash_buckets(spark.table('documents'))
+    return (d.groupBy('bucket').agg(F.count('*').cast('long').alias('n_docs'))
+            .orderBy('bucket')
+            .select(F.col('bucket').cast('long').alias('bucket'), 'n_docs'))
+
+
+def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: assign vectors to 8 centroid buckets once, probe the
+    2 nearest buckets per query, exact cosine within the probed buckets
+    (the ANN scale path; recall < 1 vs cosine_topk by design)."""
+    from geostructures_spark.operators.simsearch import ivf_assign, ivf_topk
+    _load(spark, sf_dir, 'embeddings')
+    vecs = spark.table('embeddings')
+    cents = (vecs.filter(F.col('vec_id') < 8)
+             .select(F.col('vec_id').alias('centroid_id'),
+                     F.col('embedding').alias('c_embedding')))
+    inv = ivf_assign(vecs, cents)
+    q = (vecs.filter((F.col('vec_id') >= 10) & (F.col('vec_id') < 15))
+         .select(F.col('vec_id').alias('query_id'),
+                 F.col('embedding').alias('q_embedding')))
+    out = ivf_topk(inv, cents, q, k=5, n_probe=2)
+    return (out.select(F.col('query_id').cast('long').alias('query_id'),
+                       F.col('neighbor_id').cast('long').alias('neighbor_id'),
+                       F.col('rank').cast('int').alias('rank'))
+            .orderBy('query_id', 'rank'))
+
+
+_IVF_ANN_DUCK = """
+  WITH cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+                 FROM embeddings WHERE vec_id < 8),
+  assigned AS (
+    SELECT vec_id, embedding, centroid_id FROM (
+      SELECT v.vec_id, v.embedding, c.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_cosine_similarity(v.embedding, c.c_emb) DESC,
+                                         c.centroid_id ASC) AS r
+      FROM embeddings v, cents c) WHERE r = 1),
+  q AS (SELECT vec_id AS query_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id >= 10 AND vec_id < 15),
+  probes AS (
+    SELECT query_id, q_emb, centroid_id FROM (
+      SELECT q.query_id, q.q_emb, c.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY list_cosine_similarity(q.q_emb, c.c_emb) DESC,
+                                         c.centroid_id ASC) AS r
+      FROM q, cents c) WHERE r <= 2),
+  cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           list_cosine_similarity(a.embedding, p.q_emb) AS cs
+    FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id
+    WHERE a.vec_id != p.query_id),
+  ranked AS (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cs DESC, neighbor_id ASC) AS rank
+    FROM cand)
+  SELECT CAST(query_id AS BIGINT) AS query_id,
+         CAST(neighbor_id AS BIGINT) AS neighbor_id, CAST(rank AS INT) AS rank
+  FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents' bytes as opaque media blobs ->
+    deterministic stub feature extraction (mapInPandas over pruned
+    (id, blob)) + video frame-sampling plan. Rows-only check — the decode
+    kernel is environment-stubbed; the Spark plumbing is real."""
+    from geostructures_spark.operators.multimodal import extract_features, sample_frames
+    _load(spark, sf_dir, 'documents')
+    media = spark.table('documents').select(
+        F.col('doc_id').alias('media_id'),
+        F.encode('text', 'utf-8').alias('blob'),
+        F.struct(F.lit('video').alias('kind'), F.lit(640).alias('width'),
+                 F.lit(480).alias('height'),
+                 (F.col('n_chars') * 10).cast('int').alias('duration_ms')).alias('meta'))
+    feats = extract_features(media).select(
+        'media_id', F.round(F.element_at('features', 1), 6).alias('f0'))
+    frames = (sample_frames(media, every_ms=1000)
+              .groupBy('media_id').agg(F.count('*').cast('long').alias('n_frames')))
+    return (feats.join(frames, 'media_id')
+            .select(F.col('media_id').cast('long').alias('media_id'), 'f0', 'n_frames')
+            .orderBy('media_id'))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         'q1_pricing_summary': _q1_pricing_summary,
@@ -1130,6 +1221,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ngram_jaccard_pairs': _q_ngram_jaccard,
         'shape_derived_bounds': _q_shape_bounds,
         'track_extremes': _q_track_extremes,
+        'simhash_buckets': _q_simhash,
+        'ivf_ann_topk': _q_ivf_ann,
+        'media_features_stub': _q_media_features,
     }
 
 
@@ -1174,4 +1268,7 @@ def oracle_sql() -> dict[str, str]:
         'ngram_jaccard_pairs': _JACCARD_DUCK,
         'shape_derived_bounds': _SHAPE_BOUNDS_DUCK,
         'track_extremes': _TRACK_EXTREMES_DUCK,
+        # simhash_buckets: conv/bit-HOF column exprs — golden-covered in
+        # tests; media_features_stub: decode stub, plumbing-only
+        'ivf_ann_topk': _IVF_ANN_DUCK,
     }

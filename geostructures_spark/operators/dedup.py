@@ -107,7 +107,7 @@ def simhash_expr(text_col, bits: int = 32):
         vote = F.aggregate(
             tok_hashes, F.lit(0).cast('long'),
             lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)))
-        cols.append(F.when(vote * 2 >= F.size(toks), F.lit(1).cast('long') << i)
+        cols.append(F.when(vote * 2 >= F.size(toks), F.lit(1 << i).cast('long'))
                     .otherwise(F.lit(0).cast('long')))
     out = cols[0]
     for c in cols[1:]:
