@@ -1097,15 +1097,37 @@ _TRACK_EXTREMES_DUCK = """
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprints + 16-bit LSH buckets (pure column
-    expressions: conv/md5/bit ops, no Python). Rows-only driver check; the
-    bucket-collision property is exercised in the output (n per bucket)."""
+    """32-bit SimHash fingerprints + 16-bit LSH buckets (Arrow NumPy kernel,
+    md5-based portable semantics — DuckDB-oracle-checked)."""
     from geostructures_spark.operators.dedup import simhash_buckets
     _load(spark, sf_dir, 'documents')
     d = simhash_buckets(spark.table('documents'))
     return (d.groupBy('bucket').agg(F.count('*').cast('long').alias('n_docs'))
             .orderBy('bucket')
             .select(F.col('bucket').cast('long').alias('bucket'), 'n_docs'))
+
+
+def _simhash_duckdb(bits: int = 32, prefix_bits: int = 16) -> str:
+    """SimHash in plain SQL: per-bit token-hash majority votes; hex parse of
+    the first 8 md5 chars matches the engine kernel exactly."""
+    cnt_exprs = ', '.join(
+        f'list_sum(list_transform(hs, h -> (h >> {i}) & 1)) AS c{i}'
+        for i in range(bits))
+    sim = ' + '.join(f'(CASE WHEN 2*c{i} >= n THEN {1 << i} ELSE 0 END)'
+                     for i in range(bits))
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents),
+      hs AS (
+        SELECT doc_id, len(w) AS n,
+               list_transform(w, t -> (('0x' || substr(md5(t),1,8))::UBIGINT)::BIGINT) AS hs
+        FROM toks),
+      cnts AS (SELECT doc_id, n, {cnt_exprs} FROM hs),
+      fp AS (SELECT doc_id, {sim} AS simhash FROM cnts)
+      SELECT CAST(simhash >> {bits - prefix_bits} AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM fp GROUP BY 1 ORDER BY bucket
+    """
 
 
 def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1268,7 +1290,7 @@ def oracle_sql() -> dict[str, str]:
         'ngram_jaccard_pairs': _JACCARD_DUCK,
         'shape_derived_bounds': _SHAPE_BOUNDS_DUCK,
         'track_extremes': _TRACK_EXTREMES_DUCK,
-        # simhash_buckets: conv/bit-HOF column exprs — golden-covered in
-        # tests; media_features_stub: decode stub, plumbing-only
+        'simhash_buckets': _simhash_duckdb(),
+        # media_features_stub: decode stub, plumbing-only
         'ivf_ann_topk': _IVF_ANN_DUCK,
     }

@@ -26,6 +26,7 @@ HEADLINE = [
     'knn_topk',
     'track_speed_stats',
     'minhash_lsh_pairs',
+    'simhash_buckets',
     'text_stats',
     'cosine_topk',
     'events_windowed_agg',

@@ -21,8 +21,11 @@ to true near-dup density. Band count/rows tune recall as usual for LSH.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     'tokens_expr', 'shingles_expr', 'exact_dedup_groups',
@@ -96,23 +99,41 @@ def minhash_lsh_pairs(docs: DataFrame, n_bands: int = 8, shingle_k: int = 5,
 
 def simhash_expr(text_col, bits: int = 32):
     """32-bit SimHash from token md5s: bit i of the fingerprint is the
-    majority vote of bit i across token hashes. Pure column expressions
-    (conv + bit ops), fully JVM-side."""
-    toks = tokens_expr(text_col)
-    # token hash: first 8 md5 hex chars -> 32-bit int
-    tok_hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast('long'))
-    cols = []
-    for i in range(bits):
-        # vote_i = sum over tokens of bit i (0/1), majority if 2*sum >= n
-        vote = F.aggregate(
-            tok_hashes, F.lit(0).cast('long'),
-            lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)))
-        cols.append(F.when(vote * 2 >= F.size(toks), F.lit(1 << i).cast('long'))
-                    .otherwise(F.lit(0).cast('long')))
-    out = cols[0]
-    for c in cols[1:]:
-        out = out + c
-    return out
+    majority vote of bit i across token hashes (majority = 2*count >= n;
+    token hash = first 8 md5 hex chars as a 32-bit int).
+
+    Arrow-batched NumPy kernel: one C md5 per token + a vectorized
+    (hashes >> i) & 1 bit-count matrix per document. The semantics are
+    portable (md5-based), so the result is DuckDB-oracle-checkable. An
+    earlier pure-column-expression form (32 interpreted HOF aggregates)
+    measured ~19 s / 500 docs — Catalyst interprets higher-order-function
+    lambdas per element, so bits x tokens interpreted ops is the slow path;
+    this kernel is the documented exception to "stay JVM-side".
+    """
+    import hashlib
+    import re
+
+    shifts = np.arange(bits, dtype=np.uint32)
+    weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+    md5 = hashlib.md5
+    split = re.compile(' +').split
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(text: pd.Series) -> pd.Series:
+        out = np.zeros(len(text), dtype=np.int64)
+        for idx, t in enumerate(text):
+            # parity with tokens_expr: trim spaces, split on space runs
+            toks = split((t or '').strip(' '))
+            n = len(toks)
+            hs = np.frombuffer(
+                b''.join(md5(tok.encode('utf-8')).digest()[:4] for tok in toks),
+                dtype='>u4').astype(np.uint32)
+            counts = ((hs[:, None] >> shifts) & np.uint32(1)).sum(
+                axis=0, dtype=np.int64)
+            out[idx] = int((weights[counts * 2 >= n]).sum())
+        return pd.Series(out, index=text.index)
+
+    return _simhash(text_col)
 
 
 def simhash_buckets(docs: DataFrame, bits: int = 32, prefix_bits: int = 16,
