@@ -1186,6 +1186,162 @@ _IVF_ANN_DUCK = """
 """
 
 
+def _q_ellipse_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ellipse <-> 2x2 covariance round trip (reference
+    structures.py:1066-1147): derived ellipses -> covariance_matrix columns
+    -> from_covariance_matrix recovery. Pure JVM column expressions."""
+    from geostructures_spark.operators.derive import (
+        with_ellipse_covariance, with_ellipse_from_covariance)
+    _load(spark, sf_dir, 'supplier')
+    sup = spark.sql(_pts_supplier_sql())
+    shapes = sup.select(
+        F.col('qid').cast('long').alias('shape_id'),
+        F.lit('ellipse').alias('kind'),
+        F.struct(
+            F.col('q_lon').alias('center_lon'), F.col('q_lat').alias('center_lat'),
+            (F.lit(100.0) + (F.col('qid') % 13) * 10.0).alias('semi_major'),
+            (F.lit(30.0) + (F.col('qid') % 7) * 9.0).alias('semi_minor'),
+            ((F.col('qid') * 37 % 360).cast('double') + 0.5).alias('rotation'),
+        ).alias('params'))
+    cov = with_ellipse_covariance(shapes)
+    rec = with_ellipse_from_covariance(cov)
+    return (rec.select(
+        'shape_id',
+        (F.round('cov_xx', 6) + 0.0).alias('cov_xx'),
+        (F.round('cov_xy', 6) + 0.0).alias('cov_xy'),
+        (F.round('cov_yy', 6) + 0.0).alias('cov_yy'),
+        F.round('semi_major', 6).alias('rec_major'),
+        F.round('semi_minor', 6).alias('rec_minor'),
+        F.round('rotation', 6).alias('rec_rotation'))
+        .orderBy('shape_id'))
+
+
+_ELLIPSE_COV_DUCK = f"""
+  WITH sup AS ({_pts_supplier_sql()}),
+  inp AS (
+    SELECT qid AS shape_id,
+           100.0e0 + (qid % 13) * 10.0e0 AS a_in,
+           30.0e0 + (qid % 7) * 9.0e0 AS b_in,
+           CAST(qid * 37 % 360 AS DOUBLE) + 0.5e0 AS rot
+    FROM sup),
+  trig AS (
+    SELECT *, radians(((90.0e0 - rot) % 360.0e0 + 360.0e0) % 360.0e0) AS phi
+    FROM inp),
+  cov AS (
+    SELECT shape_id, a_in, b_in,
+           a_in*a_in*cos(phi)*cos(phi) + b_in*b_in*sin(phi)*sin(phi) AS vxx,
+           (a_in*a_in - b_in*b_in) * sin(phi) * cos(phi) AS vxy,
+           a_in*a_in*sin(phi)*sin(phi) + b_in*b_in*cos(phi)*cos(phi) AS vyy
+    FROM trig),
+  eig AS (
+    SELECT *, (vxx + vyy) / 2 + sqrt(((vxx - vyy)/2)*((vxx - vyy)/2) + vxy*vxy) AS l1,
+              (vxx + vyy) / 2 - sqrt(((vxx - vyy)/2)*((vxx - vyy)/2) + vxy*vxy) AS l2
+    FROM cov),
+  rec AS (
+    SELECT shape_id, vxx, vxy, vyy, sqrt(l1) AS rec_major, sqrt(l2) AS rec_minor,
+           ((90.0e0 - (CASE WHEN vxy = 0
+                            THEN (CASE WHEN vxx >= vyy THEN 0.0e0 ELSE 90.0e0 END)
+                            ELSE degrees(atan2(l1 - vxx, vxy)) END)) % 360.0e0
+            + 360.0e0) % 360.0e0 AS rec_rotation
+    FROM eig)
+  SELECT CAST(shape_id AS BIGINT) AS shape_id,
+         ROUND(vxx, 6) + 0.0e0 AS cov_xx,
+         ROUND(vxy, 6) + 0.0e0 AS cov_xy,
+         ROUND(vyy, 6) + 0.0e0 AS cov_yy,
+         ROUND(rec_major, 6) AS rec_major,
+         ROUND(rec_minor, 6) AS rec_minor,
+         ROUND(rec_rotation, 6) AS rec_rotation
+  FROM rec ORDER BY shape_id
+"""
+
+
+# single-edge linestrings for split_by_length: v1 = destination(v0, theta, D)
+# with the engine's haversine-destination formula spelled out in SQL (valid
+# in Spark SQL and DuckDB; D never a multiple of the 1000 m split length)
+_SPLIT_INPUT_TEMPLATE = """
+  SELECT shape_id, lon0, lat0,
+         degrees(lat2r) AS v1_lat,
+         degrees(radians(lon0) + atan2(sin(radians(theta))*sin(aa)*cos(radians(lat0)),
+                 cos(aa) - sin(radians(lat0))*sin(lat2r))) AS v1_lon
+  FROM (
+    SELECT *, asin(sin(radians(lat0))*cos(aa) +
+                   cos(radians(lat0))*sin(aa)*cos(radians(theta))) AS lat2r
+    FROM (
+      SELECT qid AS shape_id, q_lon AS lon0, q_lat AS lat0,
+             (2250.0e0 + (qid % 23) * 100.0e0) / 6371000.0e0 AS aa,
+             CAST(qid * 53 % 360 AS DOUBLE) + 0.5e0 AS theta
+      FROM ({pts}) s) t) u
+"""
+
+
+def _q_split_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoLineString.split_by_length (structures.py:1657-1726): single-edge
+    derived linestrings split into 1000 m chunks via the applyInPandas walk
+    kernel; outputs per-chunk endpoint + vertex count."""
+    from geostructures_spark.operators.derive import split_by_length
+    _load(spark, sf_dir, 'supplier')
+    inp = spark.sql(_SPLIT_INPUT_TEMPLATE.format(pts=_pts_supplier_sql()))
+    shapes = inp.select(
+        F.col('shape_id').cast('long').alias('shape_id'),
+        F.lit('linestring').alias('kind'),
+        F.array(F.array(
+            F.struct(F.col('lon0').alias('lon'), F.col('lat0').alias('lat')),
+            F.struct(F.col('v1_lon').alias('lon'), F.col('v1_lat').alias('lat')),
+        )).alias('rings'))
+    out = split_by_length(shapes, 1000.0)
+    chunk = F.element_at('rings', 1)
+    return (out.select(
+        'shape_id',
+        F.col('chunk_idx').cast('int').alias('chunk_idx'),
+        F.size(chunk).cast('int').alias('n_pts'),
+        F.round(F.element_at(chunk, -1).getField('lon'), 6).alias('end_lon'),
+        F.round(F.element_at(chunk, -1).getField('lat'), 6).alias('end_lat'))
+        .orderBy('shape_id', 'chunk_idx'))
+
+
+def _split_by_length_duckdb(meters: float = 1000.0, kmax: int = 5) -> str:
+    """Unrolled split-walk oracle: the cut chain cut_{i+1} =
+    destination(cut_i, bearing(v0, v1), meters) as kmax chained CTEs, then
+    one chunk row per full cut + the remainder chunk ending at v1."""
+    aa = f'({meters:.1f}e0 / 6371000.0e0)'
+    hav = _hav('lon0', 'lat0', 'v1_lon', 'v1_lat')
+    brg = ('(degrees(atan2('
+           'sin(radians(v1_lon) - radians(lon0)) * cos(radians(v1_lat)), '
+           'cos(radians(lat0)) * sin(radians(v1_lat)) - '
+           'sin(radians(lat0)) * cos(radians(v1_lat)) * '
+           'cos(radians(v1_lon) - radians(lon0)))) + 360.0e0) % 360.0e0')
+    ctes = [f'inp AS ({_SPLIT_INPUT_TEMPLATE.format(pts=_pts_supplier_sql())})',
+            f'c0 AS (SELECT *, {hav} AS d, {brg} AS brg, '
+            f'lon0 AS clon0, lat0 AS clat0 FROM inp)']
+    for i in range(1, kmax + 1):
+        p = i - 1
+        latr = (f'asin(sin(radians(clat{p}))*cos({aa}) + '
+                f'cos(radians(clat{p}))*sin({aa})*cos(radians(brg)))')
+        lon_raw = (f'degrees(radians(clon{p}) + '
+                   f'atan2(sin(radians(brg))*sin({aa})*cos(radians(clat{p})), '
+                   f'cos({aa}) - sin(radians(clat{p}))*sin(latr{i})))')
+        ctes.append(
+            f'c{i} AS (SELECT *, degrees(latr{i}) AS clat{i}, '
+            f'(CASE WHEN {lon_raw} >= 180.0e0 THEN {lon_raw} - 360.0e0 '
+            f'WHEN {lon_raw} < -180.0e0 THEN {lon_raw} + 360.0e0 '
+            f'ELSE {lon_raw} END) AS clon{i} '
+            f'FROM (SELECT *, {latr} AS latr{i} FROM c{p}) s{i})')
+    selects = []
+    for i in range(kmax):
+        selects.append(
+            f'SELECT shape_id, {i} AS chunk_idx, 2 AS n_pts, '
+            f'ROUND(clon{i + 1}, 6) AS end_lon, ROUND(clat{i + 1}, 6) AS end_lat '
+            f'FROM c{kmax} WHERE CAST(floor(d / {meters:.1f}e0) AS INT) >= {i + 1}')
+    selects.append(
+        f'SELECT shape_id, CAST(floor(d / {meters:.1f}e0) AS INT) AS chunk_idx, '
+        f'2 AS n_pts, ROUND(v1_lon, 6) AS end_lon, ROUND(v1_lat, 6) AS end_lat '
+        f'FROM c{kmax}')
+    union = ' UNION ALL '.join(selects)
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT CAST(shape_id AS BIGINT) AS shape_id, chunk_idx, n_pts, "
+            f"end_lon, end_lat FROM ({union}) z ORDER BY shape_id, chunk_idx")
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents' bytes as opaque media blobs ->
     deterministic stub feature extraction (mapInPandas over pruned
@@ -1246,6 +1402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'simhash_buckets': _q_simhash,
         'ivf_ann_topk': _q_ivf_ann,
         'media_features_stub': _q_media_features,
+        'ellipse_covariance_roundtrip': _q_ellipse_covariance,
+        'split_by_length_chunks': _q_split_by_length,
     }
 
 
@@ -1293,4 +1451,6 @@ def oracle_sql() -> dict[str, str]:
         'simhash_buckets': _simhash_duckdb(),
         # media_features_stub: decode stub, plumbing-only
         'ivf_ann_topk': _IVF_ANN_DUCK,
+        'ellipse_covariance_roundtrip': _ELLIPSE_COV_DUCK,
+        'split_by_length_chunks': _split_by_length_duckdb(),
     }

@@ -38,7 +38,9 @@ __all__ = [
     'circle_ring', 'ellipse_ring', 'ring_wedge_rings', 'box_ring',
     'shape_linear_rings', 'shape_bounds', 'shape_contains_points',
     'shapes_intersect', 'shape_contains_shape', 'shape_edges',
-    'make_shape', 'shape_centroid', 'canonical_ring',
+    'make_shape', 'shape_centroid', 'canonical_ring', 'convert_trig_angle',
+    'ellipse_covariance_matrix', 'ellipse_from_covariance',
+    'split_linestring_by_length',
 ]
 
 MULTI_KINDS = {'multipoint', 'multilinestring', 'multipolygon'}
@@ -391,6 +393,90 @@ def shape_contains_shape(a: Dict, b: Dict, k: Optional[int] = None) -> bool:
         return False
     blon, blat = float(eb[0, 0]), float(eb[0, 1])
     return bool(shape_contains_points(a, [blon], [blat])[0])
+
+
+def split_linestring_by_length(vertices, meters: float) -> List[np.ndarray]:
+    """GeoLineString.split_by_length (reference structures.py:1657-1726):
+    walk the segments accumulating length; when a chunk reaches ``meters``,
+    cut the edge at destination_point(start, bearing, needed) and start the
+    next chunk at the cut. Bearing is computed once per original edge (at
+    the first cut) and reused for later cuts of the same edge, exactly as
+    the reference does. The final partial chunk carries the remainder."""
+    if meters <= 0:
+        raise ValueError('Split length must be greater than 0.')
+    v = np.asarray(vertices, dtype=np.float64)
+    results: List[np.ndarray] = []
+    chunk = [(float(v[0, 0]), float(v[0, 1]))]
+    chunk_len = 0.0
+    for i in range(len(v) - 1):
+        sx, sy = float(v[i, 0]), float(v[i, 1])
+        ex, ey = float(v[i + 1, 0]), float(v[i + 1, 1])
+        edge = float(distance_meters(sx, sy, ex, ey))
+        bearing = None
+        while chunk_len + edge >= meters:
+            needed = meters - chunk_len
+            if bearing is None:
+                bearing = float(bearing_degrees(sx, sy, ex, ey))
+            cx, cy = destination_point(sx, sy, bearing, needed)
+            cx, cy = normalize_lonlat(cx, cy)
+            cx, cy = float(cx), float(cy)
+            chunk.append((cx, cy))
+            results.append(np.array(chunk, dtype=np.float64))
+            chunk = [(cx, cy)]
+            chunk_len = 0.0
+            sx, sy = cx, cy
+            edge -= needed
+        chunk.append((ex, ey))
+        chunk_len += edge
+    if len(chunk) > 1:
+        results.append(np.array(chunk, dtype=np.float64))
+    return results
+
+
+def convert_trig_angle(bearing):
+    """Bearing <-> trigonometric angle, self-inverse
+    (reference _geometry.py:485-501)."""
+    return (90 - np.asarray(bearing, dtype=np.float64)) % 360
+
+
+def ellipse_covariance_matrix(semi_major, semi_minor, rotation,
+                              to_trigonometric_rotation: bool = True):
+    """GeoEllipse.covariance_matrix (reference structures.py:1066-1093),
+    vectorized: returns (varx1, cov, varx2) arrays for the 2x2 symmetric
+    [[varx1, cov], [cov, varx2]] per input ellipse."""
+    a = np.asarray(semi_major, dtype=np.float64)
+    b = np.asarray(semi_minor, dtype=np.float64)
+    rot = np.asarray(rotation, dtype=np.float64)
+    if to_trigonometric_rotation:
+        rot = convert_trig_angle(rot)
+    rot = np.radians(rot)
+    cos_phi, sin_phi = np.cos(rot), np.sin(rot)
+    varx1 = a ** 2 * cos_phi ** 2 + b ** 2 * sin_phi ** 2
+    varx2 = a ** 2 * sin_phi ** 2 + b ** 2 * cos_phi ** 2
+    cov = (a ** 2 - b ** 2) * sin_phi * cos_phi
+    return varx1, cov, varx2
+
+
+def ellipse_from_covariance(varx1, cov, varx2,
+                            from_trigonometric_rotation: bool = True):
+    """GeoEllipse.from_covariance_matrix (reference structures.py:1095-1147),
+    vectorized over stacked 2x2s via np.linalg.eigvalsh (same LAPACK path as
+    the reference). Returns (semi_major, semi_minor, rotation_deg)."""
+    a = np.atleast_1d(np.asarray(varx1, dtype=np.float64))
+    b = np.atleast_1d(np.asarray(cov, dtype=np.float64))
+    c = np.atleast_1d(np.asarray(varx2, dtype=np.float64))
+    mats = np.stack([np.stack([a, b], axis=-1),
+                     np.stack([b, c], axis=-1)], axis=-2)
+    eig = np.linalg.eigvalsh(mats)          # ascending per 2x2
+    l2, l1 = eig[..., 0], eig[..., 1]
+    with np.errstate(invalid='ignore'):
+        rotation = np.where(
+            b == 0,
+            np.where(a >= c, 0.0, 90.0),
+            np.degrees(np.arctan2(l1 - a, np.where(b == 0, 1.0, b))))
+    if from_trigonometric_rotation:
+        rotation = convert_trig_angle(rotation)
+    return np.sqrt(l1), np.sqrt(l2), rotation
 
 
 def canonical_ring(ring: np.ndarray) -> Tuple:

@@ -30,7 +30,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ['with_shape_derived', 'METERS_PER', 'convert_to_meters',
-           'buffer_dt', 'set_dt', 'strip_dt', 'track_extremes']
+           'buffer_dt', 'set_dt', 'strip_dt', 'track_extremes',
+           'covariance_from_ellipse_exprs', 'ellipse_from_covariance_exprs',
+           'with_ellipse_covariance', 'with_ellipse_from_covariance',
+           'split_by_length']
 
 # unit conversions (reference conversion.py:7-70)
 METERS_PER = {
@@ -101,6 +104,113 @@ def with_shape_derived(shapes: DataFrame) -> DataFrame:
             for k, v in cols.items():
                 out[k] = v
             yield out
+
+    return shapes.mapInPandas(run, schema=out_schema)
+
+
+# --- ellipse <-> 2x2 covariance (reference structures.py:1066-1147) --------
+
+def covariance_from_ellipse_exprs(semi_major, semi_minor, rotation,
+                                  to_trigonometric_rotation: bool = True):
+    """GeoEllipse.covariance_matrix as pure column expressions (JVM-side,
+    SQL-oracle-checkable). Returns (varx1, cov, varx2) Columns for the
+    symmetric 2x2 [[varx1, cov], [cov, varx2]].
+
+    Mirrors structures.py:1066-1093: rotation converted bearing->trig
+    ((90 - r) % 360, _geometry.py:485-501) unless disabled."""
+    rot = (F.pmod(F.lit(90.0) - rotation, F.lit(360.0))
+           if to_trigonometric_rotation else rotation)
+    rot = F.radians(rot)
+    cos_phi, sin_phi = F.cos(rot), F.sin(rot)
+    a2, b2 = semi_major * semi_major, semi_minor * semi_minor
+    varx1 = a2 * cos_phi * cos_phi + b2 * sin_phi * sin_phi
+    varx2 = a2 * sin_phi * sin_phi + b2 * cos_phi * cos_phi
+    cov = (a2 - b2) * sin_phi * cos_phi
+    return varx1, cov, varx2
+
+
+def ellipse_from_covariance_exprs(varx1, cov, varx2,
+                                  from_trigonometric_rotation: bool = True):
+    """GeoEllipse.from_covariance_matrix as column expressions. Closed-form
+    symmetric-2x2 eigenvalues ((a+c)/2 +- sqrt(((a-c)/2)^2 + b^2)) replace
+    the reference's np.linalg.eigvalsh (structures.py:1126-1129) — equal to
+    machine precision, and SQL-expressible. Returns
+    (semi_major, semi_minor, rotation_deg) Columns."""
+    a, b, c = varx1, cov, varx2
+    mean = (a + c) / 2
+    d = F.sqrt(((a - c) / 2) * ((a - c) / 2) + b * b)
+    l1, l2 = mean + d, mean - d
+    rot_trig = (F.when(b == 0, F.when(a >= c, F.lit(0.0)).otherwise(F.lit(90.0)))
+                .otherwise(F.degrees(F.atan2(l1 - a, b))))
+    rotation = (F.pmod(F.lit(90.0) - rot_trig, F.lit(360.0))
+                if from_trigonometric_rotation else rot_trig)
+    return F.sqrt(l1), F.sqrt(l2), rotation
+
+
+def with_ellipse_covariance(shapes: DataFrame,
+                            to_trigonometric_rotation: bool = True) -> DataFrame:
+    """Adds cov_xx / cov_xy / cov_yy per ellipse row of a canonical shapes
+    table (NULL for other kinds)."""
+    p = F.col('params')
+    varx1, cov, varx2 = covariance_from_ellipse_exprs(
+        p.getField('semi_major'), p.getField('semi_minor'),
+        F.coalesce(p.getField('rotation'), F.lit(0.0)),
+        to_trigonometric_rotation)
+    is_ellipse = F.col('kind') == 'ellipse'
+    return (shapes
+            .withColumn('cov_xx', F.when(is_ellipse, varx1))
+            .withColumn('cov_xy', F.when(is_ellipse, cov))
+            .withColumn('cov_yy', F.when(is_ellipse, varx2)))
+
+
+def with_ellipse_from_covariance(df: DataFrame,
+                                 xx_col: str = 'cov_xx', xy_col: str = 'cov_xy',
+                                 yy_col: str = 'cov_yy',
+                                 from_trigonometric_rotation: bool = True) -> DataFrame:
+    """Batch ellipse fitting: covariance columns -> semi_major / semi_minor /
+    rotation columns (from_covariance_matrix over a DataFrame)."""
+    maj, mino, rot = ellipse_from_covariance_exprs(
+        F.col(xx_col), F.col(xy_col), F.col(yy_col), from_trigonometric_rotation)
+    return (df.withColumn('semi_major', maj)
+            .withColumn('semi_minor', mino)
+            .withColumn('rotation', rot))
+
+
+def split_by_length(shapes: DataFrame, meters: float,
+                    rings_col: str = 'rings') -> DataFrame:
+    """GeoLineString.split_by_length (reference structures.py:1657-1726) over
+    a canonical shapes table: every linestring row explodes into one row per
+    chunk (chunk_idx, chunk vertices in ``rings``); all other columns are
+    replicated (the reference copies dt/properties onto every chunk).
+    Non-linestring rows pass through with chunk_idx 0.
+
+    Arrow-batched mapInPandas; each linestring is walked independently
+    (per-row sequential cut loop — the parallelism axis is rows)."""
+    if meters <= 0:
+        raise ValueError('Split length must be greater than 0.')
+    from geostructures_spark.kernels.shapes import split_linestring_by_length
+
+    out_schema = (', '.join(f'{f.name} {f.dataType.simpleString()}'
+                            for f in shapes.schema.fields) + ', chunk_idx int')
+    kind_idx = shapes.columns.index('kind')
+    rings_idx = shapes.columns.index(rings_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for row in pdf.itertuples(index=False):
+                if row[kind_idx] != 'linestring' or row[rings_idx] is None:
+                    out_rows.append((*row, 0))
+                    continue
+                verts = [(c['lon'], c['lat']) for c in row[rings_idx][0]]
+                chunks = split_linestring_by_length(np.asarray(verts), meters)
+                for ci, chunk in enumerate(chunks):
+                    new_rings = [[{'lon': float(x), 'lat': float(y)}
+                                  for x, y in chunk]]
+                    r = list(row)
+                    r[rings_idx] = new_rings
+                    out_rows.append((*r, ci))
+            yield pd.DataFrame(out_rows, columns=[*pdf.columns, 'chunk_idx'])
 
     return shapes.mapInPandas(run, schema=out_schema)
 

@@ -1,0 +1,153 @@
+"""Round-2 operator parity tests: ellipse covariance, split_by_length,
+simhash kernel semantics, canonical-ring dedup — reference goldens replayed
+through kernels and Spark operators.
+"""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from pyspark.sql import functions as F
+
+from geostructures_spark.plans.session import get_session
+
+
+@pytest.fixture(scope='module')
+def spark():
+    s = get_session(app='tests_r2', cores=4, shuffle_partitions=8)
+    yield s
+
+
+# --- ellipse <-> covariance (reference tests/structures/test_geoellipse.py:163-200)
+
+def test_ellipse_covariance_matrix_golden():
+    from geostructures_spark.kernels.shapes import ellipse_covariance_matrix
+    v1, c, v2 = ellipse_covariance_matrix(100.0, 50.0, 45.0)
+    assert_allclose([v1, c, v2], [6250.0, 3750.0, 6250.0])
+    v1, c, v2 = ellipse_covariance_matrix(100.0, 50.0, 90.0)
+    assert_allclose([v1, c, v2], [10000.0, 0.0, 2500.0], atol=1e-7)
+    v1, c, v2 = ellipse_covariance_matrix(100.0, 50.0, 90.0,
+                                          to_trigonometric_rotation=False)
+    assert_allclose([v1, c, v2], [2500.0, 0.0, 10000.0], atol=1e-7)
+
+
+def test_ellipse_from_covariance_golden():
+    from geostructures_spark.kernels.shapes import ellipse_from_covariance
+    maj, mino, rot = ellipse_from_covariance(6250.0, 3750.0, 6250.0)
+    assert_allclose([maj[0], mino[0], rot[0]], [100.0, 50.0, 45.0])
+    maj, mino, rot = ellipse_from_covariance(10000.0, 0.0, 2500.0)
+    assert_allclose([maj[0], mino[0], rot[0]], [100.0, 50.0, 90.0])
+    maj, mino, rot = ellipse_from_covariance(
+        2500.0, 0.0, 10000.0, from_trigonometric_rotation=False)
+    assert_allclose([maj[0], mino[0], rot[0]], [100.0, 50.0, 90.0])
+
+
+def test_ellipse_covariance_roundtrip_batch():
+    from geostructures_spark.kernels.shapes import (
+        ellipse_covariance_matrix, ellipse_from_covariance)
+    rng = np.random.default_rng(7)
+    maj = rng.uniform(50, 500, 200)
+    mino = maj * rng.uniform(0.2, 0.99, 200)
+    rot = rng.uniform(0, 180, 200)
+    v1, c, v2 = ellipse_covariance_matrix(maj, mino, rot)
+    rmaj, rmino, rrot = ellipse_from_covariance(v1, c, v2)
+    assert_allclose(rmaj, maj, rtol=1e-9)
+    assert_allclose(rmino, mino, rtol=1e-9)
+    assert_allclose(np.mod(rrot, 180), np.mod(rot, 180), atol=1e-7)
+
+
+def test_ellipse_covariance_spark_exprs(spark):
+    """Column-expression path agrees with the eigvalsh kernel path."""
+    from geostructures_spark.operators.derive import (
+        covariance_from_ellipse_exprs, ellipse_from_covariance_exprs)
+    df = spark.createDataFrame(
+        [(100.0, 50.0, 45.0), (100.0, 50.0, 90.0), (300.0, 120.0, 123.4)],
+        'semi_major double, semi_minor double, rotation double')
+    v1, c, v2 = covariance_from_ellipse_exprs(
+        F.col('semi_major'), F.col('semi_minor'), F.col('rotation'))
+    d = df.select('semi_major', 'semi_minor', 'rotation',
+                  v1.alias('v1'), c.alias('c'), v2.alias('v2'))
+    maj, mino, rot = ellipse_from_covariance_exprs(
+        F.col('v1'), F.col('c'), F.col('v2'))
+    rows = d.select('semi_major', 'semi_minor', 'rotation',
+                    maj.alias('maj'), mino.alias('mino'), rot.alias('rot')).collect()
+    for r in rows:
+        assert_allclose([r.maj, r.mino], [r.semi_major, r.semi_minor], rtol=1e-9)
+        assert_allclose(r.rot % 180, r.rotation % 180, atol=1e-7)
+
+
+# --- split_by_length (reference tests/structures/test_geolinestring.py:236-261)
+
+def test_split_by_length_golden_kernel():
+    from geostructures_spark.kernels.geodesy import destination_point
+    from geostructures_spark.kernels.shapes import split_linestring_by_length
+    c1 = (0.0, 0.0)
+    c2 = destination_point(*c1, 90.0, 1000.0)
+    c3 = destination_point(*c2, 0.0, 1000.0)
+    c1_mid = destination_point(*c1, 90.0, 750.0)
+    c2_mid = destination_point(*c2, 0.0, 500.0)
+    verts = np.array([c1, [float(c2[0]), float(c2[1])],
+                      [float(c3[0]), float(c3[1])]])
+    chunks = split_linestring_by_length(verts, 750.0)
+    assert len(chunks) == 3
+    assert_allclose(chunks[0], [c1, c1_mid], atol=1e-9)
+    assert_allclose(chunks[1],
+                    [c1_mid, (float(c2[0]), float(c2[1])), c2_mid], atol=1e-9)
+    assert_allclose(chunks[2],
+                    [c2_mid, (float(c3[0]), float(c3[1]))], atol=1e-9)
+    with pytest.raises(ValueError):
+        split_linestring_by_length(verts, 0)
+    with pytest.raises(ValueError):
+        split_linestring_by_length(verts, -5)
+
+
+def test_split_by_length_operator(spark):
+    from geostructures_spark.kernels.geodesy import destination_point
+    from geostructures_spark.operators.derive import split_by_length
+    c2 = destination_point(0.0, 0.0, 90.0, 2600.0)
+    rings = [[{'lon': 0.0, 'lat': 0.0},
+              {'lon': float(c2[0]), 'lat': float(c2[1])}]]
+    df = spark.createDataFrame(
+        [(1, 'linestring', rings), (2, 'point', [[{'lon': 5.0, 'lat': 5.0}]])],
+        'shape_id long, kind string, '
+        'rings array<array<struct<lon:double,lat:double>>>')
+    out = split_by_length(df, 1000.0).orderBy('shape_id', 'chunk_idx').collect()
+    ls = [r for r in out if r.shape_id == 1]
+    assert [r.chunk_idx for r in ls] == [0, 1, 2]
+    assert all(len(r.rings[0]) == 2 for r in ls)
+    # chunks chain: each chunk starts where the previous ended
+    for a, b in zip(ls, ls[1:]):
+        assert a.rings[0][-1] == b.rings[0][0]
+    # passthrough row
+    pt = [r for r in out if r.shape_id == 2]
+    assert len(pt) == 1 and pt[0].chunk_idx == 0
+
+
+# --- simhash kernel semantics (portable md5-based definition)
+
+def test_simhash_matches_pure_python(spark):
+    import hashlib
+    from geostructures_spark.operators.dedup import simhash_buckets
+
+    def py_simhash(text, bits=32):
+        import re
+        toks = re.split(' +', text.strip(' '))
+        n = len(toks)
+        counts = [0] * bits
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            for i in range(bits):
+                counts[i] += (h >> i) & 1
+        return sum((1 << i) for i in range(bits) if counts[i] * 2 >= n)
+
+    texts = ['the quick brown fox', 'the quick brown fox', 'a  b   c',
+             'jumps over the lazy dog', 'single']
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               'doc_id long, text string')
+    rows = {r.doc_id: (r.simhash, r.bucket)
+            for r in simhash_buckets(df).collect()}
+    for i, t in enumerate(texts):
+        exp = py_simhash(t)
+        assert rows[i][0] == exp
+        assert rows[i][1] == exp >> 16
+    assert rows[0] == rows[1]  # identical docs collide exactly
