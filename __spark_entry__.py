@@ -1255,6 +1255,45 @@ _ELLIPSE_COV_DUCK = f"""
 """
 
 
+def _q_shape_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-ring polygon dedup (reference structures.py:348-355,
+    _base.py:880-888): per customer, three constructed duplicates of the
+    same pentagon — identity, vertex-list rotation, and reversed orientation
+    — must land in one canonical group (hash groupBy on the canonical key)."""
+    from geostructures_spark.operators.shape_dedup import dedup_shapes
+    _load(spark, sf_dir, 'customer')
+    pts = spark.sql(_pts_customer_sql()).filter(F.col('pid') <= 400)
+    offs = [(0.0, 0.0), (0.01, 0.002), (0.013, 0.009), (0.004, 0.014),
+            (-0.004, 0.007)]
+    verts = F.array(*[F.struct((F.col('lon') + F.lit(dx)).alias('lon'),
+                               (F.col('lat') + F.lit(dy)).alias('lat'))
+                      for dx, dy in offs])
+    variants = spark.createDataFrame([(0,), (1,), (2,)], 'variant int')
+    df = pts.crossJoin(F.broadcast(variants))
+    r = (F.col('pid') % 4 + 1).cast('int')
+    rot = (F.when(F.col('variant') == 0, verts)
+           .otherwise(F.concat(F.slice(verts, r + 1, F.lit(5) - r),
+                               F.slice(verts, F.lit(1), r))))
+    ring_open = F.when(F.col('variant') == 2, F.reverse(rot)).otherwise(rot)
+    ring = F.concat(ring_open, F.slice(ring_open, 1, 1))  # self-close
+    shapes = df.select(
+        (F.col('pid') * 10 + F.col('variant')).cast('long').alias('shape_id'),
+        F.lit('polygon').alias('kind'),
+        F.array(ring).alias('rings'))
+    groups = dedup_shapes(shapes)
+    return (groups.select(F.col('min_shape_id').cast('long').alias('min_shape_id'),
+                          F.col('n_shapes').cast('long').alias('n_shapes'))
+            .orderBy('min_shape_id'))
+
+
+_SHAPE_DEDUP_DUCK = f"""
+  WITH pts AS ({_pts_customer_sql()})
+  SELECT CAST(pid * 10 AS BIGINT) AS min_shape_id, CAST(3 AS BIGINT) AS n_shapes
+  FROM pts WHERE pid <= 400
+  ORDER BY min_shape_id
+"""
+
+
 # single-edge linestrings for split_by_length: v1 = destination(v0, theta, D)
 # with the engine's haversine-destination formula spelled out in SQL (valid
 # in Spark SQL and DuckDB; D never a multiple of the 1000 m split length)
@@ -1404,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'media_features_stub': _q_media_features,
         'ellipse_covariance_roundtrip': _q_ellipse_covariance,
         'split_by_length_chunks': _q_split_by_length,
+        'shape_dedup_groups': _q_shape_dedup,
     }
 
 
@@ -1453,4 +1493,5 @@ def oracle_sql() -> dict[str, str]:
         'ivf_ann_topk': _IVF_ANN_DUCK,
         'ellipse_covariance_roundtrip': _ELLIPSE_COV_DUCK,
         'split_by_length_chunks': _split_by_length_duckdb(),
+        'shape_dedup_groups': _SHAPE_DEDUP_DUCK,
     }

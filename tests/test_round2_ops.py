@@ -123,6 +123,54 @@ def test_split_by_length_operator(spark):
     assert len(pt) == 1 and pt[0].chunk_idx == 0
 
 
+# --- canonical shape dedup (reference structures.py:348-355, _base.py:880-888)
+
+def test_canonical_shape_key_invariances():
+    from geostructures_spark.operators.shape_dedup import canonical_shape_key
+    sq = [{'lon': 0.0, 'lat': 0.0}, {'lon': 1.0, 'lat': 0.0},
+          {'lon': 1.0, 'lat': 1.0}, {'lon': 0.0, 'lat': 1.0},
+          {'lon': 0.0, 'lat': 0.0}]
+    rot = sq[2:4] + sq[0:2] + [sq[2]]          # rotated start, re-closed
+    rev = list(reversed(sq))                   # reversed orientation
+    h1 = [{'lon': 0.2, 'lat': 0.2}, {'lon': 0.3, 'lat': 0.2},
+          {'lon': 0.25, 'lat': 0.3}, {'lon': 0.2, 'lat': 0.2}]
+    h2 = [{'lon': 0.6, 'lat': 0.6}, {'lon': 0.7, 'lat': 0.6},
+          {'lon': 0.65, 'lat': 0.7}, {'lon': 0.6, 'lat': 0.6}]
+    k = canonical_shape_key('polygon', rings=[sq])
+    assert canonical_shape_key('polygon', rings=[rot]) == k
+    assert canonical_shape_key('polygon', rings=[rev]) == k
+    # hole order is a set (reference __eq__ compares hole sets)
+    assert (canonical_shape_key('polygon', rings=[sq, h1, h2]) ==
+            canonical_shape_key('polygon', rings=[sq, h2, h1]))
+    assert canonical_shape_key('polygon', rings=[sq, h1]) != k
+    # parametric kinds compare on params; dt participates
+    c = {'center_lon': 1.0, 'center_lat': 2.0, 'radius': 500.0}
+    assert (canonical_shape_key('circle', params=c) ==
+            canonical_shape_key('circle', params=dict(c)))
+    assert (canonical_shape_key('circle', params=c) !=
+            canonical_shape_key('circle', params={**c, 'radius': 501.0}))
+    assert (canonical_shape_key('circle', params=c, dt_start='2020-01-01') !=
+            canonical_shape_key('circle', params=c))
+
+
+def test_shape_equality_join(spark):
+    from geostructures_spark.operators.shape_dedup import shape_equality_join
+    sq = [{'lon': 0.0, 'lat': 0.0}, {'lon': 1.0, 'lat': 0.0},
+          {'lon': 1.0, 'lat': 1.0}, {'lon': 0.0, 'lat': 0.0}]
+    rot = sq[1:3] + [sq[0], sq[1]]
+    other = [{'lon': 5.0, 'lat': 5.0}, {'lon': 6.0, 'lat': 5.0},
+             {'lon': 6.0, 'lat': 6.0}, {'lon': 5.0, 'lat': 5.0}]
+    schema = ('shape_id long, kind string, '
+              'rings array<array<struct<lon:double,lat:double>>>')
+    a = spark.createDataFrame([(1, 'polygon', [sq]), (2, 'polygon', [other])],
+                              schema)
+    b = spark.createDataFrame([(10, 'polygon', [rot]), (20, 'polygon', [sq])],
+                              schema)
+    pairs = {(r.a_id, r.b_id)
+             for r in shape_equality_join(a, b).collect()}
+    assert pairs == {(1, 10), (1, 20)}
+
+
 # --- simhash kernel semantics (portable md5-based definition)
 
 def test_simhash_matches_pure_python(spark):
