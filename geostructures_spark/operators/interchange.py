@@ -31,7 +31,11 @@ __all__ = ['parse_wkt_df', 'to_wkt_df', 'parse_geojson_df', 'to_geojson_df',
            'wkt_to_shape_row', 'shape_row_to_wkt', 'SHAPE_ROW_SCHEMA']
 
 SHAPE_ROW_SCHEMA = ('kind string, '
-                    'rings array<array<struct<lon:double,lat:double>>>')
+                    'rings array<array<struct<lon:double,lat:double>>>, '
+                    'poly_sizes array<int>')
+# poly_sizes preserves the reference's per-polygon [outline, *holes] grouping
+# for multipolygons (multistructures.py:663-682): rings are stored flat and
+# poly_sizes[i] counts the rings of child polygon i (NULL for other kinds).
 
 _HEAD_RE = re.compile(
     r'^\s*(MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|POINT|LINESTRING|POLYGON)'
@@ -90,7 +94,8 @@ def wkt_to_shape_row(wkt: str) -> Optional[dict]:
         return {'kind': 'multilinestring',
                 'rings': [[{'lon': x, 'lat': y} for x, y in r] for r in rings if r]}
     if tag == 'MULTIPOLYGON':
-        # split top-level ring groups
+        # split top-level ring groups; keep [outline, *holes] per polygon
+        # (reference multistructures.py:663-682)
         groups = []
         depth = 0
         start = None
@@ -104,18 +109,37 @@ def wkt_to_shape_row(wkt: str) -> Optional[dict]:
                 if depth == 0:
                     groups.append(body[start:i + 1])
         rings = []
+        poly_sizes = []
         for g in groups:
+            n = 0
             for r in _RING_RE.findall(g):
                 pts = _parse_coords(r)
                 if pts:
                     rings.append([{'lon': x, 'lat': y} for x, y in pts])
-        return {'kind': 'multipolygon', 'rings': rings}
+                    n += 1
+            if n:
+                poly_sizes.append(n)
+        return {'kind': 'multipolygon', 'rings': rings,
+                'poly_sizes': poly_sizes}
     return None
 
 
-def shape_row_to_wkt(kind: str, rings) -> str:
+def _ring_groups(rings, poly_sizes):
+    """Flat rings + poly_sizes -> per-polygon [outline, *holes] groups
+    (one ring per group when sizes are absent)."""
+    if poly_sizes is None or len(poly_sizes) == 0:
+        return [[r] for r in rings]
+    groups, i = [], 0
+    for n in poly_sizes:
+        groups.append(list(rings[i:i + n]))
+        i += n
+    return groups
+
+
+def shape_row_to_wkt(kind: str, rings, poly_sizes=None) -> str:
     """Canonical row -> WKT (reference to_wkt emitters,
-    structures.py:217-233, _base.py:207-220)."""
+    structures.py:217-233, _base.py:207-220; multipolygon hole grouping
+    multistructures.py:700-712)."""
     def xy(c):
         try:
             return c['lon'], c['lat']
@@ -137,7 +161,9 @@ def shape_row_to_wkt(kind: str, rings) -> str:
     if kind == 'multilinestring':
         return 'MULTILINESTRING (' + ', '.join(ring_str(r) for r in rings) + ')'
     if kind == 'multipolygon':
-        return 'MULTIPOLYGON (' + ', '.join(f'({ring_str(r)})' for r in rings) + ')'
+        groups = _ring_groups(rings, poly_sizes)
+        return 'MULTIPOLYGON (' + ', '.join(
+            '(' + ', '.join(ring_str(r) for r in g) + ')' for g in groups) + ')'
     raise ValueError(f'cannot emit WKT for kind: {kind}')
 
 
@@ -151,15 +177,17 @@ def parse_wkt_df(df: DataFrame, wkt_col: str = 'wkt') -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            kinds, rings = [], []
+            kinds, rings, sizes = [], [], []
             for w in pdf[wkt_col]:
                 row = wkt_to_shape_row(w)
                 kinds.append(row['kind'] if row else None)
-                rings.append([[ (c['lon'], c['lat']) for c in ring]
+                rings.append([[(c['lon'], c['lat']) for c in ring]
                               for ring in row['rings']] if row else None)
+                sizes.append(row.get('poly_sizes') if row else None)
             pdf = pdf.copy()
             pdf['kind'] = kinds
             pdf['rings'] = rings
+            pdf['poly_sizes'] = sizes
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
@@ -167,11 +195,15 @@ def parse_wkt_df(df: DataFrame, wkt_col: str = 'wkt') -> DataFrame:
 
 def to_wkt_df(shapes: DataFrame, kind_col: str = 'kind',
               rings_col: str = 'rings', out_col: str = 'wkt') -> DataFrame:
+    has_sizes = 'poly_sizes' in shapes.columns
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[out_col] = [shape_row_to_wkt(k, r)
-                            for k, r in zip(pdf[kind_col], pdf[rings_col])]
+            sizes = pdf['poly_sizes'] if has_sizes else [None] * len(pdf)
+            pdf[out_col] = [shape_row_to_wkt(k, r, s)
+                            for k, r, s in zip(pdf[kind_col], pdf[rings_col],
+                                               sizes)]
             yield pdf
 
     out_schema = ', '.join(f'{f.name} {f.dataType.simpleString()}'
@@ -187,20 +219,24 @@ _GJ_KIND = {'Point': 'point', 'LineString': 'linestring', 'Polygon': 'polygon',
 _KIND_GJ = {v: k for k, v in _GJ_KIND.items()}
 
 
-def _gj_to_rings(kind: str, coords) -> list:
+def _gj_to_rings(kind: str, coords):
+    """-> (rings, poly_sizes): sizes keep the multipolygon hole grouping."""
     if kind == 'point':
-        return [[{'lon': coords[0], 'lat': coords[1]}]]
+        return [[{'lon': coords[0], 'lat': coords[1]}]], None
     if kind == 'linestring':
-        return [[{'lon': c[0], 'lat': c[1]} for c in coords]]
+        return [[{'lon': c[0], 'lat': c[1]} for c in coords]], None
     if kind == 'polygon':
-        return [[{'lon': c[0], 'lat': c[1]} for c in ring] for ring in coords]
-    if kind == 'multipoint':
-        return [[{'lon': c[0], 'lat': c[1]}] for c in coords]
-    if kind == 'multilinestring':
-        return [[{'lon': c[0], 'lat': c[1]} for c in line] for line in coords]
-    if kind == 'multipolygon':
         return [[{'lon': c[0], 'lat': c[1]} for c in ring]
-                for poly in coords for ring in poly]
+                for ring in coords], None
+    if kind == 'multipoint':
+        return [[{'lon': c[0], 'lat': c[1]}] for c in coords], None
+    if kind == 'multilinestring':
+        return [[{'lon': c[0], 'lat': c[1]} for c in line]
+                for line in coords], None
+    if kind == 'multipolygon':
+        rings = [[{'lon': c[0], 'lat': c[1]} for c in ring]
+                 for poly in coords for ring in poly]
+        return rings, [len(poly) for poly in coords]
     raise ValueError(kind)
 
 
@@ -213,7 +249,7 @@ def parse_geojson_df(df: DataFrame, geojson_col: str = 'geojson') -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            kinds, rings, props = [], [], []
+            kinds, rings, sizes, props = [], [], [], []
             for s in pdf[geojson_col]:
                 try:
                     obj = json.loads(s)
@@ -225,17 +261,20 @@ def parse_geojson_df(df: DataFrame, geojson_col: str = 'geojson') -> DataFrame:
                         geom = obj
                         prop = {}
                     kind = _GJ_KIND[geom['type']]
-                    rr = _gj_to_rings(kind, geom['coordinates'])
+                    rr, ps = _gj_to_rings(kind, geom['coordinates'])
                     kinds.append(kind)
                     rings.append([[(c['lon'], c['lat']) for c in ring] for ring in rr])
+                    sizes.append(ps)
                     props.append(prop)
                 except Exception:
                     kinds.append(None)
                     rings.append(None)
+                    sizes.append(None)
                     props.append(None)
             pdf = pdf.copy()
             pdf['kind'] = kinds
             pdf['rings'] = rings
+            pdf['poly_sizes'] = sizes
             pdf['properties'] = props
             yield pdf
 
@@ -244,8 +283,11 @@ def parse_geojson_df(df: DataFrame, geojson_col: str = 'geojson') -> DataFrame:
 
 def to_geojson_df(shapes: DataFrame, kind_col: str = 'kind',
                   rings_col: str = 'rings', out_col: str = 'geojson') -> DataFrame:
-    """Canonical rows -> GeoJSON geometry strings (serializers.py:55-120)."""
-    def emit(kind, rings):
+    """Canonical rows -> GeoJSON geometry strings (serializers.py:55-120;
+    multipolygon hole grouping via poly_sizes, multistructures.py:684-698)."""
+    has_sizes = 'poly_sizes' in shapes.columns
+
+    def emit(kind, rings, poly_sizes=None):
         def xy(c):
             try:
                 return float(c['lon']), float(c['lat'])
@@ -263,7 +305,7 @@ def to_geojson_df(shapes: DataFrame, kind_col: str = 'kind',
         elif kind == 'multilinestring':
             coords = rr
         elif kind == 'multipolygon':
-            coords = [[r] for r in rr]
+            coords = _ring_groups(rr, poly_sizes)
         else:
             raise ValueError(kind)
         return json.dumps({'type': _KIND_GJ[kind], 'coordinates': coords},
@@ -272,7 +314,10 @@ def to_geojson_df(shapes: DataFrame, kind_col: str = 'kind',
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[out_col] = [emit(k, r) for k, r in zip(pdf[kind_col], pdf[rings_col])]
+            sizes = pdf['poly_sizes'] if has_sizes else [None] * len(pdf)
+            pdf[out_col] = [emit(k, r, s)
+                            for k, r, s in zip(pdf[kind_col], pdf[rings_col],
+                                               sizes)]
             yield pdf
 
     out_schema = ', '.join(f'{f.name} {f.dataType.simpleString()}'

@@ -41,7 +41,7 @@ _PARAM_ORDER = ('center_lon', 'center_lat', 'radius', 'semi_major',
 
 
 def canonical_shape_key(kind, rings=None, params=None,
-                        dt_start=None, dt_end=None) -> str:
+                        dt_start=None, dt_end=None, poly_sizes=None) -> str:
     """Deterministic equality key for one canonical shape row."""
     parts = [str(kind)]
     n_rings = 0 if rings is None else len(rings)
@@ -57,7 +57,16 @@ def canonical_shape_key(kind, rings=None, params=None,
             parts.append(forms[0][1])
             parts.extend(sorted(f for _, f in forms[1:]))
         else:
-            parts.extend(sorted(f for _, f in forms))
+            # multipolygon: unordered set of per-polygon
+            # (outline, sorted holes) groups, respecting poly_sizes
+            sizes = ([1] * n_rings if poly_sizes is None or not len(poly_sizes)
+                     else [int(n) for n in poly_sizes])
+            groups, i = [], 0
+            for n in sizes:
+                g = forms[i:i + n]
+                groups.append(g[0][1] + '||' + '|'.join(sorted(f for _, f in g[1:])))
+                i += n
+            parts.extend(sorted(groups))
     elif n_rings:
         # linestring / point-list kinds: vertex order is significant
         for ring in rings:
@@ -76,7 +85,8 @@ def with_canonical_key(shapes: DataFrame, key_col: str = 'canon_key') -> DataFra
     cols = shapes.columns
     out_schema = (', '.join(f'{f.name} {f.dataType.simpleString()}'
                             for f in shapes.schema.fields) + f', {key_col} string')
-    has = {c: c in cols for c in ('rings', 'params', 'dt_start', 'dt_end')}
+    has = {c: c in cols for c in ('rings', 'params', 'dt_start', 'dt_end',
+                                  'poly_sizes')}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -87,7 +97,8 @@ def with_canonical_key(shapes: DataFrame, key_col: str = 'canon_key') -> DataFra
                     rings=row.get('rings') if has['rings'] else None,
                     params=row.get('params') if has['params'] else None,
                     dt_start=row.get('dt_start') if has['dt_start'] else None,
-                    dt_end=row.get('dt_end') if has['dt_end'] else None))
+                    dt_end=row.get('dt_end') if has['dt_end'] else None,
+                    poly_sizes=row.get('poly_sizes') if has['poly_sizes'] else None))
             pdf = pdf.copy()
             pdf[key_col] = keys
             yield pdf

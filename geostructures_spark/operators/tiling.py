@@ -49,7 +49,12 @@ SHAPES_SCHEMA_DDL = (
 
 
 def shape_row_to_kernel(row: Dict) -> Dict:
-    """Convert a shapes-table row (dict form) to a kernel shape dict."""
+    """Convert a shapes-table row (dict form) to a kernel shape dict.
+
+    Multi-kinds expand into kernel children: multipolygon groups its flat
+    rings into per-polygon [outline, *holes] via the row's ``poly_sizes``
+    (reference multistructures.py:663-682; one ring per child when sizes are
+    absent), multilinestring/multipoint get one child per ring."""
     params = {k: v for k, v in (row.get('params') or {}).items() if v is not None}
     rings = row.get('rings')
     np_rings: Optional[List[np.ndarray]] = None
@@ -57,7 +62,30 @@ def shape_row_to_kernel(row: Dict) -> Dict:
         np_rings = [np.array([[c['lon'], c['lat']] if isinstance(c, dict)
                               else [c[0], c[1]] for c in ring], dtype=np.float64)
                     for ring in rings]
-    return {'kind': row['kind'], 'params': params, 'rings': np_rings,
+    kind = row['kind']
+    if kind in ('multipolygon', 'multilinestring', 'multipoint') and np_rings:
+        children: List[Dict] = []
+        if kind == 'multipolygon':
+            sizes = row.get('poly_sizes')
+            if sizes is None or not len(sizes):
+                sizes = [1] * len(np_rings)
+            i = 0
+            for n in sizes:
+                children.append({'kind': 'polygon', 'params': {},
+                                 'rings': np_rings[i:i + int(n)],
+                                 'children': None})
+                i += int(n)
+        elif kind == 'multilinestring':
+            children = [{'kind': 'linestring', 'params': {}, 'rings': [r],
+                         'children': None} for r in np_rings]
+        else:
+            children = [{'kind': 'point',
+                         'params': {'center_lon': float(r[0, 0]),
+                                    'center_lat': float(r[0, 1])},
+                         'rings': None, 'children': None} for r in np_rings]
+        return {'kind': kind, 'params': params, 'rings': np_rings,
+                'children': children}
+    return {'kind': kind, 'params': params, 'rings': np_rings,
             'children': None}
 
 

@@ -171,6 +171,52 @@ def test_shape_equality_join(spark):
     assert pairs == {(1, 10), (1, 20)}
 
 
+# --- WKT/GeoJSON multipolygon hole grouping (multistructures.py:663-712)
+
+HOLED_MP_WKT = ('MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0), '
+                '(1 1, 3 1, 3 3, 1 3, 1 1)), '
+                '((10 10, 12 10, 12 12, 10 12, 10 10)))')
+
+
+def test_wkt_multipolygon_hole_grouping_roundtrip(spark):
+    from geostructures_spark.operators.interchange import (
+        parse_wkt_df, to_geojson_df, to_wkt_df)
+    df = spark.createDataFrame([(1, HOLED_MP_WKT)], 'id long, wkt string')
+    parsed = parse_wkt_df(df)
+    row = parsed.collect()[0]
+    assert row.kind == 'multipolygon'
+    assert list(row.poly_sizes) == [2, 1]       # [outline+hole, outline]
+    assert len(row.rings) == 3
+    # WKT round trip preserves the grouping
+    emitted = to_wkt_df(parsed.select('id', 'kind', 'rings', 'poly_sizes'),
+                        out_col='wkt2').collect()[0]
+    re = parse_wkt_df(spark.createDataFrame([(1, emitted.wkt2)],
+                                            'id long, wkt2 string'),
+                      wkt_col='wkt2').collect()[0]
+    assert list(re.poly_sizes) == [2, 1]
+    # GeoJSON emitter groups too
+    import json
+    gj = to_geojson_df(parsed.select('id', 'kind', 'rings', 'poly_sizes'))
+    coords = json.loads(gj.collect()[0].geojson)['coordinates']
+    assert [len(p) for p in coords] == [2, 1]
+
+
+def test_parsed_multipolygon_containment_with_hole(spark):
+    """A parsed holed multipolygon must reject points in the hole —
+    exercises shape_row_to_kernel's poly_sizes grouping end-to-end."""
+    from geostructures_spark.kernels.shapes import shape_contains_points
+    from geostructures_spark.operators.interchange import parse_wkt_df
+    from geostructures_spark.operators.tiling import shape_row_to_kernel
+    df = spark.createDataFrame([(1, HOLED_MP_WKT)], 'id long, wkt string')
+    row = parse_wkt_df(df).collect()[0].asDict(recursive=True)
+    shape = shape_row_to_kernel(row)
+    assert shape['children'] is not None and len(shape['children']) == 2
+    got = shape_contains_points(shape, [0.5, 2.0, 11.0, 20.0],
+                                [0.5, 2.0, 11.0, 20.0])
+    # 2.0 is inside the hole; 11.0 inside the second polygon
+    assert list(got) == [True, False, True, False]
+
+
 # --- simhash kernel semantics (portable md5-based definition)
 
 def test_simhash_matches_pure_python(spark):
