@@ -1255,6 +1255,148 @@ _ELLIPSE_COV_DUCK = f"""
 """
 
 
+def _q_wkt_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_wkt -> parse_wkt round trip (serializers, structures.py:217-233):
+    constructed triangles serialize and reparse to bit-identical doubles
+    (repr float round trip)."""
+    from geostructures_spark.operators.interchange import parse_wkt_df, to_wkt_df
+    _load(spark, sf_dir, 'customer')
+    pts = spark.sql(_pts_customer_sql()).filter(F.col('pid') <= 400)
+    ring = F.array(
+        F.struct(F.col('lon').alias('lon'), F.col('lat').alias('lat')),
+        F.struct((F.col('lon') + 0.01).alias('lon'), F.col('lat').alias('lat')),
+        F.struct(F.col('lon').alias('lon'), (F.col('lat') + 0.01).alias('lat')),
+        F.struct(F.col('lon').alias('lon'), F.col('lat').alias('lat')))
+    shapes = pts.select(F.col('pid').cast('long').alias('pid'),
+                        F.lit('polygon').alias('kind'),
+                        F.array(ring).alias('rings'))
+    wkt = to_wkt_df(shapes)
+    parsed = parse_wkt_df(wkt.select('pid', 'wkt'))
+    r0 = F.element_at('rings', 1)
+    return (parsed.select(
+        'pid', 'kind',
+        F.size('rings').cast('int').alias('n_rings'),
+        F.size(r0).cast('int').alias('n_verts'),
+        F.element_at(r0, 2).getField('lon').alias('v2_lon'),
+        F.element_at(r0, 3).getField('lat').alias('v3_lat'))
+        .orderBy('pid'))
+
+
+_WKT_SERIALIZE_DUCK = f"""
+  WITH pts AS ({_pts_customer_sql()})
+  SELECT CAST(pid AS BIGINT) AS pid, 'polygon' AS kind,
+         1 AS n_rings, 4 AS n_verts,
+         lon + 0.01e0 AS v2_lon, lat + 0.01e0 AS v3_lat
+  FROM pts WHERE pid <= 400 ORDER BY pid
+"""
+
+
+def _q_geojson_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_geojson -> parse_geojson round trip for a holed multipolygon —
+    exercises the per-polygon [outline, holes] grouping both ways
+    (multistructures.py:663-712)."""
+    from geostructures_spark.operators.interchange import (
+        parse_geojson_df, to_geojson_df)
+    _load(spark, sf_dir, 'customer')
+    pts = spark.sql(_pts_customer_sql()).filter(F.col('pid') <= 400)
+
+    def pt(dx, dy):
+        return F.struct((F.col('lon') + dx).alias('lon'),
+                        (F.col('lat') + dy).alias('lat'))
+
+    outer = F.array(pt(0.0, 0.0), pt(0.04, 0.0), pt(0.04, 0.04),
+                    pt(0.0, 0.04), pt(0.0, 0.0))
+    hole = F.array(pt(0.01, 0.01), pt(0.02, 0.01), pt(0.02, 0.02),
+                   pt(0.01, 0.01))
+    second = F.array(pt(0.1, 0.1), pt(0.12, 0.1), pt(0.11, 0.12),
+                     pt(0.1, 0.1))
+    shapes = pts.select(
+        F.col('pid').cast('long').alias('pid'),
+        F.lit('multipolygon').alias('kind'),
+        F.array(outer, hole, second).alias('rings'),
+        F.array(F.lit(2), F.lit(1)).cast('array<int>').alias('poly_sizes'))
+    gj = to_geojson_df(shapes)
+    parsed = parse_geojson_df(gj.select('pid', 'geojson'))
+    return (parsed.select(
+        'pid', 'kind',
+        F.element_at('poly_sizes', 1).cast('int').alias('ps1'),
+        F.element_at('poly_sizes', 2).cast('int').alias('ps2'),
+        F.size('rings').cast('int').alias('n_rings'),
+        F.element_at(F.element_at('rings', 2), 1).getField('lon').alias('hole_lon'))
+        .orderBy('pid'))
+
+
+_GEOJSON_SERIALIZE_DUCK = f"""
+  WITH pts AS ({_pts_customer_sql()})
+  SELECT CAST(pid AS BIGINT) AS pid, 'multipolygon' AS kind,
+         2 AS ps1, 1 AS ps2, 3 AS n_rings, lon + 0.01e0 AS hole_lon
+  FROM pts WHERE pid <= 400 ORDER BY pid
+"""
+
+
+def _q_vincenty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vincenty inverse distance on WGS84 (reference geodesic.py:81-165) per
+    customer point to its offset pair, via the vectorized batch-convergence
+    kernel; oracle unrolls the lambda fixed-point iteration in SQL."""
+    from geostructures_spark.functions.geo import vincenty_distance_udf
+    _load(spark, sf_dir, 'customer')
+    pts = spark.sql(_pts_customer_sql())
+    vd = vincenty_distance_udf()
+    return (pts.select(
+        F.col('pid').cast('long').alias('pid'),
+        F.round(vd(F.col('lon'), F.col('lat'),
+                   F.col('lon') + 0.5, F.col('lat') + 0.3), 4).alias('vincenty_m'))
+        .orderBy('pid'))
+
+
+def _vincenty_duckdb(n_iter: int = 12) -> str:
+    """Vincenty inverse unrolled: the lambda iteration reaches its double
+    fixed point in ~4 steps for these non-antipodal pairs, so a fixed
+    12-step unroll equals the kernel's converge-then-stop loop to ~1e-11 m
+    (output rounded to 4 decimals)."""
+    ff = '(1.0e0/298.257223563e0)'
+    aa = '6378137.0e0'
+    bb = f'({aa} * (1.0e0 - {ff}))'
+    cur = f"""
+      (SELECT pid,
+              atan((1.0e0 - {ff}) * tan(radians(lat))) AS u1,
+              atan((1.0e0 - {ff}) * tan(radians(lat + 0.3e0))) AS u2,
+              radians(lon + 0.5e0) - radians(lon) AS ll
+       FROM ({_pts_customer_sql()}) p0)"""
+    cur = (f"(SELECT *, sin(u1) AS su1, cos(u1) AS cu1, sin(u2) AS su2, "
+           f"cos(u2) AS cu2, ll AS lam0 FROM {cur} bb0)")
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        cur = (f"(SELECT *, sin(lam{p}) AS sl{i}, cos(lam{p}) AS cl{i} "
+               f"FROM {cur} a{i})")
+        cur = (f"(SELECT *, sqrt(power(cu2*sl{i}, 2) + "
+               f"power(cu1*su2 - su1*cu2*cl{i}, 2)) AS ss{i}, "
+               f"su1*su2 + cu1*cu2*cl{i} AS cs{i} FROM {cur} b{i})")
+        cur = (f"(SELECT *, atan2(ss{i}, cs{i}) AS sg{i}, "
+               f"cu1*cu2*sl{i}/ss{i} AS sa{i} FROM {cur} c{i})")
+        cur = f"(SELECT *, 1.0e0 - sa{i}*sa{i} AS ca2{i} FROM {cur} d{i})"
+        cur = (f"(SELECT *, cs{i} - 2.0e0*su1*su2/ca2{i} AS c2m{i}, "
+               f"{ff}/16.0e0*ca2{i}*(4.0e0 + {ff}*(4.0e0 - 3.0e0*ca2{i})) AS cc{i} "
+               f"FROM {cur} e{i})")
+        cur = (f"(SELECT *, ll + (1.0e0 - cc{i})*{ff}*sa{i}*(sg{i} + "
+               f"cc{i}*ss{i}*(c2m{i} + cc{i}*cs{i}*(-1.0e0 + "
+               f"2.0e0*c2m{i}*c2m{i}))) AS lam{i} FROM {cur} f{i})")
+    n = n_iter
+    cur = (f"(SELECT *, ca2{n}*({aa}*{aa} - {bb}*{bb})/({bb}*{bb}) AS usq "
+           f"FROM {cur} g0)")
+    cur = (f"(SELECT *, 1.0e0 + usq/16384.0e0*(4096.0e0 + usq*(-768.0e0 + "
+           f"usq*(320.0e0 - 175.0e0*usq))) AS biga, "
+           f"usq/1024.0e0*(256.0e0 + usq*(-128.0e0 + usq*(74.0e0 - "
+           f"47.0e0*usq))) AS bigb FROM {cur} g1)")
+    cur = (f"(SELECT *, bigb*ss{n}*(c2m{n} + bigb/4.0e0*(cs{n}*(-1.0e0 + "
+           f"2.0e0*c2m{n}*c2m{n}) - bigb/6.0e0*c2m{n}*(-3.0e0 + "
+           f"4.0e0*ss{n}*ss{n})*(-3.0e0 + 4.0e0*c2m{n}*c2m{n}))) AS dsig "
+           f"FROM {cur} g2)")
+    return (f"SELECT CAST(pid AS BIGINT) AS pid, "
+            f"ROUND({bb}*biga*(sg{n} - dsig), 4) AS vincenty_m "
+            f"FROM {cur} fin ORDER BY pid")
+
+
 def _q_shape_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-ring polygon dedup (reference structures.py:348-355,
     _base.py:880-888): per customer, three constructed duplicates of the
@@ -1444,6 +1586,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ellipse_covariance_roundtrip': _q_ellipse_covariance,
         'split_by_length_chunks': _q_split_by_length,
         'shape_dedup_groups': _q_shape_dedup,
+        'wkt_serialize_roundtrip': _q_wkt_serialize,
+        'geojson_serialize_roundtrip': _q_geojson_serialize,
+        'vincenty_distance_pairs': _q_vincenty,
     }
 
 
@@ -1494,4 +1639,7 @@ def oracle_sql() -> dict[str, str]:
         'ellipse_covariance_roundtrip': _ELLIPSE_COV_DUCK,
         'split_by_length_chunks': _split_by_length_duckdb(),
         'shape_dedup_groups': _SHAPE_DEDUP_DUCK,
+        'wkt_serialize_roundtrip': _WKT_SERIALIZE_DUCK,
+        'geojson_serialize_roundtrip': _GEOJSON_SERIALIZE_DUCK,
+        'vincenty_distance_pairs': _vincenty_duckdb(),
     }

@@ -35,6 +35,65 @@ HEADLINE = [
 PAGES_BENCH_ROWS = int(os.environ.get('SPARK_GRAFT_BENCH_PAGES', '200000'))
 
 
+def _stress_spatial(spark, sf_dir: str) -> dict:
+    """Scale-hardening stress rows:
+    - spatial_join_spec20k: 20k-shape catalog forced down the no-broadcast
+      spec path (geometry ships through the join; zero driver collect);
+    - spatial_join_hot_unsalted / _salted16: 20k points in ONE hot cell
+      against 50 covering circles through the shuffle-join path, with and
+      without explicit cell#shard salting."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from geostructures_spark.operators.spatial_join import spatial_join_points
+
+    out = {}
+    shapes = spark.range(20000).selectExpr(
+        'id AS shape_id', "'circle' AS kind",
+        'named_struct('
+        '"center_lon", ((id * 7919) % 360000) / 1000.0D - 180.0D + 0.000123D, '
+        '"center_lat", ((id * 104729) % 170000) / 1000.0D - 85.0D + 0.000321D, '
+        '"radius", 150000.0D) AS params',
+        'CAST(NULL AS array<array<struct<lon:double,lat:double>>>) AS rings',
+        'CAST(NULL AS timestamp) AS dt_start',
+        'CAST(NULL AS timestamp) AS dt_end')
+    pts = spark.read.parquet(os.path.join(sf_dir, 'customer.parquet')).selectExpr(
+        'c_custkey AS url',
+        '((c_custkey * 7919) % 360000) / 1000.0D - 180.0D + 0.000123D AS lon',
+        '((c_custkey * 104729) % 170000) / 1000.0D - 85.0D + 0.000321D AS lat')
+    best = float('inf')
+    for _ in range(2):
+        t0 = _t.time()
+        spatial_join_points(pts, shapes, length=4, base=16, time_gated=False,
+                            max_broadcast_shapes=0).count()
+        best = min(best, _t.time() - t0)
+    out['spatial_join_spec20k'] = round(best, 3)
+
+    hot_pts = spark.range(20000).selectExpr(
+        "concat('h', id) AS url",
+        '10.0001D + (id % 97) * 1e-7D AS lon',
+        '45.0001D + (id % 89) * 1e-7D AS lat')
+    hot_shapes = spark.range(50).selectExpr(
+        'id AS shape_id', "'circle' AS kind",
+        'named_struct("center_lon", 10.0D + (id % 7) * 0.01D, '
+        '"center_lat", 45.0D + (id % 5) * 0.01D, "radius", 60000.0D) AS params',
+        'CAST(NULL AS array<array<struct<lon:double,lat:double>>>) AS rings',
+        'CAST(NULL AS timestamp) AS dt_start',
+        'CAST(NULL AS timestamp) AS dt_end')
+    for label, salt in (('spatial_join_hot_unsalted', 0),
+                        ('spatial_join_hot_salted16', 16)):
+        best = float('inf')
+        for _ in range(2):
+            t0 = _t.time()
+            spatial_join_points(hot_pts, hot_shapes, length=4, base=16,
+                                time_gated=False, salt_shards=salt,
+                                max_broadcast_shapes=0).count()
+            best = min(best, _t.time() - t0)
+        out[label] = round(best, 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
     sf = sf_dir.rstrip('/').split('sf')[-1]
@@ -75,12 +134,15 @@ def main() -> None:
     pages_sec = round(pages_sec, 3)
     timings['pages_pipeline'] = pages_sec
 
+    stress = _stress_spatial(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         'metric': 'headline_total',
         'value': total,
         'unit': 'sec',
         'queries': timings,
+        'stress': stress,
         'sf': float(sf) if sf.replace('.', '').isdigit() else sf,
         'pages_pipeline_rows': PAGES_BENCH_ROWS,
         'pages_per_sec': round(PAGES_BENCH_ROWS / pages_sec, 1),

@@ -27,7 +27,23 @@ __all__ = [
     'interval_intersects_expr', 'interval_contains_expr',
     'interval_contains_instant_expr',
     'niemeyer_encode_udf', 'h3_encode_udf', 'points_in_ring_udf', 'xyz_exprs',
+    'vincenty_distance_udf',
 ]
+
+
+def vincenty_distance_udf():
+    """Arrow-batched Vincenty inverse distance on WGS84 (reference
+    geodesic.py:81-165) — the vectorized batch-convergence kernel."""
+    from geostructures_spark.kernels.geodesy import vincenty_distance
+
+    @F.pandas_udf(T.DoubleType())
+    def _vdist(lon1: pd.Series, lat1: pd.Series,
+               lon2: pd.Series, lat2: pd.Series) -> pd.Series:
+        d = vincenty_distance(lon1.to_numpy(np.float64), lat1.to_numpy(np.float64),
+                              lon2.to_numpy(np.float64), lat2.to_numpy(np.float64))
+        return pd.Series(np.asarray(d, dtype=np.float64), index=lon1.index)
+
+    return _vdist
 
 
 def haversine_expr(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:

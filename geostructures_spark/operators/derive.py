@@ -49,8 +49,11 @@ def convert_to_meters(col, unit: str):
 def with_shape_derived(shapes: DataFrame) -> DataFrame:
     from geostructures_spark.kernels import geometry as geom
     from geostructures_spark.kernels import shapes as shp
+    from geostructures_spark.operators.ringio import (
+        decode_rings_json, encode_rings_json)
     from geostructures_spark.operators.tiling import shape_row_to_kernel
 
+    has_rings = 'rings' in shapes.columns
     out_schema = (', '.join(f'{f.name} {f.dataType.simpleString()}'
                             for f in shapes.schema.fields) +
                   ', min_lon double, min_lat double, max_lon double, max_lat double'
@@ -61,6 +64,9 @@ def with_shape_derived(shapes: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = pdf.to_dict('records')
+            if has_rings:
+                for row in rows:
+                    row['rings'] = decode_rings_json(row.get('rings'))
             cols = {k: [] for k in ('min_lon', 'min_lat', 'max_lon', 'max_lat',
                                     'centroid_lon', 'centroid_lat', 'area_m2',
                                     'circum_lon', 'circum_lat', 'circum_radius_m',
@@ -101,11 +107,14 @@ def with_shape_derived(shapes: DataFrame) -> DataFrame:
                 for k, v in zip(cols, (*b, *c, area, *cc, vol)):
                     cols[k].append(float(v))
             out = pdf.copy()
+            if has_rings:
+                out['rings'] = [row['rings'] for row in rows]
             for k, v in cols.items():
                 out[k] = v
             yield out
 
-    return shapes.mapInPandas(run, schema=out_schema)
+    inp = encode_rings_json(shapes) if has_rings else shapes
+    return inp.mapInPandas(run, schema=out_schema)
 
 
 # --- ellipse <-> 2x2 covariance (reference structures.py:1066-1147) --------
@@ -189,6 +198,8 @@ def split_by_length(shapes: DataFrame, meters: float,
     if meters <= 0:
         raise ValueError('Split length must be greater than 0.')
     from geostructures_spark.kernels.shapes import split_linestring_by_length
+    from geostructures_spark.operators.ringio import (
+        decode_rings_json, encode_rings_json)
 
     out_schema = (', '.join(f'{f.name} {f.dataType.simpleString()}'
                             for f in shapes.schema.fields) + ', chunk_idx int')
@@ -199,10 +210,13 @@ def split_by_length(shapes: DataFrame, meters: float,
         for pdf in batches:
             out_rows = []
             for row in pdf.itertuples(index=False):
-                if row[kind_idx] != 'linestring' or row[rings_idx] is None:
-                    out_rows.append((*row, 0))
+                rings = decode_rings_json(row[rings_idx])
+                if row[kind_idx] != 'linestring' or rings is None:
+                    r = list(row)
+                    r[rings_idx] = rings
+                    out_rows.append((*r, 0))
                     continue
-                verts = [(c['lon'], c['lat']) for c in row[rings_idx][0]]
+                verts = [(c['lon'], c['lat']) for c in rings[0]]
                 chunks = split_linestring_by_length(np.asarray(verts), meters)
                 for ci, chunk in enumerate(chunks):
                     new_rings = [[{'lon': float(x), 'lat': float(y)}
@@ -212,7 +226,7 @@ def split_by_length(shapes: DataFrame, meters: float,
                     out_rows.append((*r, ci))
             yield pd.DataFrame(out_rows, columns=[*pdf.columns, 'chunk_idx'])
 
-    return shapes.mapInPandas(run, schema=out_schema)
+    return encode_rings_json(shapes, rings_col).mapInPandas(run, schema=out_schema)
 
 
 # --- dt mutation helpers (reference _base.py:403-461) -----------------------

@@ -195,20 +195,23 @@ def parse_wkt_df(df: DataFrame, wkt_col: str = 'wkt') -> DataFrame:
 
 def to_wkt_df(shapes: DataFrame, kind_col: str = 'kind',
               rings_col: str = 'rings', out_col: str = 'wkt') -> DataFrame:
+    from geostructures_spark.operators.ringio import (
+        decode_rings_json, encode_rings_json)
     has_sizes = 'poly_sizes' in shapes.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
+            rings = [decode_rings_json(s) for s in pdf[rings_col]]
             sizes = pdf['poly_sizes'] if has_sizes else [None] * len(pdf)
+            pdf[rings_col] = rings
             pdf[out_col] = [shape_row_to_wkt(k, r, s)
-                            for k, r, s in zip(pdf[kind_col], pdf[rings_col],
-                                               sizes)]
+                            for k, r, s in zip(pdf[kind_col], rings, sizes)]
             yield pdf
 
     out_schema = ', '.join(f'{f.name} {f.dataType.simpleString()}'
                            for f in shapes.schema.fields) + f', {out_col} string'
-    return shapes.mapInPandas(run, schema=out_schema)
+    return encode_rings_json(shapes, rings_col).mapInPandas(run, schema=out_schema)
 
 
 # --- GeoJSON ---------------------------------------------------------------
@@ -285,6 +288,8 @@ def to_geojson_df(shapes: DataFrame, kind_col: str = 'kind',
                   rings_col: str = 'rings', out_col: str = 'geojson') -> DataFrame:
     """Canonical rows -> GeoJSON geometry strings (serializers.py:55-120;
     multipolygon hole grouping via poly_sizes, multistructures.py:684-698)."""
+    from geostructures_spark.operators.ringio import (
+        decode_rings_json, encode_rings_json)
     has_sizes = 'poly_sizes' in shapes.columns
 
     def emit(kind, rings, poly_sizes=None):
@@ -314,12 +319,13 @@ def to_geojson_df(shapes: DataFrame, kind_col: str = 'kind',
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
+            rings = [decode_rings_json(s) for s in pdf[rings_col]]
             sizes = pdf['poly_sizes'] if has_sizes else [None] * len(pdf)
+            pdf[rings_col] = rings
             pdf[out_col] = [emit(k, r, s)
-                            for k, r, s in zip(pdf[kind_col], pdf[rings_col],
-                                               sizes)]
+                            for k, r, s in zip(pdf[kind_col], rings, sizes)]
             yield pdf
 
     out_schema = ', '.join(f'{f.name} {f.dataType.simpleString()}'
                            for f in shapes.schema.fields) + f', {out_col} string'
-    return shapes.mapInPandas(run, schema=out_schema)
+    return encode_rings_json(shapes, rings_col).mapInPandas(run, schema=out_schema)

@@ -81,7 +81,10 @@ def canonical_shape_key(kind, rings=None, params=None,
 
 
 def with_canonical_key(shapes: DataFrame, key_col: str = 'canon_key') -> DataFrame:
-    """Adds the canonical equality key column (Arrow-batched)."""
+    """Adds the canonical equality key column (Arrow-batched; rings travel
+    JSON-encoded to survive inhomogeneous nesting, see operators/ringio.py)."""
+    from geostructures_spark.operators.ringio import (
+        decode_rings_json, encode_rings_json)
     cols = shapes.columns
     out_schema = (', '.join(f'{f.name} {f.dataType.simpleString()}'
                             for f in shapes.schema.fields) + f', {key_col} string')
@@ -90,20 +93,26 @@ def with_canonical_key(shapes: DataFrame, key_col: str = 'canon_key') -> DataFra
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            keys = []
+            keys, rings_out = [], []
             for row in pdf.to_dict('records'):
+                rings = (decode_rings_json(row.get('rings'))
+                         if has['rings'] else None)
+                rings_out.append(rings)
                 keys.append(canonical_shape_key(
                     row['kind'],
-                    rings=row.get('rings') if has['rings'] else None,
+                    rings=rings,
                     params=row.get('params') if has['params'] else None,
                     dt_start=row.get('dt_start') if has['dt_start'] else None,
                     dt_end=row.get('dt_end') if has['dt_end'] else None,
                     poly_sizes=row.get('poly_sizes') if has['poly_sizes'] else None))
             pdf = pdf.copy()
+            if has['rings']:
+                pdf['rings'] = rings_out
             pdf[key_col] = keys
             yield pdf
 
-    return shapes.mapInPandas(run, schema=out_schema)
+    inp = encode_rings_json(shapes) if has['rings'] else shapes
+    return inp.mapInPandas(run, schema=out_schema)
 
 
 def dedup_shapes(shapes: DataFrame, id_col: str = 'shape_id') -> DataFrame:

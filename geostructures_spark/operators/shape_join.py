@@ -33,7 +33,9 @@ __all__ = ['shape_join', 'filter_shapes_by_probe']
 
 
 def _catalog_broadcast(spark: SparkSession, shapes: DataFrame):
-    rows = shapes.select('shape_id', 'kind', 'params', 'rings').collect()
+    cols = ['shape_id', 'kind', 'params', 'rings'] + (
+        ['poly_sizes'] if 'poly_sizes' in shapes.columns else [])
+    rows = shapes.select(*cols).collect()
     cat = {}
     for r in rows:
         d = r.asDict(recursive=True)
@@ -56,11 +58,20 @@ def shape_join(shapes_a: DataFrame, shapes_b: DataFrame,
     """
     if predicate not in ('intersects', 'contains'):
         raise ValueError(predicate)
+    from geostructures_spark.operators.spatial_join import (
+        _BROADCAST_MAX_SHAPES, _BROADCAST_MAX_RING_VERTS, _catalog_size,
+        _shape_spec_col)
     spark = shapes_a.sparkSession
+    na, va = _catalog_size(shapes_a)
+    nb, vb = _catalog_size(shapes_b)
+    use_broadcast = (na + nb <= _BROADCAST_MAX_SHAPES and
+                     va + vb <= _BROADCAST_MAX_RING_VERTS)
 
-    cov_a = cover_shapes(shapes_a, length, base, scheme, resolution) \
+    cov_a = cover_shapes(shapes_a, length, base, scheme, resolution,
+                         n_partitions=min(64, max(4, na // 100 + 1))) \
         .withColumnRenamed('shape_id', 'a_id')
-    cov_b = cover_shapes(shapes_b, length, base, scheme, resolution) \
+    cov_b = cover_shapes(shapes_b, length, base, scheme, resolution,
+                         n_partitions=min(64, max(4, nb // 100 + 1))) \
         .withColumnRenamed('shape_id', 'b_id')
     cand = cov_a.join(cov_b, 'cell').select('a_id', 'b_id').distinct()
 
@@ -70,7 +81,10 @@ def shape_join(shapes_a: DataFrame, shapes_b: DataFrame,
     dt_b = shapes_b.select(F.col('shape_id').alias('b_id'),
                            F.col('dt_start').alias('b_start'),
                            F.col('dt_end').alias('b_end'))
-    cand = cand.join(F.broadcast(dt_a), 'a_id').join(F.broadcast(dt_b), 'b_id')
+    if use_broadcast:
+        cand = cand.join(F.broadcast(dt_a), 'a_id').join(F.broadcast(dt_b), 'b_id')
+    else:
+        cand = cand.join(dt_a, 'a_id').join(dt_b, 'b_id')
 
     if time_gated:
         untimed = (F.col('a_start').isNull() | F.col('a_end').isNull() |
@@ -83,27 +97,61 @@ def shape_join(shapes_a: DataFrame, shapes_b: DataFrame,
             gate = untimed | interval_contains_expr(*a_us, *b_us)
         cand = cand.filter(gate)
 
-    bc_a = _catalog_broadcast(spark, shapes_a)
-    bc_b = _catalog_broadcast(spark, shapes_b)
-
     from geostructures_spark.kernels import shapes as shp
 
+    if use_broadcast:
+        bc_a = _catalog_broadcast(spark, shapes_a)
+        bc_b = _catalog_broadcast(spark, shapes_b)
+
+        @F.pandas_udf(T.BooleanType())
+        def _pred(a_id: pd.Series, b_id: pd.Series) -> pd.Series:
+            ca, cb = bc_a.value, bc_b.value
+            out = []
+            for a, b in zip(a_id, b_id):
+                sa = ca.get(a)
+                sb = cb.get(b)
+                if sa is None or sb is None:
+                    out.append(False)
+                elif predicate == 'intersects':
+                    out.append(shp.shapes_intersect(sa, sb))
+                else:
+                    out.append(shp.shape_contains_shape(sa, sb))
+            return pd.Series(out, index=a_id.index)
+
+        return (cand.filter(_pred(F.col('a_id'), F.col('b_id')))
+                .select('a_id', 'b_id'))
+
+    # no-broadcast path: geometry specs travel through shape_id equi-joins;
+    # kernels built once per distinct shape per Arrow batch
+    import json as _json
+    from geostructures_spark.operators.tiling import shape_row_to_kernel
+
+    spec_a = shapes_a.select(F.col('shape_id').alias('a_id'),
+                             _shape_spec_col(shapes_a).alias('_spec_a'))
+    spec_b = shapes_b.select(F.col('shape_id').alias('b_id'),
+                             _shape_spec_col(shapes_b).alias('_spec_b'))
+    cand = cand.join(spec_a, 'a_id').join(spec_b, 'b_id')
+
     @F.pandas_udf(T.BooleanType())
-    def _pred(a_id: pd.Series, b_id: pd.Series) -> pd.Series:
-        ca, cb = bc_a.value, bc_b.value
+    def _pred_spec(a_id: pd.Series, sa_js: pd.Series,
+                   b_id: pd.Series, sb_js: pd.Series) -> pd.Series:
+        memo_a, memo_b = {}, {}
         out = []
-        for a, b in zip(a_id, b_id):
-            sa = ca.get(a)
-            sb = cb.get(b)
-            if sa is None or sb is None:
-                out.append(False)
-            elif predicate == 'intersects':
+        for a, sa_j, b, sb_j in zip(a_id, sa_js, b_id, sb_js):
+            sa = memo_a.get(a)
+            if sa is None:
+                sa = memo_a[a] = shape_row_to_kernel(_json.loads(sa_j))
+            sb = memo_b.get(b)
+            if sb is None:
+                sb = memo_b[b] = shape_row_to_kernel(_json.loads(sb_j))
+            if predicate == 'intersects':
                 out.append(shp.shapes_intersect(sa, sb))
             else:
                 out.append(shp.shape_contains_shape(sa, sb))
         return pd.Series(out, index=a_id.index)
 
-    return (cand.filter(_pred(F.col('a_id'), F.col('b_id')))
+    return (cand.filter(_pred_spec(F.col('a_id'), F.col('_spec_a'),
+                                   F.col('b_id'), F.col('_spec_b')))
             .select('a_id', 'b_id'))
 
 

@@ -41,15 +41,76 @@ from geostructures_spark.operators.tiling import (
 __all__ = ['spatial_join_points', 'filter_points_by_shape']
 
 
+_BROADCAST_MAX_SHAPES = 200_000
+_BROADCAST_MAX_RING_VERTS = 20_000_000   # ~640 MB of packed ring floats
+
+
+def _catalog_size(shapes: DataFrame):
+    """(n_shapes, total ring vertices) — one cheap agg over the catalog side
+    to decide broadcast vs shipped-spec execution."""
+    row = shapes.agg(
+        F.count('*').alias('n'),
+        F.coalesce(F.sum(F.aggregate(
+            F.coalesce(F.col('rings'),
+                       F.array().cast('array<array<struct<lon:double,lat:double>>>')),
+            F.lit(0), lambda acc, ring: acc + F.size(ring))), F.lit(0)).alias('verts')
+    ).collect()[0]
+    return int(row['n']), int(row['verts'])
+
+
 def _shape_broadcast(spark: SparkSession, shapes: DataFrame):
     """Collect the (small) shapes side and broadcast kernel dicts keyed by
-    shape_id. One driver collect of catalog metadata — not data-path collect."""
-    rows = shapes.select('shape_id', 'kind', 'params', 'rings').collect()
+    shape_id. One driver collect of catalog metadata — not data-path collect.
+    Callers guard with _catalog_size before taking this path."""
+    cols = ['shape_id', 'kind', 'params', 'rings'] + (
+        ['poly_sizes'] if 'poly_sizes' in shapes.columns else [])
+    rows = shapes.select(*cols).collect()
     catalog = {}
     for r in rows:
         d = r.asDict(recursive=True)
         catalog[d['shape_id']] = shape_row_to_kernel(d)
     return spark.sparkContext.broadcast(catalog)
+
+
+def _shape_spec_col(shapes: DataFrame):
+    """One JSON column carrying the whole shape geometry — the no-broadcast
+    transport: specs travel through the equi-join instead of the driver."""
+    fields = [F.col('kind'), F.col('params'), F.col('rings')] + (
+        [F.col('poly_sizes')] if 'poly_sizes' in shapes.columns else [])
+    names = ['kind', 'params', 'rings'] + (
+        ['poly_sizes'] if 'poly_sizes' in shapes.columns else [])
+    return F.to_json(F.struct(*[c.alias(n) for c, n in zip(fields, names)]))
+
+
+def _exact_predicate_spec_udf():
+    """Exact containment over shipped shape specs: per Arrow batch, group
+    candidate rows by shape_id (argsort), build each kernel dict once from
+    its JSON spec, evaluate vectorized. No driver collect, no broadcast —
+    the scale path for catalogs beyond the broadcast guard."""
+    import json
+
+    from geostructures_spark.kernels import shapes as shp
+
+    @F.pandas_udf(T.BooleanType())
+    def _pred(shape_id: pd.Series, spec: pd.Series,
+              lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out = np.zeros(len(shape_id), dtype=bool)
+        if len(shape_id) == 0:
+            return pd.Series(out)
+        sid = shape_id.to_numpy()
+        lons = lon.to_numpy(np.float64)
+        lats = lat.to_numpy(np.float64)
+        specs = spec.to_numpy()
+        order = np.argsort(sid, kind='stable')
+        sorted_sid = sid[order]
+        bounds = np.flatnonzero(np.r_[True, sorted_sid[1:] != sorted_sid[:-1], True])
+        for i in range(len(bounds) - 1):
+            sel = order[bounds[i]:bounds[i + 1]]
+            shape = shape_row_to_kernel(json.loads(specs[sel[0]]))
+            out[sel] = shp.shape_contains_points(shape, lons[sel], lats[sel])
+        return pd.Series(out, index=shape_id.index)
+
+    return _pred
 
 
 def _exact_predicate_udf(bc, predicate: str):
@@ -87,6 +148,8 @@ def spatial_join_points(
     time_gated: bool = True,
     salt_shards: int = 0,
     cell_col: str = 'cell',
+    max_broadcast_shapes: int = _BROADCAST_MAX_SHAPES,
+    max_broadcast_ring_verts: int = _BROADCAST_MAX_RING_VERTS,
 ) -> DataFrame:
     """points ⨝ shapes with exact containment (point-probe semantics of
     contains/intersects, which coincide for points — structures.py:156-157).
@@ -96,14 +159,25 @@ def spatial_join_points(
     (reference _base.py:282-291: time gate short-circuits before spatial)
     using points.warc_ts vs shapes dt_start/dt_end; shapes with NULL dt
     match all times (untimed shapes tested spatially, collections.py:447-452).
-    """
+
+    Physical strategy is size-guarded: catalogs within the broadcast budget
+    collect once to the driver and broadcast kernel dicts (fastest); larger
+    catalogs never touch the driver — covers join as a shuffle join and the
+    geometry travels to its candidate rows as a JSON spec through a
+    shape_id equi-join (set the thresholds to 0 to force that path)."""
     spark = points.sparkSession
     if cell_col not in points.columns:
         points = with_cell(points, length, base, cell_col=cell_col)
 
-    covers = cover_shapes(shapes, length, base)
+    n_shapes, n_verts = _catalog_size(shapes)
+    use_broadcast = (n_shapes <= max_broadcast_shapes and
+                     n_verts <= max_broadcast_ring_verts)
+
+    cover_parts = min(64, max(4, n_shapes // 100 + 1))
+    covers = cover_shapes(shapes, length, base, n_partitions=cover_parts)
     dt_map = shapes.select('shape_id', 'dt_start', 'dt_end')
-    covers = covers.join(F.broadcast(dt_map), 'shape_id')
+    covers = covers.join(F.broadcast(dt_map) if use_broadcast else dt_map,
+                         'shape_id')
 
     if salt_shards > 0:
         # replicate the broadcast side per shard; salt the big side
@@ -121,7 +195,8 @@ def spatial_join_points(
         covers = covers.withColumnRenamed('cell', cell_col)
         join_key = cell_col
 
-    cand = points.join(F.broadcast(covers.select(join_key, 'shape_id', 'dt_start', 'dt_end')),
+    covers_sel = covers.select(join_key, 'shape_id', 'dt_start', 'dt_end')
+    cand = points.join(F.broadcast(covers_sel) if use_broadcast else covers_sel,
                        join_key)
 
     if time_gated and 'warc_ts' in points.columns:
@@ -130,9 +205,17 @@ def spatial_join_points(
             F.col('dt_start'), F.col('dt_end'), F.col('warc_ts'))
         cand = cand.filter(gate)
 
-    bc = _shape_broadcast(spark, shapes)
-    pred = _exact_predicate_udf(bc, 'contains')
-    out = cand.filter(pred(F.col('shape_id'), F.col('lon'), F.col('lat')))
+    if use_broadcast:
+        bc = _shape_broadcast(spark, shapes)
+        pred = _exact_predicate_udf(bc, 'contains')
+        out = cand.filter(pred(F.col('shape_id'), F.col('lon'), F.col('lat')))
+    else:
+        specs = shapes.select('shape_id', _shape_spec_col(shapes).alias('_spec'))
+        pred = _exact_predicate_spec_udf()
+        out = (cand.join(specs, 'shape_id')
+               .filter(pred(F.col('shape_id'), F.col('_spec'),
+                            F.col('lon'), F.col('lat')))
+               .drop('_spec'))
     drop = ['dt_start', 'dt_end'] + (['join_key', '_shard'] if salt_shards else [])
     return out.drop(*[c for c in drop if c in out.columns])
 

@@ -116,21 +116,26 @@ def with_salted_cell(df: DataFrame, shards: int = 8,
 
 
 def cover_shapes(shapes: DataFrame, length: int = 8, base: int = 16,
-                 scheme: str = 'niemeyer', resolution: int = 9) -> DataFrame:
+                 scheme: str = 'niemeyer', resolution: int = 9,
+                 n_partitions: int = None) -> DataFrame:
     """shapes -> (shape_id, cell) cover rows (hash_shape semantics:
     NiemeyerHasher geohash.py:746-764 / H3Hasher geohash.py:512-542). Runs
     per-shape covering in applyInPandas, partitioned by shape_id; output
     feeds the broadcast side of the spatial join."""
     from geostructures_spark.kernels import tiling_niemeyer as tn
     from geostructures_spark.kernels import h3_cover as hc
+    from geostructures_spark.operators.ringio import (
+        decode_rings_json, encode_rings_json)
 
-    cols = ['shape_id', 'kind', 'params', 'rings']
+    cols = ['shape_id', 'kind', 'params', 'rings'] + (
+        ['poly_sizes'] if 'poly_sizes' in shapes.columns else [])
 
     def per_batch(batches):
         for pdf in batches:
             out_ids, out_cells = [], []
-            for _, row in pdf.iterrows():
-                shape = shape_row_to_kernel(row.to_dict())
+            for row in pdf.to_dict('records'):
+                row['rings'] = decode_rings_json(row.get('rings'))
+                shape = shape_row_to_kernel(row)
                 cells = (hc.cover_shape_h3(shape, resolution) if scheme == 'h3'
                          else tn.cover_shape(shape, length, base))
                 for cell in cells:
@@ -140,9 +145,11 @@ def cover_shapes(shapes: DataFrame, length: int = 8, base: int = 16,
 
     # explicit repartition: per-shape covering is CPU-bound Python; an
     # AQE-coalesced tiny shuffle would serialize it onto one task. A
-    # user-specified repartition count is never coalesced.
-    n_parts = max(32, DEFAULT_COVER_PARTITIONS)
-    return (shapes.select(*cols)
+    # user-specified repartition count is never coalesced. Callers that know
+    # the catalog size pass n_partitions (~100 shapes/task) so tiny catalogs
+    # don't pay 64 Python-worker round trips.
+    n_parts = n_partitions or max(32, DEFAULT_COVER_PARTITIONS)
+    return (encode_rings_json(shapes.select(*cols))
             .repartition(n_parts, 'shape_id')
             .mapInPandas(per_batch, schema='shape_id long, cell string'))
 

@@ -46,6 +46,29 @@ def main() -> int:
     print(f'[{"OK" if pushed else "FAIL"}] q1 pushes the shipdate filter to Parquet')
     ok &= pushed
 
+    # salted spatial join: the salted key joins (hot cells split into shards)
+    from pyspark.sql import functions as F
+    from geostructures_spark.operators.spatial_join import spatial_join_points
+    em._load(spark, sf, 'customer', 'supplier')
+    pts = spark.sql(em._pts_customer_sql()).withColumnRenamed('pid', 'url')
+    shapes = em._shapes_from_keys(spark, em._pts_supplier_sql(), '500000.0')
+    plan = formatted(spatial_join_points(pts, shapes, length=4, base=16,
+                                         time_gated=False, salt_shards=4))
+    salted = 'join_key' in plan and 'BroadcastHashJoin' in plan
+    print(f'[{"OK" if salted else "FAIL"}] salted join keys on cell#shard '
+          f'with the cover side still broadcast')
+    ok &= salted
+
+    # spec path (catalog beyond broadcast budget): no broadcast of covers;
+    # geometry ships through a shape_id equi-join as a JSON spec column
+    plan = formatted(spatial_join_points(pts, shapes, length=4, base=16,
+                                         time_gated=False,
+                                         max_broadcast_shapes=0))
+    spec = '_spec' in plan and 'structstojson' in plan.lower()
+    print(f'[{"OK" if spec else "FAIL"}] over-budget catalog ships specs '
+          f'through the join (no driver collect)')
+    ok &= spec
+
     spark.stop()
     return 0 if ok else 1
 

@@ -217,6 +217,72 @@ def test_parsed_multipolygon_containment_with_hole(spark):
     assert list(got) == [True, False, True, False]
 
 
+# --- spatial join scale paths: spec-shipped + salted == broadcast ----------
+
+def _join_fixture(spark):
+    pts = spark.createDataFrame(
+        [(f'u{i}', ((i * 7919) % 3600) / 10.0 - 180.0 + 0.000123,
+          ((i * 104729) % 1700) / 10.0 - 85.0 + 0.000321)
+         for i in range(400)],
+        'url string, lon double, lat double')
+    shapes = spark.createDataFrame(
+        [(j, ((j * 104729) % 3600) / 10.0 - 180.0 + 0.000123,
+          ((j * 7919) % 1700) / 10.0 - 85.0 + 0.000321)
+         for j in range(25)],
+        'shape_id long, c_lon double, c_lat double').selectExpr(
+        'shape_id', "'circle' AS kind",
+        'named_struct("center_lon", c_lon, "center_lat", c_lat, '
+        '"radius", 900000.0D) AS params',
+        'CAST(NULL AS array<array<struct<lon:double,lat:double>>>) AS rings',
+        'CAST(NULL AS timestamp) AS dt_start',
+        'CAST(NULL AS timestamp) AS dt_end')
+    return pts, shapes
+
+
+def test_spatial_join_spec_path_matches_broadcast(spark):
+    from geostructures_spark.operators.spatial_join import spatial_join_points
+    pts, shapes = _join_fixture(spark)
+    base = {(r.url, r.shape_id) for r in
+            spatial_join_points(pts, shapes, length=3, base=16,
+                                time_gated=False).collect()}
+    spec = {(r.url, r.shape_id) for r in
+            spatial_join_points(pts, shapes, length=3, base=16,
+                                time_gated=False,
+                                max_broadcast_shapes=0).collect()}
+    assert len(base) > 0
+    assert spec == base
+
+
+def test_spatial_join_salted_matches_unsalted(spark):
+    from geostructures_spark.operators.spatial_join import spatial_join_points
+    pts, shapes = _join_fixture(spark)
+    base = {(r.url, r.shape_id) for r in
+            spatial_join_points(pts, shapes, length=3, base=16,
+                                time_gated=False).collect()}
+    salted = {(r.url, r.shape_id) for r in
+              spatial_join_points(pts, shapes, length=3, base=16,
+                                  time_gated=False, salt_shards=4).collect()}
+    assert salted == base
+
+
+def test_shape_join_spec_path_matches_broadcast(spark, monkeypatch):
+    from geostructures_spark.operators import shape_join as sj
+    from geostructures_spark.operators import spatial_join as spj
+    _, shapes = _join_fixture(spark)
+    other = shapes.selectExpr(
+        'shape_id + 100 AS shape_id', 'kind',
+        'named_struct("center_lon", params.center_lon + 3.0, '
+        '"center_lat", params.center_lat, "radius", 700000.0D) AS params',
+        'rings', 'dt_start', 'dt_end')
+    base = {(r.a_id, r.b_id) for r in
+            sj.shape_join(shapes, other, length=3, time_gated=False).collect()}
+    monkeypatch.setattr(spj, '_BROADCAST_MAX_SHAPES', 0)
+    spec = {(r.a_id, r.b_id) for r in
+            sj.shape_join(shapes, other, length=3, time_gated=False).collect()}
+    assert len(base) > 0
+    assert spec == base
+
+
 # --- simhash kernel semantics (portable md5-based definition)
 
 def test_simhash_matches_pure_python(spark):
