@@ -337,6 +337,59 @@ def _knn_duckdb() -> str:
     """
 
 
+def _q_knn_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-pruned kNN (the scale path: points shuffle once on cell, query
+    covers expand ``ring`` neighbor hops) — same oracle as the exact
+    knn_topk, proving the pruning is complete at this (length, ring)
+    sizing for the derived data."""
+    from geostructures_spark.operators.knn import knn_join
+    _load(spark, sf_dir, 'customer', 'supplier')
+    pts = spark.sql(_pts_customer_sql()).withColumnRenamed('pid', 'url')
+    q = (spark.sql(_pts_supplier_sql())
+         .filter(F.col('qid') <= 5)
+         .select(F.col('qid').cast('long').alias('query_id'), 'q_lon', 'q_lat'))
+    out = knn_join(pts, q, k=3, length=2, base=16, ring=3)
+    return (out.select('query_id',
+                       F.col('neighbor_key').cast('long').alias('neighbor_id'),
+                       F.col('rank').cast('int').alias('rank'))
+            .orderBy('query_id', 'rank'))
+
+
+def _q_time_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_by_time (time-of-day window incl. the spanning case,
+    collections.py:906-915): event pings with a value-scaled duration,
+    filtered to the [06:00:00, 10:30:00] window, counted per type."""
+    from geostructures_spark.operators.tracks import filter_by_time_of_day
+    _load(spark, sf_dir, 'events')
+    pings = spark.sql("""
+      SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS dt_start,
+             CAST(ts AS TIMESTAMP) + make_interval(0, 0, 0, 0, 0, 0, CAST(floor(value * 60) AS INT))
+               AS dt_end
+      FROM events
+    """)
+    kept = filter_by_time_of_day(pings, '06:00:00', '10:30:00')
+    return (kept.groupBy('event_type')
+            .agg(F.count('*').cast('long').alias('n'))
+            .orderBy('event_type'))
+
+
+_TIME_OF_DAY_DUCK = """
+  WITH pings AS (
+    SELECT event_type, ts AS s,
+           ts + to_seconds(CAST(floor(value * 60) AS BIGINT)) AS e
+    FROM events),
+  tod AS (
+    SELECT event_type, strftime(s, '%H:%M:%S') AS st, strftime(e, '%H:%M:%S') AS et
+    FROM pings)
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tod
+  WHERE ('06:00:00' <= et AND et <= '10:30:00')
+     OR ('06:00:00' <= st AND st <= '10:30:00')
+     OR (st <= '06:00:00' AND '10:30:00' <= et)
+  GROUP BY event_type ORDER BY event_type
+"""
+
+
 def _q_track_speeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Track analytics: events as per-user pings; lag-window distance/speed
     (Track.centroid_distances/speed_diffs) aggregated per user."""
@@ -888,28 +941,19 @@ _FILTER_PROP_DUCK = """
 
 def _q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection convex hull (collections.py:72-92; monotone chain,
-    _geometry.py:40-79) per market segment over derived points; outputs
-    hull vertex count + exact hull bbox. Hull itself is not
+    _geometry.py:40-79) per market segment over derived points — two-stage
+    hierarchical hull (local shard hulls -> hull of hulls), so no group
+    ever loads all its rows into one task. Hull itself is not
     SQL-expressible; the bbox columns are oracle-checked implicitly via
     collection_bounds."""
-    import pandas as pd
-    from geostructures_spark.kernels import geometry as geom
+    from geostructures_spark.operators.hull import convex_hull_by_key
     _load(spark, sf_dir, 'customer')
     pts = spark.sql(_pts_customer_sql())
-
-    def hull(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-        ring = geom.convex_hull(pdf[['lon', 'lat']].to_numpy())
-        return pd.DataFrame({
-            'seg': [pdf['seg'].iloc[0]],
-            'n_hull_vertices': [max(len(ring) - 1, len(ring))],
-            'min_lon': [float(ring[:, 0].min())],
-            'max_lat': [float(ring[:, 1].max())],
-        })
-
-    return (pts.groupBy('seg')
-            .applyInPandas(hull, 'seg string, n_hull_vertices long, '
-                                 'min_lon double, max_lat double')
+    verts = convex_hull_by_key(pts, key_col='seg')
+    return (verts.groupBy('seg')
+            .agg(F.count('*').cast('long').alias('n_hull_vertices'),
+                 F.min('lon').alias('min_lon'),
+                 F.max('lat').alias('max_lat'))
             .orderBy('seg'))
 
 
@@ -1589,6 +1633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'wkt_serialize_roundtrip': _q_wkt_serialize,
         'geojson_serialize_roundtrip': _q_geojson_serialize,
         'vincenty_distance_pairs': _q_vincenty,
+        'knn_pruned_topk': _q_knn_pruned,
+        'time_of_day_counts': _q_time_of_day,
     }
 
 
@@ -1642,4 +1688,6 @@ def oracle_sql() -> dict[str, str]:
         'wkt_serialize_roundtrip': _WKT_SERIALIZE_DUCK,
         'geojson_serialize_roundtrip': _GEOJSON_SERIALIZE_DUCK,
         'vincenty_distance_pairs': _vincenty_duckdb(),
+        'knn_pruned_topk': _knn_duckdb(),
+        'time_of_day_counts': _TIME_OF_DAY_DUCK,
     }

@@ -283,6 +283,56 @@ def test_shape_join_spec_path_matches_broadcast(spark, monkeypatch):
     assert spec == base
 
 
+# --- filter_by_time + dt mutation coverage ---------------------------------
+
+def test_filter_by_time_of_day_golden(spark):
+    """Reference tests/test_collections.py:1045-1064: points at hours 0..7
+    (instant dt) + one [1h, 7h] interval, window [02:30, 05:30] keeps hours
+    3, 4, 5 and the spanning interval."""
+    from datetime import datetime
+    from geostructures_spark.operators.tracks import filter_by_time_of_day
+    rows = [(h, datetime(2020, 1, 1, h), datetime(2020, 1, 1, h))
+            for h in range(8)]
+    rows.append((8, datetime(2020, 1, 1, 1), datetime(2020, 1, 1, 7)))
+    df = spark.createDataFrame(
+        rows, 'id long, dt_start timestamp, dt_end timestamp')
+    kept = sorted(r.id for r in
+                  filter_by_time_of_day(df, '02:30:00', '05:30:00').collect())
+    assert kept == [3, 4, 5, 8]
+
+
+def test_dt_mutation_helpers(spark):
+    from datetime import datetime
+    from geostructures_spark.operators.derive import buffer_dt, set_dt, strip_dt
+    df = spark.createDataFrame(
+        [(1, datetime(2020, 1, 1, 12), datetime(2020, 1, 1, 13))],
+        'id long, dt_start timestamp, dt_end timestamp')
+    b = buffer_dt(df, 3600, 1800).collect()[0]
+    assert b.dt_start == datetime(2020, 1, 1, 11)
+    assert b.dt_end == datetime(2020, 1, 1, 13, 30)
+    s = set_dt(df, datetime(2021, 1, 1), datetime(2021, 1, 2)).collect()[0]
+    assert (s.dt_start, s.dt_end) == (datetime(2021, 1, 1), datetime(2021, 1, 2))
+    n = strip_dt(df).collect()[0]
+    assert n.dt_start is None and n.dt_end is None
+
+
+# --- two-stage convex hull matches single-pass kernel -----------------------
+
+def test_convex_hull_two_stage_matches_kernel(spark):
+    from geostructures_spark.kernels.geometry import convex_hull
+    from geostructures_spark.operators.hull import convex_hull_by_key
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(-50, 50, size=(5000, 2))
+    df = spark.createDataFrame(
+        [('g', float(x), float(y)) for x, y in pts],
+        'seg string, lon double, lat double')
+    got = {(r.lon, r.lat) for r in
+           convex_hull_by_key(df, key_col='seg', shards=16).collect()}
+    ring = convex_hull(pts)
+    want = {(float(x), float(y)) for x, y in ring[:-1]}
+    assert got == want
+
+
 # --- simhash kernel semantics (portable md5-based definition)
 
 def test_simhash_matches_pure_python(spark):
