@@ -84,14 +84,21 @@ def minhash_lsh_pairs(docs: DataFrame, n_bands: int = 8, shingle_k: int = 5,
                       id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
     """Near-dup candidate pairs: docs sharing any band minhash bucket.
 
-    Returns (doc_a, doc_b, n_shared_bands), doc_a < doc_b."""
-    # materialize the signature once: the self-join references it twice and
-    # would otherwise recompute the full shingle+md5 lineage for both sides
-    # (at cluster scale this is a checkpoint/bucketed table write)
-    sig = minhash_signature(docs, n_bands, shingle_k, id_col, text_col).persist()
-    a = sig.select(F.col(id_col).alias('doc_a'), 'band', 'minhash')
-    b = sig.select(F.col(id_col).alias('doc_b'), 'band', 'minhash')
-    return (a.join(b, ['band', 'minhash'])
+    Returns (doc_a, doc_b, n_shared_bands), doc_a < doc_b.
+
+    Single pass: groupBy (band, minhash) bucket -> in-bucket pair explode.
+    The signature lineage is computed ONCE (the earlier self-join form
+    computed it for both sides or needed a persist it could never
+    unpersist), and the bucket groupBy is the only extra shuffle. Bucket
+    pair expansion is quadratic in bucket size by LSH's nature — run
+    exact_dedup_groups first so identical-text mega-groups never reach it."""
+    sig = minhash_signature(docs, n_bands, shingle_k, id_col, text_col)
+    buckets = (sig.groupBy('band', 'minhash')
+               .agg(F.collect_list(id_col).alias('docs'))
+               .filter(F.size('docs') > 1))
+    return (buckets
+            .select('band', F.explode('docs').alias('doc_a'), 'docs')
+            .select('band', 'doc_a', F.explode('docs').alias('doc_b'))
             .filter(F.col('doc_a') < F.col('doc_b'))
             .groupBy('doc_a', 'doc_b')
             .agg(F.countDistinct('band').alias('n_shared_bands')))

@@ -333,6 +333,47 @@ def test_convex_hull_two_stage_matches_kernel(spark):
     assert got == want
 
 
+# --- snapshot checkpoint / resume (north rule: per-partition lineage) -------
+
+def test_snapshot_writer_commit_and_resume(spark, tmp_path):
+    import json
+    import os
+    from geostructures_spark.sources.manifest import (
+        SnapshotWriter, last_snapshot_id, read_snapshot)
+    table = str(tmp_path / 'tbl')
+
+    w = SnapshotWriter(table, snapshot_id='s000')
+    for k in ('p0', 'p1'):
+        df = spark.range(10).selectExpr(f"'{k}' AS part", 'id')
+        rec = w.write_partition(k, df, lineage={'input': f'gen:{k}'})
+        assert rec['rows'] == 10 and rec['lineage'] == {'input': f'gen:{k}'}
+    mpath = w.commit()
+    assert last_snapshot_id(table) == 's000'
+    assert read_snapshot(spark, table).count() == 20
+    manifest = json.load(open(mpath))
+    assert manifest['total_rows'] == 20
+    assert all('wall_sec' in p and 'lineage' in p for p in manifest['partitions'])
+
+    # resume: s001 picks up s000's partitions, skips done work, adds one
+    w2 = SnapshotWriter(table, snapshot_id='s001', resume_from='s000')
+    assert w2.is_done('p0') and w2.is_done('p1') and not w2.is_done('p2')
+    w2.write_partition('p2', spark.range(5).selectExpr("'p2' AS part", 'id'))
+    w2.commit()
+    assert last_snapshot_id(table) == 's001'
+    assert read_snapshot(spark, table).count() == 25
+    # earlier snapshot remains readable (time travel)
+    assert read_snapshot(spark, table, 's000').count() == 20
+
+
+def test_snapshot_uncommitted_invisible(spark, tmp_path):
+    from geostructures_spark.sources.manifest import SnapshotWriter, last_snapshot_id
+    table = str(tmp_path / 'tbl2')
+    w = SnapshotWriter(table, snapshot_id='s000')
+    w.write_partition('p0', spark.range(3).selectExpr('id'))
+    # no commit -> snapshot invisible
+    assert last_snapshot_id(table) is None
+
+
 # --- simhash kernel semantics (portable md5-based definition)
 
 def test_simhash_matches_pure_python(spark):
