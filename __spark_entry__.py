@@ -1567,6 +1567,67 @@ def _split_by_length_duckdb(meters: float = 1000.0, kmax: int = 5) -> str:
             f"end_lon, end_lat FROM ({union}) z ORDER BY shape_id, chunk_idx")
 
 
+def _q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid TRAINING (Lloyd k-means, cosine assignment, k=8,
+    2 iterations) + final bucket assignment — the trained upgrade of
+    ivf_assign's fixed-sample centroids. Fully DataFrame-native; the oracle
+    unrolls both Lloyd iterations in SQL."""
+    from geostructures_spark.operators.simsearch import ivf_assign, kmeans_train
+    _load(spark, sf_dir, 'embeddings')
+    vecs = spark.table('embeddings')
+    cents = kmeans_train(vecs, k=8, n_iter=2)
+    inv = ivf_assign(vecs, cents)
+    counts = inv.groupBy('centroid_id').agg(F.count('*').cast('long').alias('n_vectors'))
+    return (cents.join(counts, 'centroid_id', 'left')
+            .select(F.col('centroid_id').cast('int').alias('centroid_id'),
+                    F.coalesce('n_vectors', F.lit(0)).cast('long').alias('n_vectors'),
+                    F.round(F.element_at('c_embedding', 1), 5).alias('c0'))
+            .orderBy('centroid_id'))
+
+
+def _kmeans_duckdb(k: int = 8, n_iter: int = 2) -> str:
+    """Lloyd iterations unrolled: assign{i} (argmax cosine) -> per-position
+    means -> cent{i}, empty clusters keeping the previous centroid."""
+    ctes = [f"""cent0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k}) i0)"""]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        ctes.append(f"""assign{i} AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT v.vec_id, v.embedding, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                     ORDER BY list_cosine_similarity(v.embedding, c.c_emb) DESC,
+                              c.centroid_id ASC) AS r
+            FROM embeddings v, cent{p} c) s WHERE r = 1)""")
+        ctes.append(f"""mean{i} AS (
+          SELECT centroid_id, pos, AVG(CAST(val AS DOUBLE)) AS m FROM (
+            SELECT centroid_id, unnest(embedding) AS val,
+                   unnest(range(1, len(embedding) + 1)) AS pos
+            FROM assign{i}) u GROUP BY centroid_id, pos)""")
+        ctes.append(f"""new{i} AS (
+          SELECT centroid_id, list(m ORDER BY pos) AS c_emb
+          FROM mean{i} GROUP BY centroid_id)""")
+        ctes.append(f"""cent{i} AS (
+          SELECT c.centroid_id, COALESCE(n.c_emb, c.c_emb) AS c_emb
+          FROM cent{p} c LEFT JOIN new{i} n USING (centroid_id))""")
+    n = n_iter
+    ctes.append(f"""final_assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(v.embedding, c.c_emb) DESC,
+                          c.centroid_id ASC) AS r
+        FROM embeddings v, cent{n} c) s WHERE r = 1)""")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT c.centroid_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_vectors, "
+            f"ROUND(c.c_emb[1], 5) AS c0 "
+            f"FROM cent{n} c LEFT JOIN (SELECT centroid_id, COUNT(*) AS n "
+            f"FROM final_assign GROUP BY 1) cnt USING (centroid_id) "
+            f"ORDER BY centroid_id")
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents' bytes as opaque media blobs ->
     deterministic stub feature extraction (mapInPandas over pruned
@@ -1635,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'vincenty_distance_pairs': _q_vincenty,
         'knn_pruned_topk': _q_knn_pruned,
         'time_of_day_counts': _q_time_of_day,
+        'ivf_kmeans_train': _q_kmeans_ivf,
     }
 
 
@@ -1690,4 +1752,5 @@ def oracle_sql() -> dict[str, str]:
         'vincenty_distance_pairs': _vincenty_duckdb(),
         'knn_pruned_topk': _knn_duckdb(),
         'time_of_day_counts': _TIME_OF_DAY_DUCK,
+        'ivf_kmeans_train': _kmeans_duckdb(),
     }

@@ -18,7 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ['cosine_sim_expr', 'cosine_topk_exact', 'ivf_assign', 'ivf_topk']
+__all__ = ['cosine_sim_expr', 'cosine_topk_exact', 'ivf_assign', 'ivf_topk',
+           'kmeans_train']
 
 
 def cosine_sim_expr(a, b):
@@ -59,6 +60,43 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
     w = Window.partitionBy(id_col).orderBy(F.col('cos_sim').desc(), F.col(c_id).asc())
     return (scored.withColumn('r', F.row_number().over(w)).filter(F.col('r') == 1)
             .select(id_col, vec_col, c_id))
+
+
+def kmeans_train(vectors: DataFrame, k: int, n_iter: int = 2,
+                 id_col: str = 'vec_id', vec_col: str = 'embedding') -> DataFrame:
+    """Lloyd k-means with cosine assignment (IVF centroid training).
+
+    Deterministic init: the k lowest-id vectors. Each iteration: broadcast
+    assign (ivf_assign) -> positional explode -> per-(centroid, position)
+    mean -> rebuilt centroid arrays; empty clusters keep their previous
+    centroid. The k x dim centroid table round-trips through the driver
+    between iterations (tiny, legitimately driver-side); the vector side
+    never leaves the cluster. Returns (centroid_id, c_embedding)."""
+    from pyspark.sql import types as T
+    spark = vectors.sparkSession
+    init = (vectors.orderBy(id_col).limit(k)
+            .select(F.col(id_col), F.col(vec_col)))
+    rows = init.collect()
+    cent_rows = [(i, [float(x) for x in r[vec_col]])
+                 for i, r in enumerate(sorted(rows, key=lambda r: r[id_col]))]
+    schema = 'centroid_id int, c_embedding array<double>'
+    cents = spark.createDataFrame(cent_rows, schema)
+
+    for _ in range(n_iter):
+        inv = ivf_assign(vectors, cents, id_col, vec_col)
+        means = (inv.select('centroid_id',
+                            F.posexplode(vec_col).alias('pos', 'v'))
+                 .groupBy('centroid_id', 'pos')
+                 .agg(F.avg(F.col('v').cast('double')).alias('m')))
+        new = (means.groupBy('centroid_id')
+               .agg(F.array_sort(F.collect_list(F.struct('pos', 'm'))).alias('s'))
+               .select('centroid_id',
+                       F.transform('s', lambda x: x.getField('m')).alias('c_embedding')))
+        got = {r['centroid_id']: [float(x) for x in r['c_embedding']]
+               for r in new.collect()}
+        cent_rows = [(cid, got.get(cid, emb)) for cid, emb in cent_rows]
+        cents = spark.createDataFrame(cent_rows, schema)
+    return cents
 
 
 def ivf_topk(inverted: DataFrame, centroids: DataFrame, queries: DataFrame,
