@@ -1628,6 +1628,122 @@ def _kmeans_duckdb(k: int = 8, n_iter: int = 2) -> str:
             f"ORDER BY centroid_id")
 
 
+def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization: per-user session_window (30 min
+    gap) driven to completion over the events parquet — the streaming form
+    of Track segmentation. Oracle: lag/cumsum session reconstruction."""
+    from geostructures_spark.streaming.events import run_sessionize_to_memory
+    out = run_sessionize_to_memory(spark, os.path.join(sf_dir, 'events.parquet'),
+                                   query_name='sessions_oracle')
+    return (out.select(F.col('user_id').cast('long').alias('user_id'),
+                       F.unix_micros('session_start').alias('start_us'),
+                       F.unix_micros('session_end').alias('end_us'),
+                       F.col('n_events').cast('long').alias('n_events'),
+                       F.round('sum_value', 2).alias('sum_value'))
+            .orderBy('user_id', 'start_us'))
+
+
+_SESSIONS_DUCK = """
+  WITH e AS (
+    SELECT user_id, ts, value,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+    FROM events),
+  m AS (
+    SELECT *, CASE WHEN prev IS NULL
+                   OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+    FROM e),
+  s AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+    FROM m)
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         epoch_us(MIN(ts)) AS start_us,
+         epoch_us(MAX(ts)) + 1800000000 AS end_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(SUM(value), 2) AS sum_value
+  FROM s GROUP BY user_id, sid
+  ORDER BY user_id, start_us
+"""
+
+
+def _q_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rotate_coordinates about an origin (reference calc.py:163-199) over
+    bounded derived points (no pole/antimeridian wrap in range, so the
+    oracle is the plain 2x2 rotation)."""
+    from geostructures_spark.functions.geo import rotate_coordinates_udf
+    _load(spark, sf_dir, 'customer')
+    pts = (spark.sql(_pts_customer_sql())
+           .filter((F.abs(F.col('lon')) <= 40.0) & (F.abs(F.col('lat')) <= 40.0)))
+    rot = rotate_coordinates_udf(0.0, 0.0, 30.0)
+    return (pts.withColumn('r', rot(F.col('lon'), F.col('lat')))
+            .select(F.col('pid').cast('long').alias('pid'),
+                    F.round(F.col('r').getField('lon'), 6).alias('rot_lon'),
+                    F.round(F.col('r').getField('lat'), 6).alias('rot_lat'))
+            .orderBy('pid'))
+
+
+_ROTATE_DUCK = f"""
+  WITH pts AS ({_pts_customer_sql()})
+  SELECT CAST(pid AS BIGINT) AS pid,
+         ROUND(cos(radians(30.0e0)) * lon - sin(radians(30.0e0)) * lat, 6) AS rot_lon,
+         ROUND(sin(radians(30.0e0)) * lon + cos(radians(30.0e0)) * lat, 6) AS rot_lat
+  FROM pts WHERE abs(lon) <= 40.0e0 AND abs(lat) <= 40.0e0
+  ORDER BY pid
+"""
+
+
+def _q_circle_discretize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bounding_coords discretization (GeoCircle 36-gon,
+    structures.py:873-882) materialized by with_bounding_coords; the oracle
+    recomputes two vertices with the destination formula in SQL."""
+    from geostructures_spark.operators.derive import with_bounding_coords
+    _load(spark, sf_dir, 'supplier')
+    shapes = _shapes_from_keys(spark, _pts_supplier_sql(),
+                               '40000.0 + (shape_id % 11) * 5000.0')
+    d = with_bounding_coords(shapes)
+    ring = F.element_at('rings', 1)
+    return (d.select(
+        F.col('shape_id').cast('long').alias('shape_id'),
+        F.size(ring).cast('int').alias('n_verts'),
+        F.round(F.element_at(ring, 1).getField('lon'), 6).alias('v1_lon'),
+        F.round(F.element_at(ring, 1).getField('lat'), 6).alias('v1_lat'),
+        F.round(F.element_at(ring, 10).getField('lon'), 6).alias('v10_lon'),
+        F.round(F.element_at(ring, 10).getField('lat'), 6).alias('v10_lat'))
+        .orderBy('shape_id'))
+
+
+def _circle_discretize_duckdb() -> str:
+    # vertex i (1-based) of the 36-gon: bearing degrees(2*pi/36 * (37 - i)),
+    # haversine destination from the center, west-normalized longitude
+    def vertex(i: int, name: str) -> str:
+        ang = f'(2.0e0 * pi() / 36.0e0 * {37 - i}.0e0)'
+        lat2 = (f'asin(sin(radians(lat)) * cos(aa) + '
+                f'cos(radians(lat)) * sin(aa) * cos({ang}))')
+        lon2 = (f'degrees(radians(lon) + atan2(sin({ang}) * sin(aa) * '
+                f'cos(radians(lat)), cos(aa) - sin(radians(lat)) * '
+                f'sin({name}_lat2)))')
+        norm = (f'(CASE WHEN {lon2} >= 180.0e0 THEN {lon2} - 360.0e0 '
+                f'WHEN {lon2} < -180.0e0 THEN {lon2} + 360.0e0 '
+                f'ELSE {lon2} END)')
+        return (f'{name}_lat2', lat2,
+                f'ROUND(degrees({name}_lat2), 6) AS {name}_lat, '
+                f'ROUND({norm}, 6) AS {name}_lon')
+
+    v1 = vertex(1, 'v1')
+    v10 = vertex(10, 'v10')
+    return f"""
+      WITH s AS (
+        SELECT qid AS shape_id, q_lon AS lon, q_lat AS lat,
+               (40000.0e0 + (qid % 11) * 5000.0e0) / 6371000.0e0 AS aa
+        FROM ({_pts_supplier_sql()}) p),
+      t AS (SELECT *, {v1[1]} AS {v1[0]}, {v10[1]} AS {v10[0]} FROM s)
+      SELECT CAST(shape_id AS BIGINT) AS shape_id, 37 AS n_verts,
+             {v1[2]}, {v10[2]}
+      FROM t ORDER BY shape_id
+    """
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents' bytes as opaque media blobs ->
     deterministic stub feature extraction (mapInPandas over pruned
@@ -1697,6 +1813,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'knn_pruned_topk': _q_knn_pruned,
         'time_of_day_counts': _q_time_of_day,
         'ivf_kmeans_train': _q_kmeans_ivf,
+        'streaming_sessionize': _q_streaming_sessions,
+        'rotate_coordinates': _q_rotate,
+        'circle_bounding_coords': _q_circle_discretize,
     }
 
 
@@ -1753,4 +1872,7 @@ def oracle_sql() -> dict[str, str]:
         'knn_pruned_topk': _knn_duckdb(),
         'time_of_day_counts': _TIME_OF_DAY_DUCK,
         'ivf_kmeans_train': _kmeans_duckdb(),
+        'streaming_sessionize': _SESSIONS_DUCK,
+        'rotate_coordinates': _ROTATE_DUCK,
+        'circle_bounding_coords': _circle_discretize_duckdb(),
     }

