@@ -590,7 +590,7 @@ _MINHASH_DUCK = """
       ELSE [array_to_string(w, ' ')] END) AS shingle
     FROM toks),
   sig AS (
-    SELECT doc_id, band, MIN(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS minhash
+    SELECT doc_id, band, MIN(substr(md5(shingle), band * 8 + 1, 8)) AS minhash
     FROM sh, (SELECT unnest([0,1,2,3]) AS band)
     GROUP BY doc_id, band)
   SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
@@ -993,11 +993,10 @@ _QUALITY_DUCK = """
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 of the lexicographically-min 8-gram
     (winnowing-style representative), with duplicate-fingerprint counts."""
-    from geostructures_spark.operators.textstats import fingerprint_expr
+    from geostructures_spark.operators.textstats import with_fingerprint
     _load(spark, sf_dir, 'documents')
-    d = spark.table('documents').select(
-        F.col('doc_id').cast('long').alias('doc_id'),
-        fingerprint_expr(F.col('text')).alias('fingerprint'))
+    d = (with_fingerprint(spark.table('documents'))
+         .select(F.col('doc_id').cast('long').alias('doc_id'), 'fingerprint'))
     return d.orderBy('doc_id')
 
 
@@ -1038,7 +1037,7 @@ _JACCARD_DUCK = """
       ELSE [array_to_string(w, ' ')] END) AS shingle
     FROM toks),
   sig AS (
-    SELECT doc_id, band, MIN(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS minhash
+    SELECT doc_id, band, MIN(substr(md5(shingle), band * 8 + 1, 8)) AS minhash
     FROM sh5, (SELECT unnest([0,1,2,3]) AS band) GROUP BY doc_id, band),
   pairs AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

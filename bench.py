@@ -112,10 +112,10 @@ def main() -> None:
     qs['pip_triangle_counts'](spark, sf_dir).collect()
 
     for name in HEADLINE:
-        # min of 2 runs: this sandbox shows bursty external CPU steal, and
+        # min of 3 runs: this sandbox shows bursty external CPU steal, and
         # min is the standard noise-robust point estimate
         best = float('inf')
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             qs[name](spark, sf_dir).collect()
             best = min(best, time.time() - t0)

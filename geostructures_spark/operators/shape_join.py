@@ -68,10 +68,10 @@ def shape_join(shapes_a: DataFrame, shapes_b: DataFrame,
                      va + vb <= _BROADCAST_MAX_RING_VERTS)
 
     cov_a = cover_shapes(shapes_a, length, base, scheme, resolution,
-                         n_partitions=min(64, max(4, na // 100 + 1))) \
+                         n_partitions=min(64, max(4, na // 25 + 1))) \
         .withColumnRenamed('shape_id', 'a_id')
     cov_b = cover_shapes(shapes_b, length, base, scheme, resolution,
-                         n_partitions=min(64, max(4, nb // 100 + 1))) \
+                         n_partitions=min(64, max(4, nb // 25 + 1))) \
         .withColumnRenamed('shape_id', 'b_id')
     cand = cov_a.join(cov_b, 'cell').select('a_id', 'b_id').distinct()
 

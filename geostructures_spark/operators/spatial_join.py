@@ -173,7 +173,7 @@ def spatial_join_points(
     use_broadcast = (n_shapes <= max_broadcast_shapes and
                      n_verts <= max_broadcast_ring_verts)
 
-    cover_parts = min(64, max(4, n_shapes // 100 + 1))
+    cover_parts = min(64, max(4, n_shapes // 25 + 1))
     covers = cover_shapes(shapes, length, base, n_partitions=cover_parts)
     dt_map = shapes.select('shape_id', 'dt_start', 'dt_end')
     covers = covers.join(F.broadcast(dt_map) if use_broadcast else dt_map,

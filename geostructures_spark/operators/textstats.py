@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from geostructures_spark.operators.dedup import tokens_expr
 
 __all__ = ['with_text_stats', 'with_quality_score', 'lang_id_scores',
-           'fingerprint_expr']
+           'fingerprint_expr', 'with_fingerprint']
 
 # tiny per-language stopword marker lists for the n-gram/stopword heuristic
 LANG_MARKERS = {
@@ -74,7 +74,21 @@ def lang_id_scores(docs: DataFrame, text_col: str = 'text',
 def fingerprint_expr(text_col, window: int = 8):
     """Document fingerprint: md5 of the lexicographically-min window-gram
     (a winnowing-style rolling fingerprint reduced to one representative
-    gram; deterministic and portable)."""
+    gram; deterministic and portable). Prefer with_fingerprint — the
+    single-expression form re-splits the text per shingle element inside
+    the HOF lambda (see dedup.shingles_from_tokens)."""
     from geostructures_spark.operators.dedup import shingles_expr
     grams = shingles_expr(text_col, window)
     return F.md5(F.array_min(grams))
+
+
+def with_fingerprint(docs: DataFrame, text_col: str = 'text',
+                     window: int = 8, out_col: str = 'fingerprint') -> DataFrame:
+    """fingerprint_expr with the token array materialized in its own
+    projection (the multi-reference alias blocks projection collapse, so
+    the text splits once per row, not once per shingle)."""
+    from geostructures_spark.operators.dedup import shingles_from_tokens
+    base = docs.withColumn('_tk', tokens_expr(F.col(text_col)))
+    return (base.withColumn(
+        out_col, F.md5(F.array_min(shingles_from_tokens(F.col('_tk'), window))))
+        .drop('_tk'))
