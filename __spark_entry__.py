@@ -1743,6 +1743,42 @@ def _circle_discretize_duckdb() -> str:
     """
 
 
+def _q_kml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KML interchange (reference parsers.py:228-351, from-scratch stdlib
+    XML): constructed point Placemarks serialize (to_kml_df) and reparse
+    (parse_kml_df) to bit-identical coordinates + properties."""
+    from geostructures_spark.operators.kml import parse_kml_df, to_kml_df
+    _load(spark, sf_dir, 'customer')
+    pts = spark.sql(_pts_customer_sql()).filter(F.col('pid') <= 400)
+    shapes = pts.select(
+        F.col('pid').cast('long').alias('pid'),
+        F.lit('point').alias('kind'),
+        F.array(F.array(F.struct(F.col('lon').alias('lon'),
+                                 F.col('lat').alias('lat')))).alias('rings'),
+        F.lit(None).cast('array<int>').alias('poly_sizes'),
+        F.map_from_arrays(
+            F.array(F.lit('name'), F.lit('seg')),
+            F.array(F.concat(F.lit('p'), F.col('pid').cast('string')),
+                    F.col('seg'))).alias('properties'))
+    kml = to_kml_df(shapes)
+    parsed = parse_kml_df(kml.select('pid', 'kml'))
+    v = F.element_at(F.element_at('rings', 1), 1)
+    return (parsed.select(
+        'pid', 'kind',
+        v.getField('lon').alias('lon'), v.getField('lat').alias('lat'),
+        F.col('properties').getItem('name').alias('name'),
+        F.col('properties').getItem('seg').alias('seg'))
+        .orderBy('pid'))
+
+
+_KML_ROUNDTRIP_DUCK = f"""
+  WITH pts AS ({_pts_customer_sql()})
+  SELECT CAST(pid AS BIGINT) AS pid, 'point' AS kind, lon, lat,
+         'p' || CAST(pid AS VARCHAR) AS name, seg
+  FROM pts WHERE pid <= 400 ORDER BY pid
+"""
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents' bytes as opaque media blobs ->
     deterministic stub feature extraction (mapInPandas over pruned
@@ -1815,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_sessionize': _q_streaming_sessions,
         'rotate_coordinates': _q_rotate,
         'circle_bounding_coords': _q_circle_discretize,
+        'kml_parse_roundtrip': _q_kml_roundtrip,
     }
 
 
@@ -1874,4 +1911,5 @@ def oracle_sql() -> dict[str, str]:
         'streaming_sessionize': _SESSIONS_DUCK,
         'rotate_coordinates': _ROTATE_DUCK,
         'circle_bounding_coords': _circle_discretize_duckdb(),
+        'kml_parse_roundtrip': _KML_ROUNDTRIP_DUCK,
     }

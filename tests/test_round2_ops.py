@@ -374,6 +374,81 @@ def test_snapshot_uncommitted_invisible(spark, tmp_path):
     assert last_snapshot_id(table) is None
 
 
+# --- KML / KMZ (reference tests/test_parsers.py goldens, stdlib XML) --------
+
+REF_FILES = '/root/reference/tests/test_files'
+
+
+def test_parse_kml_reference_fixtures():
+    from geostructures_spark.operators.kml import kmz_to_kml, parse_kml_blob
+    with open(f'{REF_FILES}/test_kml.kml', encoding='utf8') as f:
+        kml_str = f.read()
+    # 19 placemarks (test_parsers.py:70-86), also with BOM / bytes input
+    assert len(parse_kml_blob(kml_str)) == 19
+    assert len(parse_kml_blob('﻿' + kml_str)) == 19
+    assert len(parse_kml_blob(b'\xef\xbb\xbf' + kml_str.encode('utf8'))) == 19
+    # folder names land in sub_folder_i properties
+    first = parse_kml_blob(kml_str)[0]
+    assert first['properties']['sub_folder_0'] == 'Placemarks'
+    assert first['properties']['name'] == 'Simple placemark'
+    # SchemaData fields (test_parsers.py:51-58)
+    with open(f'{REF_FILES}/test_schemadata.kml') as f:
+        rows = parse_kml_blob(f.read())
+    assert rows[0]['properties']['TrailHeadName'] == 'Pi in the sky'
+    # mixed SchemaData + Data (test_parsers.py:61-67)
+    with open(f'{REF_FILES}/test_mixed_extendeddata.kml') as f:
+        rows = parse_kml_blob(f.read())
+    assert rows[0]['properties']['TrailHeadName'] == 'Pi in the sky'
+    assert rows[0]['properties']['holler'] == 'world'
+    # KMZ archive
+    with open(f'{REF_FILES}/test_kmz.kmz', 'rb') as f:
+        assert len(parse_kml_blob(kmz_to_kml(f.read()))) == 83
+
+
+def test_parse_kml_linearring_and_resource_forks():
+    from io import BytesIO
+    from zipfile import ZipFile
+    from geostructures_spark.operators.kml import kmz_to_kml, parse_kml_blob
+    # LinearRing as direct geometry parses as its polygon (test_parsers.py)
+    rows = parse_kml_blob('''
+        <kml xmlns="http://www.opengis.net/kml/2.2"><Document><Placemark>
+        <LinearRing><coordinates>0,0 1,0 1,1 0,0</coordinates></LinearRing>
+        </Placemark></Document></kml>''')
+    assert len(rows) == 1 and rows[0]['kind'] == 'polygon'
+    assert rows[0]['rings'][0] == [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0),
+                                   (0.0, 0.0)]
+    # macOS AppleDouble members must be skipped (test_parsers.py:269-289)
+    doc = ('<kml xmlns="http://www.opengis.net/kml/2.2"><Document><Placemark>'
+           '<Point><coordinates>1.0,2.0</coordinates></Point>'
+           '</Placemark></Document></kml>')
+    buf = BytesIO()
+    with ZipFile(buf, 'w') as z:
+        z.writestr('__MACOSX/._doc.kml', b'\x00\x05\x16\x07binary')
+        z.writestr('doc.kml', doc)
+    assert len(parse_kml_blob(kmz_to_kml(buf.getvalue()))) == 1
+
+
+def test_kml_df_roundtrip(spark):
+    from geostructures_spark.operators.kml import parse_kml_df, to_kml_df
+    shapes = spark.createDataFrame(
+        [(1, 'polygon',
+          [[{'lon': 0.0, 'lat': 0.0}, {'lon': 4.0, 'lat': 0.0},
+            {'lon': 4.0, 'lat': 4.0}, {'lon': 0.0, 'lat': 0.0}],
+           [{'lon': 1.0, 'lat': 1.0}, {'lon': 2.0, 'lat': 1.0},
+            {'lon': 1.5, 'lat': 2.0}, {'lon': 1.0, 'lat': 1.0}]],
+          None, {'name': 'holed', 'k': 'v'})],
+        'id long, kind string, '
+        'rings array<array<struct<lon:double,lat:double>>>, '
+        'poly_sizes array<int>, properties map<string,string>')
+    kml = to_kml_df(shapes)
+    back = parse_kml_df(kml.select('id', 'kml')).collect()[0]
+    assert back.kind == 'polygon'
+    assert len(back.rings) == 2          # outline + hole preserved
+    assert back.properties['name'] == 'holed'
+    assert back.properties['k'] == 'v'
+    assert (back.rings[1][0].lon, back.rings[1][0].lat) == (1.0, 1.0)
+
+
 # --- simhash kernel semantics (portable md5-based definition)
 
 def test_simhash_matches_pure_python(spark):
