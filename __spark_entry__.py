@@ -1779,6 +1779,116 @@ _KML_ROUNDTRIP_DUCK = f"""
 """
 
 
+def _q_utm_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTM projection (from-scratch Krüger series; reference delegates to
+    pyproj, coordinates.py:162-180) — the oracle spells the same series out
+    in SQL with embedded coefficient literals."""
+    from geostructures_spark.functions.geo import utm_forward_udf
+    _load(spark, sf_dir, 'customer')
+    pts = (spark.sql(_pts_customer_sql())
+           .filter((F.col('lat') >= -79.9) & (F.col('lat') < 83.9)))
+    utm = utm_forward_udf()
+    return (pts.withColumn('u', utm(F.col('lon'), F.col('lat')))
+            .select(F.col('pid').cast('long').alias('pid'),
+                    F.col('u').getField('zone').cast('int').alias('zone'),
+                    F.round(F.col('u').getField('easting'), 3).alias('easting'),
+                    F.round(F.col('u').getField('northing'), 3).alias('northing'))
+            .orderBy('pid'))
+
+
+def _q_mgrs_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MGRS strings (zone + band + 100km square letters + 1 m digits) from
+    the from-scratch kernel; full string value-checked by the SQL oracle."""
+    from geostructures_spark.functions.geo import mgrs_decode_udf, mgrs_encode_udf
+    _load(spark, sf_dir, 'customer')
+    pts = (spark.sql(_pts_customer_sql())
+           .filter((F.col('lat') >= -79.9) & (F.col('lat') < 83.9)))
+    enc = mgrs_encode_udf(5)
+    dec = mgrs_decode_udf()
+    d = (pts.withColumn('mgrs', enc(F.col('lon'), F.col('lat')))
+         .withColumn('back', dec(F.col('mgrs'))))
+    # decode returns the 1 m cell's SW corner: floor of the UTM meters
+    return (d.select(F.col('pid').cast('long').alias('pid'), 'mgrs',
+                     (F.abs(F.col('back').getField('lon') - F.col('lon')) < 0.001)
+                     .alias('dec_close'))
+            .orderBy('pid'))
+
+
+def _utm_sql_core() -> str:
+    """Krüger forward series as SQL column expressions over (lon, lat):
+    defines zone, easting, northing in a chain of subqueries."""
+    from geostructures_spark.kernels import mgrs as M
+    e_lit = repr(float(M._E))
+    k0a1 = repr(float(M.K0 * M._A1))
+    zone = ("""
+      (CASE
+        WHEN lat >= 56 AND lat < 64 AND lon >= 3 AND lon < 12 THEN 32
+        WHEN lat >= 72 AND lat < 84 AND lon >= 0 AND lon < 9 THEN 31
+        WHEN lat >= 72 AND lat < 84 AND lon >= 9 AND lon < 21 THEN 33
+        WHEN lat >= 72 AND lat < 84 AND lon >= 21 AND lon < 33 THEN 35
+        WHEN lat >= 72 AND lat < 84 AND lon >= 33 AND lon < 42 THEN 37
+        ELSE (CAST(floor((lon + 180.0e0) / 6.0e0) AS INT) % 60) + 1
+      END)""")
+    atanh = lambda x: f'(0.5e0 * ln((1.0e0 + {x}) / (1.0e0 - {x})))'
+    sinh = lambda x: f'((exp({x}) - exp(-({x}))) / 2.0e0)'
+    cosh = lambda x: f'((exp({x}) + exp(-({x}))) / 2.0e0)'
+    asinh = lambda x: f'ln(({x}) + sqrt(({x})*({x}) + 1.0e0))'
+    xi_terms = ' + '.join(
+        f'({M._ALPHA[j]!r} * sin({2*(j+1)}.0e0 * xi_p) * '
+        f'{cosh(f"{2*(j+1)}.0e0 * eta_p")})' for j in range(6))
+    eta_terms = ' + '.join(
+        f'({M._ALPHA[j]!r} * cos({2*(j+1)}.0e0 * xi_p) * '
+        f'{sinh(f"{2*(j+1)}.0e0 * eta_p")})' for j in range(6))
+    return f"""
+      (SELECT *, 500000.0e0 + {k0a1} * eta AS easting,
+              (CASE WHEN lat < 0 THEN 10000000.0e0 ELSE 0.0e0 END)
+                + {k0a1} * xi AS northing
+       FROM (SELECT *, xi_p + {xi_terms} AS xi, eta_p + {eta_terms} AS eta
+         FROM (SELECT *, atan2(tt, cos(lam)) AS xi_p,
+                      {asinh('sin(lam) / sqrt(tt*tt + cos(lam)*cos(lam))')} AS eta_p
+           FROM (SELECT *, {sinh(f'{atanh("sin(phi)")} - {e_lit} * {atanh(f"{e_lit} * sin(phi)")}')} AS tt
+             FROM (SELECT *, radians(lat) AS phi,
+                          radians(lon - (zone * 6.0e0 - 183.0e0)) AS lam
+               FROM (SELECT *, {zone} AS zone FROM pts) z0) z1) z2) z3) z4)"""
+
+
+def _utm_project_duckdb() -> str:
+    return f"""
+      WITH pts AS (SELECT * FROM ({_pts_customer_sql()}) p
+                   WHERE lat >= -79.9e0 AND lat < 83.9e0)
+      SELECT CAST(pid AS BIGINT) AS pid, zone,
+             ROUND(easting, 3) AS easting, ROUND(northing, 3) AS northing
+      FROM {_utm_sql_core()} u ORDER BY pid
+    """
+
+
+def _mgrs_encode_duckdb() -> str:
+    return f"""
+      WITH pts AS (SELECT * FROM ({_pts_customer_sql()}) p
+                   WHERE lat >= -79.9e0 AND lat < 83.9e0),
+      utm AS (SELECT * FROM {_utm_sql_core()} u),
+      lettered AS (
+        SELECT pid,
+          lpad(CAST(zone AS VARCHAR), 2, '0')
+          || substr('CDEFGHJKLMNPQRSTUVWX',
+               CAST(CASE WHEN lat >= 72 AND lat < 84 THEN 19
+                    ELSE least(greatest(floor((lat + 80.0e0) / 8.0e0), 0), 19)
+                    END AS INT) + 1, 1)
+          || substr(CASE (zone - 1) % 3 WHEN 0 THEN 'ABCDEFGH'
+                    WHEN 1 THEN 'JKLMNPQR' ELSE 'STUVWXYZ' END,
+               CAST(floor(easting / 100000.0e0) AS INT), 1)
+          || substr('ABCDEFGHJKLMNPQRSTUV',
+               CAST((CAST(floor(northing / 100000.0e0) AS BIGINT)
+                     + CASE WHEN zone % 2 = 0 THEN 5 ELSE 0 END) % 20 AS INT) + 1, 1)
+          || lpad(CAST(CAST(floor(easting % 100000.0e0) AS BIGINT) AS VARCHAR), 5, '0')
+          || lpad(CAST(CAST(floor(northing % 100000.0e0) AS BIGINT) AS VARCHAR), 5, '0')
+          AS mgrs
+        FROM utm)
+      SELECT CAST(pid AS BIGINT) AS pid, mgrs, TRUE AS dec_close
+      FROM lettered ORDER BY pid
+    """
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents' bytes as opaque media blobs ->
     deterministic stub feature extraction (mapInPandas over pruned
@@ -1852,6 +1962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'rotate_coordinates': _q_rotate,
         'circle_bounding_coords': _q_circle_discretize,
         'kml_parse_roundtrip': _q_kml_roundtrip,
+        'utm_project': _q_utm_project,
+        'mgrs_encode_strings': _q_mgrs_encode,
     }
 
 
@@ -1912,4 +2024,6 @@ def oracle_sql() -> dict[str, str]:
         'rotate_coordinates': _ROTATE_DUCK,
         'circle_bounding_coords': _circle_discretize_duckdb(),
         'kml_parse_roundtrip': _KML_ROUNDTRIP_DUCK,
+        'utm_project': _utm_project_duckdb(),
+        'mgrs_encode_strings': _mgrs_encode_duckdb(),
     }

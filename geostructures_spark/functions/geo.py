@@ -28,7 +28,47 @@ __all__ = [
     'interval_contains_instant_expr',
     'niemeyer_encode_udf', 'h3_encode_udf', 'points_in_ring_udf', 'xyz_exprs',
     'vincenty_distance_udf', 'rotate_coordinates_udf',
+    'utm_forward_udf', 'mgrs_encode_udf', 'mgrs_decode_udf',
 ]
+
+
+def utm_forward_udf():
+    """(lon, lat) -> struct<zone:int, south:boolean, easting:double,
+    northing:double> via the from-scratch Krüger-series kernel."""
+    from geostructures_spark.kernels.mgrs import utm_forward
+
+    @F.pandas_udf('struct<zone:int, south:boolean, easting:double, northing:double>')
+    def _utm(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        z, s, e, n = utm_forward(lon.to_numpy(np.float64), lat.to_numpy(np.float64))
+        return pd.DataFrame({'zone': np.atleast_1d(z).astype(np.int32),
+                             'south': np.atleast_1d(s),
+                             'easting': np.atleast_1d(e),
+                             'northing': np.atleast_1d(n)}, index=lon.index)
+
+    return _utm
+
+
+def mgrs_encode_udf(precision: int = 5):
+    from geostructures_spark.kernels.mgrs import mgrs_encode
+
+    @F.pandas_udf(T.StringType())
+    def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out = mgrs_encode(lon.to_numpy(np.float64), lat.to_numpy(np.float64),
+                          precision)
+        return pd.Series(out, index=lon.index, dtype=object)
+
+    return _enc
+
+
+def mgrs_decode_udf():
+    from geostructures_spark.kernels.mgrs import mgrs_decode
+
+    @F.pandas_udf('struct<lon:double, lat:double>')
+    def _dec(s: pd.Series) -> pd.DataFrame:
+        lon, lat = mgrs_decode(s.to_numpy(object))
+        return pd.DataFrame({'lon': lon, 'lat': lat}, index=s.index)
+
+    return _dec
 
 
 def rotate_coordinates_udf(origin_lon: float, origin_lat: float,

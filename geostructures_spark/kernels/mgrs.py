@@ -1,0 +1,218 @@
+"""UTM + MGRS, from scratch (pure NumPy; no mgrs/pyproj packages).
+
+The reference delegates to the ``mgrs`` C package
+(coordinates.py:151-160, 294-301); this module reimplements the public
+algorithms so the surface stays available here:
+
+- UTM forward/inverse: Karney-Krüger 6th-order series on WGS84 (the
+  standard published formulation used by GeographicLib/proj; accurate to
+  well under a millimeter inside UTM zones).
+- MGRS lettering: 6° zones, 8° latitude bands C..X (I/O skipped, X widened
+  to 84°), the AA-scheme 100 km square letters (column set rotates by
+  zone mod 3, row cycle of 20 offset by 5 for even zones), 1 m digits by
+  truncation (MGRS truncates, it does not round).
+
+Norway/Svalbard zone exceptions (31V/32V, 31X..37X) are applied in
+``utm_zone``. Polar UPS regions (|lat| > 84) are out of scope, as in UTM.
+
+Golden parity: Coordinate(0,0).to_mgrs() == '31NAA6602100000'
+(reference tests/test_coordinates.py:71-77).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geostructures_spark.kernels.geodesy import WGS84_A, WGS84_F
+
+__all__ = ['utm_zone', 'utm_forward', 'utm_inverse', 'mgrs_encode',
+           'mgrs_decode', 'LAT_BANDS']
+
+K0 = 0.9996
+E0 = 500000.0
+N0_SOUTH = 10000000.0
+
+# third flattening and Krüger series alpha/beta coefficients (6th order)
+_N = WGS84_F / (2 - WGS84_F)
+_N2, _N3, _N4, _N5, _N6 = _N**2, _N**3, _N**4, _N**5, _N**6
+# rectifying radius
+_A1 = WGS84_A / (1 + _N) * (1 + _N2 / 4 + _N4 / 64 + _N6 / 256)
+_ALPHA = np.array([
+    _N / 2 - 2 * _N2 / 3 + 5 * _N3 / 16 + 41 * _N4 / 180 - 127 * _N5 / 288
+    + 7891 * _N6 / 37800,
+    13 * _N2 / 48 - 3 * _N3 / 5 + 557 * _N4 / 1440 + 281 * _N5 / 630
+    - 1983433 * _N6 / 1935360,
+    61 * _N3 / 240 - 103 * _N4 / 140 + 15061 * _N5 / 26880
+    + 167603 * _N6 / 181440,
+    49561 * _N4 / 161280 - 179 * _N5 / 168 + 6601661 * _N6 / 7257600,
+    34729 * _N5 / 80640 - 3418889 * _N6 / 1995840,
+    212378941 * _N6 / 319334400,
+])
+_BETA = np.array([
+    _N / 2 - 2 * _N2 / 3 + 37 * _N3 / 96 - _N4 / 360 - 81 * _N5 / 512
+    + 96199 * _N6 / 604800,
+    _N2 / 48 + _N3 / 15 - 437 * _N4 / 1440 + 46 * _N5 / 105
+    - 1118711 * _N6 / 3870720,
+    17 * _N3 / 480 - 37 * _N4 / 840 - 209 * _N5 / 4480 + 5569 * _N6 / 90720,
+    4397 * _N4 / 161280 - 11 * _N5 / 504 - 830251 * _N6 / 7257600,
+    4583 * _N5 / 161280 - 108847 * _N6 / 3991680,
+    20648693 * _N6 / 638668800,
+])
+_E2 = WGS84_F * (2 - WGS84_F)
+_E = np.sqrt(_E2)
+
+LAT_BANDS = 'CDEFGHJKLMNPQRSTUVWX'        # 8° bands from -80 to 84
+_COL_SETS = ['ABCDEFGH', 'JKLMNPQR', 'STUVWXYZ']
+_ROW_CYCLE = 'ABCDEFGHJKLMNPQRSTUV'       # 20 rows of 100 km
+
+
+def utm_zone(lon, lat):
+    """UTM zone number incl. the Norway (31V/32V) and Svalbard (31X..37X)
+    exceptions."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    zone = (np.floor((lon + 180.0) / 6.0).astype(np.int64) % 60) + 1
+    # Norway: 56..64N, 3..12E -> zone 32
+    zone = np.where((lat >= 56) & (lat < 64) & (lon >= 3) & (lon < 12),
+                    32, zone)
+    # Svalbard: 72..84N
+    sval = (lat >= 72) & (lat < 84)
+    zone = np.where(sval & (lon >= 0) & (lon < 9), 31, zone)
+    zone = np.where(sval & (lon >= 9) & (lon < 21), 33, zone)
+    zone = np.where(sval & (lon >= 21) & (lon < 33), 35, zone)
+    zone = np.where(sval & (lon >= 33) & (lon < 42), 37, zone)
+    return zone
+
+
+def _tm_forward(lon, lat, lon0):
+    """Transverse Mercator (Krüger series): returns (easting-from-CM,
+    northing-from-equator) before false offsets, scaled by K0."""
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    # conformal latitude
+    t = np.sinh(np.arctanh(np.sin(phi)) - _E * np.arctanh(_E * np.sin(phi)))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.hypot(t, np.cos(lam)))
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j in range(6):
+        xi = xi + _ALPHA[j] * np.sin(2 * (j + 1) * xi_p) * np.cosh(2 * (j + 1) * eta_p)
+        eta = eta + _ALPHA[j] * np.cos(2 * (j + 1) * xi_p) * np.sinh(2 * (j + 1) * eta_p)
+    return K0 * _A1 * eta, K0 * _A1 * xi
+
+
+def utm_forward(lon, lat):
+    """(lon, lat) -> (zone, is_south, easting, northing) on WGS84 UTM."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    zone = utm_zone(lon, lat)
+    lon0 = zone * 6.0 - 183.0
+    x, y = _tm_forward(lon, lat, lon0)
+    south = lat < 0
+    easting = E0 + x
+    northing = np.where(south, N0_SOUTH + y, y)
+    return zone, south, easting, northing
+
+
+def utm_inverse(zone, south, easting, northing):
+    """(zone, is_south, easting, northing) -> (lon, lat)."""
+    zone = np.asarray(zone, dtype=np.int64)
+    south = np.asarray(south, dtype=bool)
+    x = (np.asarray(easting, dtype=np.float64) - E0) / (K0 * _A1)
+    y = np.where(south,
+                 np.asarray(northing, dtype=np.float64) - N0_SOUTH,
+                 np.asarray(northing, dtype=np.float64)) / (K0 * _A1)
+    xi = y.copy()
+    eta = x.copy()
+    for j in range(6):
+        xi = xi - _BETA[j] * np.sin(2 * (j + 1) * y) * np.cosh(2 * (j + 1) * x)
+        eta = eta - _BETA[j] * np.cos(2 * (j + 1) * y) * np.sinh(2 * (j + 1) * x)
+    chi = np.arcsin(np.sin(xi) / np.cosh(eta))
+    # conformal -> geodetic latitude (fixed-point, converges quadratically)
+    phi = chi.copy()
+    for _ in range(7):
+        s = np.sin(phi)
+        phi = np.arcsin(np.tanh(
+            np.arctanh(np.sin(chi)) + _E * np.arctanh(_E * s)))
+    lam = np.arctan2(np.sinh(eta), np.cos(xi))
+    lon0 = zone * 6.0 - 183.0
+    return lon0 + np.degrees(lam), np.degrees(phi)
+
+
+def _lat_band(lat):
+    idx = np.clip(((np.asarray(lat, dtype=np.float64) + 80) // 8).astype(np.int64),
+                  0, 19)
+    # X band is widened to 84N
+    idx = np.where((np.asarray(lat) >= 72) & (np.asarray(lat) < 84), 19, idx)
+    return idx
+
+
+def mgrs_encode(lon, lat, precision: int = 5):
+    """(lon, lat) -> MGRS strings at the given digit precision (5 = 1 m).
+    Valid for -80 <= lat < 84 (UPS out of scope)."""
+    lon = np.atleast_1d(np.asarray(lon, dtype=np.float64))
+    lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+    zone, south, easting, northing = utm_forward(lon, lat)
+    zone = np.atleast_1d(zone)
+    easting = np.atleast_1d(easting)
+    northing = np.atleast_1d(northing)
+    band_idx = _lat_band(lat)
+    col_100k = (easting // 100000).astype(np.int64)        # 1..8
+    row_100k = (northing // 100000).astype(np.int64)
+    out = []
+    scale = 10 ** (5 - precision)
+    for i in range(len(lon)):
+        z = int(zone[i])
+        col_letters = _COL_SETS[(z - 1) % 3]
+        col = col_letters[int(col_100k[i]) - 1]
+        row_off = 5 if z % 2 == 0 else 0
+        row = _ROW_CYCLE[(int(row_100k[i]) + row_off) % 20]
+        e_dig = int((easting[i] % 100000) // scale)
+        n_dig = int((northing[i] % 100000) // scale)
+        out.append(f'{z:02d}{LAT_BANDS[int(band_idx[i])]}{col}{row}'
+                   f'{e_dig:0{precision}d}{n_dig:0{precision}d}')
+    return np.array(out, dtype=object)
+
+
+def mgrs_decode(mgrs_strs):
+    """MGRS strings -> (lon, lat) of the cell's SW corner."""
+    import re
+    pat = re.compile(r'^(\d{1,2})([C-HJ-NP-X])([A-HJ-NP-Z])([A-HJ-NP-V])(\d*)$')
+    lons, lats = [], []
+    for s in np.atleast_1d(np.asarray(mgrs_strs, dtype=object)):
+        m = pat.match(str(s).strip().upper())
+        if not m:
+            raise ValueError(f'invalid MGRS: {s}')
+        z = int(m.group(1))
+        band = m.group(2)
+        col, row = m.group(3), m.group(4)
+        digits = m.group(5)
+        half = len(digits) // 2
+        scale = 10 ** (5 - half) if half else 100000
+        e_in = int(digits[:half]) * scale if half else 0
+        n_in = int(digits[half:]) * scale if half else 0
+
+        col_letters = _COL_SETS[(z - 1) % 3]
+        easting = (col_letters.index(col) + 1) * 100000 + e_in
+
+        row_off = 5 if z % 2 == 0 else 0
+        row_idx = (_ROW_CYCLE.index(row) - row_off) % 20
+        band_idx = LAT_BANDS.index(band)
+        south = band_idx < 10
+        # approximate northing of the band's bottom edge to resolve the
+        # 2,000 km row-letter ambiguity
+        lat_bottom = -80.0 + band_idx * 8.0
+        _, _, _, n_band = utm_forward(np.array([z * 6.0 - 183.0]),
+                                      np.array([lat_bottom]))
+        n_band = float(n_band[0])
+        if south and lat_bottom < 0 and band_idx == 10:
+            n_band = 0.0
+        northing = row_idx * 100000 + n_in
+        # lift by 2,000 km cycles until at/above the band bottom (with slack)
+        while northing < n_band - 100000:
+            northing += 2000000
+        lon, lat = utm_inverse(np.array([z]), np.array([south]),
+                               np.array([easting]), np.array([northing]))
+        lons.append(float(lon[0]))
+        lats.append(float(lat[0]))
+    return np.array(lons), np.array(lats)

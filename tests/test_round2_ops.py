@@ -449,6 +449,40 @@ def test_kml_df_roundtrip(spark):
     assert (back.rings[1][0].lon, back.rings[1][0].lat) == (1.0, 1.0)
 
 
+# --- MGRS / UTM (reference tests/test_coordinates.py:71-77 goldens) ---------
+
+def test_mgrs_reference_goldens():
+    from geostructures_spark.kernels.mgrs import mgrs_decode, mgrs_encode
+    # Coordinate(0., 0.).to_mgrs() == '31NAA6602100000'
+    assert mgrs_encode([0.0], [0.0])[0] == '31NAA6602100000'
+    # from_mgrs('31NAA6602100000') rounds to (0, 0) at 5 dp
+    lon, lat = mgrs_decode(['31NAA6602100000'])
+    assert (round(float(lon[0]), 5), round(float(lat[0]), 5)) == (0.0, 0.0)
+
+
+def test_utm_mgrs_roundtrip_batch():
+    from geostructures_spark.kernels.geodesy import haversine_distance
+    from geostructures_spark.kernels.mgrs import (
+        mgrs_decode, mgrs_encode, utm_forward, utm_inverse)
+    rng = np.random.default_rng(5)
+    lons = rng.uniform(-179.0, 179.0, 400)
+    lats = rng.uniform(-79.9, 83.9, 400)
+    # UTM forward/inverse closes to sub-micron
+    z, s, e, n = utm_forward(lons, lats)
+    rlon, rlat = utm_inverse(z, s, e, n)
+    assert float(haversine_distance(lons, lats, rlon, rlat).max()) < 1e-6
+    # MGRS decode lands in the 1 m cell (SW corner, <= sqrt(2) m away)
+    dlon, dlat = mgrs_decode(mgrs_encode(lons, lats))
+    assert float(haversine_distance(lons, lats, dlon, dlat).max()) < 1.5
+    # Norway/Svalbard zone exceptions
+    z, *_ = utm_forward([5.0], [60.0]);  assert int(z[0]) == 32
+    z, *_ = utm_forward([10.0], [75.0]); assert int(z[0]) == 33
+    # published UTM value: (0, 0) -> 31N 166021.44, 0
+    z, s, e, n = utm_forward([0.0], [0.0])
+    assert int(z[0]) == 31 and abs(float(e[0]) - 166021.443) < 0.01
+    assert abs(float(n[0])) < 1e-6
+
+
 # --- simhash kernel semantics (portable md5-based definition)
 
 def test_simhash_matches_pure_python(spark):
