@@ -21,6 +21,7 @@ import os
 import sys
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1889,6 +1890,44 @@ def _mgrs_encode_duckdb() -> str:
     """
 
 
+def _q_shapefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapefile interchange (reference parse_shapefile, parsers.py:194-226;
+    from-scratch binary spec, no pyshp): per-row single-record zipped
+    archives written and reparsed to bit-identical doubles + attributes."""
+    from pyspark.sql import types as T
+    from geostructures_spark.operators.shapefile import (
+        parse_shapefile_df, write_shapefile_zip)
+    _load(spark, sf_dir, 'customer')
+    pts = spark.sql(_pts_customer_sql()).filter(F.col('pid') <= 400)
+
+    @F.pandas_udf(T.BinaryType())
+    def _zip(pid: pd.Series, lon: pd.Series, lat: pd.Series,
+             seg: pd.Series) -> pd.Series:
+        out = [write_shapefile_zip([
+            {'kind': 'point', 'rings': [[(float(lo), float(la))]],
+             'properties': {'name': f'p{int(i)}', 'seg': str(s)}}])
+            for i, lo, la, s in zip(pid, lon, lat, seg)]
+        return pd.Series(out, index=pid.index)
+
+    blobs = pts.select('pid', _zip('pid', 'lon', 'lat', 'seg').alias('shp_zip'))
+    parsed = parse_shapefile_df(blobs)
+    v = F.element_at(F.element_at('rings', 1), 1)
+    return (parsed.select(
+        F.col('pid').cast('long').alias('pid'), 'kind',
+        v.getField('lon').alias('lon'), v.getField('lat').alias('lat'),
+        F.col('properties').getItem('name').alias('name'),
+        F.col('properties').getItem('seg').alias('seg'))
+        .orderBy('pid'))
+
+
+_SHAPEFILE_ROUNDTRIP_DUCK = f"""
+  WITH pts AS ({_pts_customer_sql()})
+  SELECT CAST(pid AS BIGINT) AS pid, 'point' AS kind, lon, lat,
+         'p' || CAST(pid AS VARCHAR) AS name, seg
+  FROM pts WHERE pid <= 400 ORDER BY pid
+"""
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents' bytes as opaque media blobs ->
     deterministic stub feature extraction (mapInPandas over pruned
@@ -1964,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kml_parse_roundtrip': _q_kml_roundtrip,
         'utm_project': _q_utm_project,
         'mgrs_encode_strings': _q_mgrs_encode,
+        'shapefile_roundtrip': _q_shapefile_roundtrip,
     }
 
 
@@ -2026,4 +2066,5 @@ def oracle_sql() -> dict[str, str]:
         'kml_parse_roundtrip': _KML_ROUNDTRIP_DUCK,
         'utm_project': _utm_project_duckdb(),
         'mgrs_encode_strings': _mgrs_encode_duckdb(),
+        'shapefile_roundtrip': _SHAPEFILE_ROUNDTRIP_DUCK,
     }

@@ -483,6 +483,65 @@ def test_utm_mgrs_roundtrip_batch():
     assert abs(float(n[0])) < 1e-6
 
 
+# --- shapefile read/write (public binary spec, no pyshp) -------------------
+
+def test_shapefile_roundtrip_and_spec():
+    import io
+    import struct
+    import zipfile
+    from geostructures_spark.operators.shapefile import (
+        read_shapefile_zip, write_shapefile_zip)
+    shapes = [
+        {'kind': 'point', 'rings': [[(1.5, 2.5)]],
+         'properties': {'name': 'a', 'n': '1'}},
+        {'kind': 'point', 'rings': [[(-3.25, 4.0)]],
+         'properties': {'name': 'bb', 'n': '22'}},
+    ]
+    blob = write_shapefile_zip(shapes)
+    back = read_shapefile_zip(blob)
+    assert [s['rings'] for s in back] == [s['rings'] for s in shapes]
+    assert back[0]['properties'] == {'n': '1', 'name': 'a'}
+    # spec-golden header fields (ESRI whitepaper): BE file code 9994,
+    # LE version 1000, LE shape type, LE bbox; Point record = 10 words
+    with zipfile.ZipFile(io.BytesIO(blob)) as z:
+        shp = z.read('shapes.shp')
+    assert struct.unpack_from('>i', shp, 0)[0] == 9994
+    assert struct.unpack_from('<i', shp, 28)[0] == 1000
+    assert struct.unpack_from('<i', shp, 32)[0] == 1
+    assert struct.unpack_from('<4d', shp, 36) == (-3.25, 2.5, 1.5, 4.0)
+    assert struct.unpack_from('>2i', shp, 100) == (1, 10)
+    # polygon with hole keeps [outline, hole] part order; linestring and
+    # multipoint kinds roundtrip
+    poly = [{'kind': 'polygon', 'properties': {'id': 'p1'}, 'rings':
+             [[(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)],
+              [(1, 1), (2, 1), (1.5, 2), (1, 1)]]}]
+    b2 = read_shapefile_zip(write_shapefile_zip(poly))[0]
+    assert b2['kind'] == 'polygon' and len(b2['rings']) == 2
+    mp = [{'kind': 'multipoint', 'properties': {},
+           'rings': [[(0.0, 1.0)], [(2.0, 3.0)]]}]
+    assert read_shapefile_zip(write_shapefile_zip(mp))[0]['kind'] == 'multipoint'
+
+
+def test_shapefile_df_operators(spark):
+    from geostructures_spark.operators.shapefile import (
+        parse_shapefile_df, to_shapefile_zip, write_shapefile_zip)
+    shapes = spark.createDataFrame(
+        [(1, 'polygon',
+          [[{'lon': 0.0, 'lat': 0.0}, {'lon': 2.0, 'lat': 0.0},
+            {'lon': 1.0, 'lat': 2.0}, {'lon': 0.0, 'lat': 0.0}]],
+          {'id': 's1'})],
+        'sid long, kind string, '
+        'rings array<array<struct<lon:double,lat:double>>>, '
+        'properties map<string,string>')
+    blob = to_shapefile_zip(shapes)
+    df = spark.createDataFrame([(1, bytearray(blob))], 'row_id long, shp_zip binary')
+    back = parse_shapefile_df(df).collect()
+    assert len(back) == 1
+    assert back[0].kind == 'polygon'
+    assert back[0].properties['id'] == 's1'
+    assert back[0].rings[0][1].lon == 2.0
+
+
 # --- simhash kernel semantics (portable md5-based definition)
 
 def test_simhash_matches_pure_python(spark):
