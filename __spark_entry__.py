@@ -1928,6 +1928,41 @@ _SHAPEFILE_ROUNDTRIP_DUCK = f"""
 """
 
 
+def _q_dms_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_dms output conversion (coordinates.py:236-253) as pure column
+    expressions: divmod on |dd|*3600 with half-up seconds at 5 decimals."""
+    from geostructures_spark.functions.geo import to_dms_exprs
+    _load(spark, sf_dir, 'customer')
+    pts = spark.sql(_pts_customer_sql()).filter(F.col('pid') <= 400)
+    dlon = to_dms_exprs(F.col('lon'), is_lon=True)
+    dlat = to_dms_exprs(F.col('lat'), is_lon=False)
+    return (pts.select(
+        F.col('pid').cast('long').alias('pid'),
+        dlon[0].alias('lon_deg'), dlon[1].alias('lon_min'),
+        dlon[2].alias('lon_sec'), dlon[3].alias('lon_hemi'),
+        dlat[0].alias('lat_deg'), dlat[1].alias('lat_min'),
+        dlat[2].alias('lat_sec'), dlat[3].alias('lat_hemi'))
+        .orderBy('pid'))
+
+
+def _dms_duckdb() -> str:
+    def dms(col, prefix, hemi_pos, hemi_neg):
+        ma = f'floor(abs({col}) * 3600.0e0 / 60.0e0)'
+        return (
+            f"CAST(floor({ma} / 60.0e0) AS INT) AS {prefix}_deg, "
+            f"CAST({ma} - floor({ma} / 60.0e0) * 60.0e0 AS INT) AS {prefix}_min, "
+            f"ROUND(abs({col}) * 3600.0e0 - {ma} * 60.0e0 + 1e-17, 5) AS {prefix}_sec, "
+            f"CASE WHEN {col} >= 0 THEN '{hemi_pos}' ELSE '{hemi_neg}' END "
+            f"AS {prefix}_hemi")
+    return f"""
+      WITH pts AS ({_pts_customer_sql()})
+      SELECT CAST(pid AS BIGINT) AS pid,
+             {dms('lon', 'lon', 'E', 'W')},
+             {dms('lat', 'lat', 'N', 'S')}
+      FROM pts WHERE pid <= 400 ORDER BY pid
+    """
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents' bytes as opaque media blobs ->
     deterministic stub feature extraction (mapInPandas over pruned
@@ -2004,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'utm_project': _q_utm_project,
         'mgrs_encode_strings': _q_mgrs_encode,
         'shapefile_roundtrip': _q_shapefile_roundtrip,
+        'dms_convert': _q_dms_convert,
     }
 
 
@@ -2067,4 +2103,5 @@ def oracle_sql() -> dict[str, str]:
         'utm_project': _utm_project_duckdb(),
         'mgrs_encode_strings': _mgrs_encode_duckdb(),
         'shapefile_roundtrip': _SHAPEFILE_ROUNDTRIP_DUCK,
+        'dms_convert': _dms_duckdb(),
     }

@@ -29,7 +29,57 @@ __all__ = [
     'niemeyer_encode_udf', 'h3_encode_udf', 'points_in_ring_udf', 'xyz_exprs',
     'vincenty_distance_udf', 'rotate_coordinates_udf',
     'utm_forward_udf', 'mgrs_encode_udf', 'mgrs_decode_udf',
+    'to_dms_exprs', 'to_qdms_udf',
 ]
+
+
+def to_dms_exprs(dd: Column, is_lon: bool = True):
+    """Decimal degrees -> (degrees, minutes, seconds, hemisphere) Columns
+    (reference Coordinate.to_dms, coordinates.py:236-253: divmod on
+    |dd|*3600, seconds round-half-up at 5 decimals)."""
+    total = F.abs(dd) * 3600.0
+    minutes_all = F.floor(total / 60.0)
+    sec = F.round(total - minutes_all * 60.0 + F.lit(1e-17), 5)
+    deg = F.floor(minutes_all / 60.0).cast('int')
+    mins = (minutes_all - F.floor(minutes_all / 60.0) * 60.0).cast('int')
+    if is_lon:
+        hemi = F.when(dd >= 0, F.lit('E')).otherwise(F.lit('W'))
+    else:
+        hemi = F.when(dd >= 0, F.lit('N')).otherwise(F.lit('S'))
+    return deg, mins, sec, hemi
+
+
+def to_qdms_udf(is_lon: bool = True):
+    """Decimal degrees -> QDDMMSSHH strings (coordinates.py:320-351),
+    replicating the reference's zero_pad exactly — str(float) drops the
+    decimal point and pads on the LEFT, so e.g. 12.3 s becomes '0123'
+    (quirk preserved for parity)."""
+    from geostructures_spark.kernels.geodesy import round_half_up
+
+    def zero_pad(num, length):
+        s = str(num).replace('.', '')
+        return '0' * (length - len(s)) + s
+
+    @F.pandas_udf(T.StringType())
+    def _qdms(dd: pd.Series) -> pd.Series:
+        out = []
+        for v in dd.to_numpy(np.float64):
+            total = abs(v) * 3600.0
+            minutes_all, sec = divmod(total, 60)
+            deg, mins = divmod(minutes_all, 60)
+            sec5 = float(round_half_up(sec, 5))
+            if is_lon:
+                q = 'E' if v >= 0 else 'W'
+                parts = [zero_pad(abs(int(deg)), 3), zero_pad(int(mins), 2),
+                         zero_pad(float(round_half_up(sec5, 2)), 4)]
+            else:
+                q = 'N' if v >= 0 else 'S'
+                parts = [zero_pad(abs(int(deg)), 2), zero_pad(int(mins), 2),
+                         zero_pad(float(round_half_up(sec5, 2)), 4)]
+            out.append(q + ''.join(parts))
+        return pd.Series(out, index=dd.index, dtype=object)
+
+    return _qdms
 
 
 def utm_forward_udf():

@@ -542,6 +542,28 @@ def test_shapefile_df_operators(spark):
     assert back[0].rings[0][1].lon == 2.0
 
 
+# --- DMS / QDMS output conversions (tests/test_coordinates.py:85-115) -------
+
+def test_to_dms_and_qdms_goldens(spark):
+    from geostructures_spark.functions.geo import to_dms_exprs, to_qdms_udf
+    df = spark.createDataFrame([(-0.118092, 51.509865)],
+                               'lon double, lat double')
+    dlon = to_dms_exprs(F.col('lon'), is_lon=True)
+    dlat = to_dms_exprs(F.col('lat'), is_lon=False)
+    r = df.select(dlon[0].alias('lod'), dlon[1].alias('lom'),
+                  dlon[2].alias('los'), dlon[3].alias('loh'),
+                  dlat[0].alias('lad'), dlat[1].alias('lam'),
+                  dlat[2].alias('las'), dlat[3].alias('lah'),
+                  to_qdms_udf(True)(F.col('lon')).alias('qlon'),
+                  to_qdms_udf(False)(F.col('lat')).alias('qlat')).collect()[0]
+    # Coordinate(-0.118092, 51.509865).to_dms()
+    # == ((0, 7, 5.1312, 'W'), (51, 30, 35.514, 'N'))
+    assert (r.lod, r.lom, r.los, r.loh) == (0, 7, 5.1312, 'W')
+    assert (r.lad, r.lam, r.las, r.lah) == (51, 30, 35.514, 'N')
+    # .to_qdms() == ('W000070513', 'N51303551')
+    assert (r.qlon, r.qlat) == ('W000070513', 'N51303551')
+
+
 # --- simhash kernel semantics (portable md5-based definition)
 
 def test_simhash_matches_pure_python(spark):
