@@ -69,6 +69,22 @@ def main() -> int:
           f'through the join (no driver collect)')
     ok &= spec
 
+    # bucketed co-located join: repeated joins on the points' cell key scan
+    # pre-bucketed storage with NO Exchange on either side
+    from geostructures_spark.plans.bucketing import bucketed_join, write_bucketed
+    spark.conf.set('spark.sql.autoBroadcastJoinThreshold', '-1')
+    a = spark.range(20000).selectExpr('CAST(id % 997 AS STRING) AS cell', 'id AS v1')
+    b = spark.range(8000).selectExpr('CAST(id % 997 AS STRING) AS cell', 'id AS v2')
+    write_bucketed(a, 'plans_buck_a', 'cell', 16)
+    write_bucketed(b, 'plans_buck_b', 'cell', 16)
+    plan = formatted(bucketed_join(spark, 'plans_buck_a', 'plans_buck_b', 'cell'))
+    no_shuffle = 'Exchange' not in plan
+    print(f'[{"OK" if no_shuffle else "FAIL"}] bucketed cell join plans with '
+          f'no Exchange (co-located)')
+    ok &= no_shuffle
+    spark.sql('DROP TABLE IF EXISTS plans_buck_a')
+    spark.sql('DROP TABLE IF EXISTS plans_buck_b')
+
     spark.stop()
     return 0 if ok else 1
 

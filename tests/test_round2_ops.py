@@ -564,6 +564,32 @@ def test_to_dms_and_qdms_goldens(spark):
     assert (r.qlon, r.qlat) == ('W000070513', 'N51303551')
 
 
+# --- bucketed co-located joins (explicit partitioning, north rule) ----------
+
+def test_bucketed_join_is_shuffle_free(spark):
+    from geostructures_spark.plans.bucketing import bucketed_join, write_bucketed
+    old = spark.conf.get('spark.sql.autoBroadcastJoinThreshold')
+    spark.conf.set('spark.sql.autoBroadcastJoinThreshold', '-1')
+    try:
+        a = spark.range(5000).selectExpr('CAST(id % 97 AS STRING) AS cell',
+                                         'id AS v1')
+        b = spark.range(2000).selectExpr('CAST(id % 97 AS STRING) AS cell',
+                                         'id AS v2')
+        write_bucketed(a, 'tbuck_a', 'cell', 8)
+        write_bucketed(b, 'tbuck_b', 'cell', 8)
+        j = bucketed_join(spark, 'tbuck_a', 'tbuck_b', 'cell')
+        je = j._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        plan = je.explainString(mode.fromString('formatted'))
+        assert 'Exchange' not in plan     # co-located: no shuffle at all
+        # correctness: same result as the plain join
+        assert j.count() == a.join(b, 'cell').count()
+    finally:
+        spark.conf.set('spark.sql.autoBroadcastJoinThreshold', old)
+        spark.sql('DROP TABLE IF EXISTS tbuck_a')
+        spark.sql('DROP TABLE IF EXISTS tbuck_b')
+
+
 # --- simhash kernel semantics (portable md5-based definition)
 
 def test_simhash_matches_pure_python(spark):
