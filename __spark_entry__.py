@@ -1441,6 +1441,53 @@ def _vincenty_duckdb(n_iter: int = 12) -> str:
             f"FROM {cur} fin ORDER BY pid")
 
 
+def _q_karney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karney ellipsoidal geodesic distance (reference geodesic.py:292-305)
+    per customer point to its +0.7-degree meridional pair, via the
+    exact-integral kernel (kernels/karney.py). Meridional arcs take the
+    kernel's bisection-free branch (sigma = beta, k^2 = e'^2), whose 32-node
+    Gauss-Legendre quadrature is plain arithmetic — the oracle evaluates the
+    identical quadrature in SQL. Rounded to 3dp (mm) for cross-libm safety."""
+    from geostructures_spark.functions.geo import karney_distance_udf
+    _load(spark, sf_dir, 'customer')
+    pts = spark.sql(_pts_customer_sql())
+    kd = karney_distance_udf()
+    return (pts.select(
+        F.col('pid').cast('long').alias('pid'),
+        F.round(kd(F.col('lon'), F.col('lat'),
+                   F.col('lon'), F.col('lat') + 0.7), 3).alias('karney_m'))
+        .orderBy('pid'))
+
+
+def _karney_meridian_duckdb() -> str:
+    """Meridian-arc Karney distance in closed SQL: s = b * (I1(b2) - I1(b1))
+    with reduced latitudes beta = atan((1-f) tan(phi)) and
+    I1(beta) = (beta/2) * sum_i w_i sqrt(1 + e'^2 sin^2(beta/2 (x_i + 1)))
+    — the same 32-node Gauss-Legendre rule the kernel uses, nodes embedded
+    as literals."""
+    import numpy as np
+    qx, qw = np.polynomial.legendre.leggauss(32)
+    vals = ', '.join(f'({x!r}, {w!r})' for x, w in zip(qx, qw))
+    ff = '(1.0/298.257223563)'
+    return f"""
+  WITH pts AS ({_pts_customer_sql()}),
+  q(x, w) AS (VALUES {vals}),
+  consts AS (SELECT {ff} AS f, 6378137.0 * (1.0 - {ff}) AS b,
+                    {ff} * (2.0 - {ff}) AS e2),
+  b AS (SELECT pid,
+               atan((1.0 - c.f) * tan(radians(lat))) AS b1,
+               atan((1.0 - c.f) * tan(radians(lat + 0.7))) AS b2,
+               c.b AS bm, c.e2 / (1.0 - c.e2) AS ep2
+        FROM pts, consts c),
+  i AS (SELECT pid, bm,
+               SUM(w * sqrt(1.0 + ep2 * pow(sin(b1 / 2.0 * (x + 1.0)), 2))) * b1 / 2.0 AS i1,
+               SUM(w * sqrt(1.0 + ep2 * pow(sin(b2 / 2.0 * (x + 1.0)), 2))) * b2 / 2.0 AS i2
+        FROM b CROSS JOIN q GROUP BY pid, b1, b2, bm, ep2)
+  SELECT CAST(pid AS BIGINT) AS pid, ROUND(bm * (i2 - i1), 3) AS karney_m
+  FROM i ORDER BY pid
+"""
+
+
 def _q_shape_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-ring polygon dedup (reference structures.py:348-355,
     _base.py:880-888): per customer, three constructed duplicates of the
@@ -2029,6 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'wkt_serialize_roundtrip': _q_wkt_serialize,
         'geojson_serialize_roundtrip': _q_geojson_serialize,
         'vincenty_distance_pairs': _q_vincenty,
+        'karney_meridian_arc': _q_karney,
         'knn_pruned_topk': _q_knn_pruned,
         'time_of_day_counts': _q_time_of_day,
         'ivf_kmeans_train': _q_kmeans_ivf,
@@ -2093,6 +2141,7 @@ def oracle_sql() -> dict[str, str]:
         'wkt_serialize_roundtrip': _WKT_SERIALIZE_DUCK,
         'geojson_serialize_roundtrip': _GEOJSON_SERIALIZE_DUCK,
         'vincenty_distance_pairs': _vincenty_duckdb(),
+        'karney_meridian_arc': _karney_meridian_duckdb(),
         'knn_pruned_topk': _knn_duckdb(),
         'time_of_day_counts': _TIME_OF_DAY_DUCK,
         'ivf_kmeans_train': _kmeans_duckdb(),

@@ -27,7 +27,8 @@ __all__ = [
     'interval_intersects_expr', 'interval_contains_expr',
     'interval_contains_instant_expr',
     'niemeyer_encode_udf', 'h3_encode_udf', 'points_in_ring_udf', 'xyz_exprs',
-    'vincenty_distance_udf', 'rotate_coordinates_udf',
+    'vincenty_distance_udf', 'karney_distance_udf', 'karney_destination_udf',
+    'ellipsoidal_area_udf', 'rotate_coordinates_udf',
     'utm_forward_udf', 'mgrs_encode_udf', 'mgrs_decode_udf',
     'to_dms_exprs', 'to_qdms_udf',
 ]
@@ -151,6 +152,63 @@ def vincenty_distance_udf():
         return pd.Series(np.asarray(d, dtype=np.float64), index=lon1.index)
 
     return _vdist
+
+
+def karney_distance_udf():
+    """Arrow-batched Karney geodesic inverse distance on WGS84 (reference
+    geodesic.py:292-305; kernels/karney.py exact-integral solver —
+    antipodal-safe where Vincenty diverges)."""
+    from geostructures_spark.kernels.karney import karney_distance
+
+    @F.pandas_udf(T.DoubleType())
+    def _kdist(lon1: pd.Series, lat1: pd.Series,
+               lon2: pd.Series, lat2: pd.Series) -> pd.Series:
+        d = karney_distance(lon1.to_numpy(np.float64), lat1.to_numpy(np.float64),
+                            lon2.to_numpy(np.float64), lat2.to_numpy(np.float64))
+        return pd.Series(np.asarray(d, dtype=np.float64), index=lon1.index)
+
+    return _kdist
+
+
+def karney_destination_udf():
+    """Arrow-batched Karney direct problem (reference geodesic.py:308-321):
+    (lon, lat, bearing_deg, distance_m) -> struct<lon,lat>."""
+    from geostructures_spark.kernels.karney import karney_destination
+
+    @F.pandas_udf('struct<lon:double,lat:double>')
+    def _kdest(lon: pd.Series, lat: pd.Series,
+               bearing: pd.Series, dist: pd.Series) -> pd.DataFrame:
+        lon2, lat2, _ = karney_destination(
+            lon.to_numpy(np.float64), lat.to_numpy(np.float64),
+            bearing.to_numpy(np.float64), dist.to_numpy(np.float64))
+        return pd.DataFrame({'lon': lon2, 'lat': lat2}, index=lon.index)
+
+    return _kdest
+
+
+def ellipsoidal_area_udf():
+    """Exact WGS84 polygon area (m^2) over a JSON-encoded rings column
+    (operators/ringio transport). Batch shape: all edges of all rows in the
+    Arrow batch go through ONE vectorized inverse solve (kernels/karney.py
+    ellipsoidal_area_batch). Matches reference structures.py:69-76."""
+    from geostructures_spark.kernels.karney import ellipsoidal_area_batch
+    from geostructures_spark.operators.ringio import decode_rings_json
+
+    @F.pandas_udf(T.DoubleType())
+    def _area(rings_json: pd.Series) -> pd.Series:
+        groups = []
+        for rj in rings_json:
+            rings = decode_rings_json(rj)
+            if not rings:
+                groups.append([])
+            else:
+                groups.append([
+                    np.array([[c['lon'], c['lat']] for c in ring],
+                             dtype=np.float64)
+                    for ring in rings])
+        return pd.Series(ellipsoidal_area_batch(groups), index=rings_json.index)
+
+    return _area
 
 
 def haversine_expr(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:

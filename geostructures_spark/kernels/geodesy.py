@@ -273,11 +273,12 @@ _ALGORITHM = 'haversine'
 def set_geodesic_algorithm(name: str) -> None:
     """Engine-wide geodesic strategy switch (reference geodesic.py:343-356).
 
-    'karney' is unavailable here (geographiclib is not installable in this
-    environment); the reference's default is haversine (geodesic.py:358-361).
+    'karney' is served by the from-scratch exact-integral kernel in
+    kernels/karney.py (geographiclib itself is not installable here); the
+    reference's default is haversine (geodesic.py:358-361).
     """
     global _ALGORITHM
-    if name not in ('haversine', 'vincenty'):
+    if name not in ('haversine', 'vincenty', 'karney'):
         raise ValueError(f'unsupported geodesic algorithm: {name}')
     _ALGORITHM = name
 
@@ -285,18 +286,28 @@ def set_geodesic_algorithm(name: str) -> None:
 def distance_meters(lon1, lat1, lon2, lat2):
     if _ALGORITHM == 'vincenty':
         return vincenty_distance(lon1, lat1, lon2, lat2)
+    if _ALGORITHM == 'karney':
+        from geostructures_spark.kernels.karney import karney_distance
+        return karney_distance(lon1, lat1, lon2, lat2)
     return haversine_distance(lon1, lat1, lon2, lat2)
 
 
 def bearing_degrees(lon1, lat1, lon2, lat2):
     if _ALGORITHM == 'vincenty':
         return vincenty_bearing(lon1, lat1, lon2, lat2)
+    if _ALGORITHM == 'karney':
+        from geostructures_spark.kernels.karney import karney_bearing
+        return karney_bearing(lon1, lat1, lon2, lat2)
     return haversine_bearing(lon1, lat1, lon2, lat2)
 
 
 def destination_point(lon, lat, bearing_deg, distance_m):
     if _ALGORITHM == 'vincenty':
         return vincenty_destination(lon, lat, bearing_deg, distance_m)
+    if _ALGORITHM == 'karney':
+        from geostructures_spark.kernels.karney import karney_destination
+        lon2, lat2, _ = karney_destination(lon, lat, bearing_deg, distance_m)
+        return lon2, lat2
     return haversine_destination(lon, lat, bearing_deg, distance_m)
 
 

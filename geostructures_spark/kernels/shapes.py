@@ -168,6 +168,23 @@ def shape_linear_rings(shape: Dict, k: Optional[int] = None) -> List[np.ndarray]
     raise ValueError(f'unknown shape kind: {kind}')
 
 
+def shape_area_ring_groups(shape: Dict, k: Optional[int] = None) -> List[List[np.ndarray]]:
+    """Per-polygon [outline, *holes] groups for area computation.
+
+    One group per simple polygon (its holes subtract); multishapes contribute
+    one group per child because areas sum over children
+    (reference multistructures.py:471). Points/linestrings yield none."""
+    kind = shape['kind']
+    if kind in ('point', 'linestring'):
+        return []
+    if kind in MULTI_KINDS:
+        out: List[List[np.ndarray]] = []
+        for child in shape['children'] or []:
+            out.extend(shape_area_ring_groups(child, k))
+        return out
+    return [shape_linear_rings(shape, k)]
+
+
 def shape_bounds(shape: Dict) -> Tuple[float, float, float, float]:
     """(min_lon, min_lat, max_lon, max_lat) per kind (SURVEY.md §2.4).
 

@@ -4,9 +4,12 @@
 ``with_shape_derived`` adds, per shape row:
   bounds (min_lon, min_lat, max_lon, max_lat)   structures.py bounds impls
   centroid_lon / centroid_lat                   per-kind centroid rules
-  area_m2                                       spherical-excess substitute
-                                                (pyproj unavailable; documented
-                                                deviation, SURVEY.md §2.4)
+  area_m2                                       exact WGS84 ellipsoidal area
+                                                (kernels/karney.py quadrature;
+                                                matches pyproj's
+                                                geometry_area_perimeter |abs|,
+                                                structures.py:69-76 — holes
+                                                subtract, multipolygons sum)
   circum_radius_m / circum_lon / circum_lat     circumscribing circle
                                                 (Welzl for polygons,
                                                 _geometry.py:147-182; per-kind
@@ -62,6 +65,7 @@ def with_shape_derived(shapes: DataFrame) -> DataFrame:
                   ', volume_m2s double')
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from geostructures_spark.kernels.karney import ellipsoidal_area_batch
         for pdf in batches:
             rows = pdf.to_dict('records')
             if has_rings:
@@ -71,19 +75,23 @@ def with_shape_derived(shapes: DataFrame) -> DataFrame:
                                     'centroid_lon', 'centroid_lat', 'area_m2',
                                     'circum_lon', 'circum_lat', 'circum_radius_m',
                                     'volume_m2s')}
-            for row in rows:
-                shape = shape_row_to_kernel(row)
+            # Exact area needs an inverse-geodesic solve per edge; flatten all
+            # rings of all shapes in the batch into ONE vectorized call.
+            shapes_k = [shape_row_to_kernel(row) for row in rows]
+            # One [outline, *holes] group per simple polygon (multishape
+            # children sum); all groups of the batch solve in one call.
+            groups, owner = [], []
+            for i, shape in enumerate(shapes_k):
+                for g in shp.shape_area_ring_groups(shape):
+                    groups.append(g)
+                    owner.append(i)
+            areas = np.zeros(len(shapes_k), dtype=np.float64)
+            if groups:
+                np.add.at(areas, np.asarray(owner, dtype=np.int64),
+                          ellipsoidal_area_batch(groups))
+            for row, shape, area in zip(rows, shapes_k, areas):
                 b = shp.shape_bounds(shape)
                 c = shp.shape_centroid(shape)
-                if shape['kind'] in ('point',):
-                    area = 0.0
-                elif shape['kind'] == 'linestring':
-                    area = 0.0
-                else:
-                    outline = shp.shape_linear_rings(shape)[0]
-                    area = geom.spherical_ring_area_m2(outline)
-                    for hole in shp.shape_linear_rings(shape)[1:]:
-                        area -= geom.spherical_ring_area_m2(hole)
                 # circumscribing circle
                 kind = shape['kind']
                 p = shape['params']

@@ -263,3 +263,43 @@ def test_shape_join_contains(spark):
     got = {(r.a_id, r.b_id) for r in
            shape_join(big, small, predicate='contains', time_gated=False).collect()}
     assert got == {(1, 10)}
+
+
+def test_karney_udfs_match_kernel(spark):
+    from geostructures_spark.functions.geo import (
+        karney_destination_udf, karney_distance_udf)
+    from geostructures_spark.kernels.karney import (
+        karney_destination, karney_distance)
+    rows = [(1, -74.006, 40.7128, -0.1278, 51.5074),
+            (2, 10.0, -30.0, 10.0, 12.5),       # meridional branch
+            (3, 179.0, 0.2, -179.5, -0.1),      # antimeridian
+            (4, 0.0, 0.0, 180.0, 0.0)]          # antipodal (Vincenty fails)
+    df = spark.createDataFrame(
+        rows, 'id long, lon1 double, lat1 double, lon2 double, lat2 double')
+    kd, kdest = karney_distance_udf(), karney_destination_udf()
+    got = (df.select('id', kd('lon1', 'lat1', 'lon2', 'lat2').alias('d'),
+                     kdest('lon1', 'lat1', F.lit(37.0), F.lit(250_000.0)).alias('p'))
+           .orderBy('id').collect())
+    import numpy as np
+    for r, (i, lon1, lat1, lon2, lat2) in zip(got, rows):
+        assert r.d == float(karney_distance(lon1, lat1, lon2, lat2))
+        dlon, dlat, _ = karney_destination(lon1, lat1, 37.0, 250_000.0)
+        assert r.p.lon == float(dlon) and r.p.lat == float(dlat)
+
+
+def test_shape_derived_area_exact(spark):
+    """area_m2 must be the exact WGS84 ellipsoidal area: the reference's
+    pyproj golden for a 1x1-degree box at the equator (structures.py:69-76,
+    tests/base/test_shape_mixins.py:29), and volume = area * elapsed sec."""
+    from geostructures_spark.operators.derive import with_shape_derived
+    row = [(1, 'box', {'min_lon': 0.0, 'min_lat': 0.0,
+                       'max_lon': 1.0, 'max_lat': 1.0})]
+    df = spark.createDataFrame(row, 'shape_id long, kind string, '
+                               'params map<string,double>') \
+        .select('shape_id', 'kind', 'params',
+                F.lit(None).cast('array<array<struct<lon:double,lat:double>>>').alias('rings'),
+                F.lit('2020-01-01 00:00:00').cast('timestamp').alias('dt_start'),
+                F.lit('2020-01-01 01:00:00').cast('timestamp').alias('dt_end'))
+    got = with_shape_derived(df).collect()[0]
+    assert abs(got.area_m2 - 12_308_778_361.469452) < 100.0  # < 1e-8 relative
+    assert abs(got.volume_m2s - got.area_m2 * 3600.0) < 1e-3
