@@ -537,8 +537,9 @@ _CONVOLVE_DUCK = """
 
 def _q_impossible_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """filter_impossible_journeys (collections.py:917-955) — sequential
-    greedy anchor scan per entity in applyInPandas. Not SQL-expressible;
-    rows-only driver check."""
+    greedy anchor scan per entity in applyInPandas. The anchor recursion is
+    not window-expressible, but IS a linear recursion — the oracle replays
+    it with a DuckDB recursive CTE carrying (anchor, n_kept) per entity."""
     from geostructures_spark.operators.tracks import filter_impossible_journeys
     _load(spark, sf_dir, 'events')
     pings = (spark.sql(_pts_events_sql())
@@ -548,6 +549,79 @@ def _q_impossible_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       time_col='dt_start')
     return (kept.groupBy('entity').agg(F.count('*').cast('long').alias('n_kept'))
             .orderBy('entity'))
+
+
+def _q_streaming_impossible(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): the
+    greedy impossible-journey filter with the per-entity anchor carried in
+    GroupState (streaming/tracks.py). Driven to completion over the events
+    parquet; same n_kept contract (and oracle) as the batch form — the
+    cross-micro-batch anchor handoff is golden-tested in
+    tests/test_spark_operators.py."""
+    import tempfile
+    from geostructures_spark.streaming.events import EVENTS_SCHEMA
+    from geostructures_spark.streaming.tracks import (
+        filter_impossible_journeys_stream)
+    path = os.path.join(sf_dir, 'events.parquet')
+    if os.path.isfile(path):
+        d = tempfile.mkdtemp(prefix='gs_stream_ij_')
+        os.symlink(path, os.path.join(d, 'events.parquet'))
+        path = d
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    pings = stream.select(
+        F.col('user_id').alias('entity'),
+        F.col('ts').alias('dt_start'),
+        ((F.col('event_id') * 7919) % 360000 / 1000.0 - 180.0 + 0.000123).alias('lon'),
+        ((F.col('event_id') * 104729) % 170000 / 1000.0 - 85.0 + 0.000321).alias('lat'))
+    kept = filter_impossible_journeys_stream(pings, max_speed_mps=200.0)
+    q = (kept.writeStream.outputMode('append')
+         .format('memory').queryName('journeys_kept_oracle').start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (spark.sql('SELECT * FROM journeys_kept_oracle')
+            .groupBy('entity').agg(F.count('*').cast('long').alias('n_kept'))
+            .orderBy('entity'))
+
+
+def _impossible_duckdb() -> str:
+    """The greedy anchor scan as a DuckDB recursive CTE: all entities advance
+    one ping per recursion step; state = (anchor lon/lat/ts, n_kept).
+    Exactly the kernel rules (operators/tracks.py greedy_keep): dt=0 ->
+    dropped + anchor unchanged, speed = 0 if dist=0 else dist/dt, kept iff
+    speed <= 200, anchor moves only on keep."""
+    dist = _hav('s.a_lon', 's.a_lat', 'p.lon', 'p.lat')
+    return f"""
+  WITH RECURSIVE p AS (
+    SELECT user_id AS entity, epoch(ts) AS ts_s, lon, lat,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+    FROM ({_pts_events_sql()})
+  ),
+  step AS (
+    SELECT entity, rn, lon AS a_lon, lat AS a_lat, ts_s AS a_ts, 1 AS n_kept
+    FROM p WHERE rn = 1
+    UNION ALL
+    SELECT entity, rn,
+           CASE WHEN kept THEN c_lon ELSE a_lon END,
+           CASE WHEN kept THEN c_lat ELSE a_lat END,
+           CASE WHEN kept THEN c_ts ELSE a_ts END,
+           n_kept + CASE WHEN kept THEN 1 ELSE 0 END
+    FROM (
+      SELECT s.entity, p.rn, p.lon AS c_lon, p.lat AS c_lat, p.ts_s AS c_ts,
+             s.a_lon, s.a_lat, s.a_ts, s.n_kept,
+             ((p.ts_s - s.a_ts) <> 0 AND
+              (CASE WHEN {dist} = 0 THEN 0.0
+                    ELSE {dist} / (p.ts_s - s.a_ts) END) <= 200.0) AS kept
+      FROM step s JOIN p ON p.entity = s.entity AND p.rn = s.rn + 1
+    )
+  )
+  SELECT entity, CAST(n_kept AS BIGINT) AS n_kept
+  FROM (SELECT entity, n_kept,
+               row_number() OVER (PARTITION BY entity ORDER BY rn DESC) AS rr
+        FROM step)
+  WHERE rr = 1 ORDER BY entity
+"""
 
 
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2047,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'collection_bounds': _q_bounds,
         'convolve_duplicate_timestamps': _q_convolve_dups,
         'impossible_journeys': _q_impossible_journeys,
+        'streaming_impossible_journeys': _q_streaming_impossible,
         'exact_dedup_groups': _q_exact_dedup,
         'minhash_lsh_pairs': _q_minhash_pairs,
         'text_stats': _q_text_stats,
@@ -2111,7 +2186,8 @@ def oracle_sql() -> dict[str, str]:
         'interval_intersects_counts': _INTERVAL_DUCK,
         'collection_bounds': _BOUNDS_SQL,
         'convolve_duplicate_timestamps': _CONVOLVE_DUCK,
-        # impossible_journeys: sequential greedy anchor — not SQL-expressible
+        'impossible_journeys': _impossible_duckdb(),
+        'streaming_impossible_journeys': _impossible_duckdb(),
         'exact_dedup_groups': _EXACT_DEDUP_DUCK,
         'minhash_lsh_pairs': _MINHASH_DUCK,
         'text_stats': _TEXT_STATS_DUCK,

@@ -24,8 +24,40 @@ from geostructures_spark.functions.geo import haversine_expr
 
 __all__ = [
     'with_track_diffs', 'slice_track', 'convolve_duplicate_timestamps',
-    'filter_impossible_journeys', 'has_duplicate_timestamps',
+    'filter_impossible_journeys', 'has_duplicate_timestamps', 'greedy_keep',
 ]
+
+
+def greedy_keep(lons: np.ndarray, lats: np.ndarray, ts: np.ndarray,
+                max_speed_mps: float,
+                anchor=(float('nan'), float('nan'), float('nan'))):
+    """The reference's greedy speed scan (collections.py:917-955), seeded
+    from a prior (lon, lat, ts-seconds) anchor (NaN ts = no anchor yet, so
+    the first ping is kept, ref :930). Returns (keep mask, final anchor or
+    None). Shared by the batch applyInPandas filter and the streaming
+    applyInPandasWithState filter, which carries the anchor in GroupState."""
+    from geostructures_spark.kernels.geodesy import haversine_distance
+    n = len(ts)
+    keep = np.zeros(n, dtype=bool)
+    a_lon, a_lat, a_ts = anchor
+    have_anchor = not np.isnan(a_ts)
+    for j in range(n):
+        if not have_anchor:
+            keep[j] = True
+            a_lon, a_lat, a_ts = lons[j], lats[j], ts[j]
+            have_anchor = True
+            continue
+        dt = ts[j] - a_ts
+        if dt == 0:
+            continue  # duplicate timestamp vs anchor: dropped (ref :940-945)
+        dist = float(haversine_distance(a_lon, a_lat, lons[j], lats[j]))
+        speed = 0.0 if dist == 0 else dist / dt  # ref :947
+        if np.isnan(speed):
+            a_lon, a_lat, a_ts = lons[j], lats[j], ts[j]  # ref :949-950
+        elif speed <= max_speed_mps:
+            keep[j] = True
+            a_lon, a_lat, a_ts = lons[j], lats[j], ts[j]
+    return keep, ((a_lon, a_lat, a_ts) if have_anchor else None)
 
 
 def _track_window(entity_col: str, time_col: str, idx_col: str = None):
@@ -109,34 +141,18 @@ def filter_impossible_journeys(tracks: DataFrame, max_speed_mps: float,
     anchor's timestamp are dropped; NaN speed resets nothing (anchor stays).
 
     Not expressible as a window function (the anchor depends on prior keep
-    decisions) -> applyInPandas with a vectorized-setup NumPy loop.
+    decisions) -> applyInPandas running the shared ``greedy_keep`` kernel.
     """
-    from geostructures_spark.kernels.geodesy import haversine_distance
-
     out_schema = tracks.schema
 
     def per_entity(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(time_col, kind='stable').reset_index(drop=True)
-        lons = pdf[lon_col].to_numpy(np.float64)
-        lats = pdf[lat_col].to_numpy(np.float64)
-        ts = pdf[time_col].astype('int64').to_numpy() / 1e9  # seconds
-        n = len(pdf)
-        keep = np.zeros(n, dtype=bool)
-        if n == 0:
-            return pdf.iloc[keep]
-        keep[0] = True
-        anchor = 0
-        for j in range(1, n):
-            dt = ts[j] - ts[anchor]
-            if dt == 0:
-                continue  # duplicate timestamp vs anchor: dropped (ref :940-945)
-            dist = float(haversine_distance(lons[anchor], lats[anchor], lons[j], lats[j]))
-            speed = 0.0 if dist == 0 else dist / dt  # ref :947
-            if np.isnan(speed):
-                anchor = j  # NaN resets the anchor without keeping (ref :949-950)
-            elif speed <= max_speed_mps:
-                keep[j] = True
-                anchor = j
+        if not len(pdf):
+            return pdf
+        keep, _ = greedy_keep(pdf[lon_col].to_numpy(np.float64),
+                              pdf[lat_col].to_numpy(np.float64),
+                              pdf[time_col].astype('int64').to_numpy() / 1e9,
+                              max_speed_mps)
         return pdf.iloc[keep]
 
     return tracks.groupBy(entity_col).applyInPandas(per_entity, schema=out_schema)

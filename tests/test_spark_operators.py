@@ -303,3 +303,47 @@ def test_shape_derived_area_exact(spark):
     got = with_shape_derived(df).collect()[0]
     assert abs(got.area_m2 - 12_308_778_361.469452) < 100.0  # < 1e-8 relative
     assert abs(got.volume_m2s - got.area_m2 * 3600.0) < 1e-3
+
+
+def test_streaming_impossible_journeys_matches_batch(spark, tmp_path):
+    """applyInPandasWithState stateful filter: pings fed in 3 time-ordered
+    micro-batches must reproduce the batch greedy filter exactly (the
+    GroupState anchor stands in for the batch scan's last-kept ping)."""
+    import os
+    from geostructures_spark.operators.tracks import filter_impossible_journeys
+    from geostructures_spark.streaming.tracks import (
+        PINGS_SCHEMA, run_impossible_to_memory)
+    rng = __import__('random').Random(11)
+    rows = []
+    for ent in range(6):
+        lon, lat = rng.uniform(-10, 10), rng.uniform(-10, 10)
+        for i in range(60):
+            # mix of plausible moves and teleports
+            if rng.random() < 0.25:
+                lon += rng.uniform(-5, 5)  # teleport (impossible at 200 m/s)
+            else:
+                lon += rng.uniform(-0.001, 0.001)
+                lat += rng.uniform(-0.001, 0.001)
+            rows.append((ent, f'2024-03-01 00:{i:02d}:00', lon, lat))
+    df = (spark.createDataFrame(rows, 'entity long, t string, lon double, lat double')
+          .select('entity', F.col('t').cast('timestamp').alias('dt_start'),
+                  'lon', 'lat'))
+    batch_kept = filter_impossible_journeys(df, 200.0).collect()
+
+    src = str(tmp_path / 'pings_stream')
+    os.makedirs(src)
+    pdf = df.toPandas().sort_values('dt_start').reset_index(drop=True)
+    for ci, chunk in enumerate(np.array_split(pdf, 3)):
+        p = os.path.join(src, f'chunk_{ci:03d}.parquet')
+        spark.createDataFrame(chunk, PINGS_SCHEMA).coalesce(1) \
+            .write.mode('overwrite').parquet(p + '.dir')
+        # one parquet FILE per micro-batch, mtime-ordered (the file source
+        # processes oldest-first under maxFilesPerTrigger=1)
+        part = [f for f in os.listdir(p + '.dir') if f.endswith('.parquet')][0]
+        os.rename(os.path.join(p + '.dir', part), p)
+        os.utime(p, (1000 + ci, 1000 + ci))
+    streamed = run_impossible_to_memory(spark, src, 200.0,
+                                        query_name='j_kept_test').collect()
+    key = lambda r: (r.entity, r.dt_start, round(r.lon, 9), round(r.lat, 9))
+    assert sorted(map(key, streamed)) == sorted(map(key, batch_kept))
+    assert len(batch_kept) < len(rows)  # the filter actually dropped pings
