@@ -1562,6 +1562,42 @@ def _karney_meridian_duckdb() -> str:
 """
 
 
+def _q_web_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinate.to_projection / from_projection for EPSG:3857
+    (reference coordinates.py:162-180,302-317) as pure column expressions:
+    project every customer point to Web Mercator meters and back. The
+    operator rounds half-up at 6dp (reference parity); the query rounds the
+    meter values once more to 3dp so sub-ulp libm differences between
+    engines cannot flip a 6th decimal on ~1e7-magnitude values."""
+    from geostructures_spark.functions.geo import (
+        from_projection_exprs, to_projection_exprs)
+    _load(spark, sf_dir, 'customer')
+    pts = spark.sql(_pts_customer_sql())
+    x, y = to_projection_exprs(F.col('lon'), F.col('lat'), 'EPSG:3857')
+    proj = pts.select(F.col('pid').cast('long').alias('pid'), 'lon', 'lat',
+                      x.alias('x'), y.alias('y'))
+    lon2, lat2 = from_projection_exprs(F.col('x'), F.col('y'), 'EPSG:3857')
+    return (proj.select('pid',
+                        F.round('x', 3).alias('x_mm'),
+                        F.round('y', 3).alias('y_mm'),
+                        lon2.alias('lon_rt'), lat2.alias('lat_rt'))
+            .orderBy('pid'))
+
+
+_WEB_MERCATOR_DUCK = f"""
+  WITH pts AS ({{pts}}),
+  p AS (SELECT pid,
+               ROUND(6378137.0 * radians(lon), 6) AS x,
+               ROUND(6378137.0 * ln(tan(pi() / 4.0 + radians(lat) / 2.0)), 6) AS y
+        FROM pts)
+  SELECT CAST(pid AS BIGINT) AS pid,
+         ROUND(x, 3) AS x_mm, ROUND(y, 3) AS y_mm,
+         ROUND(degrees(x / 6378137.0), 6) AS lon_rt,
+         ROUND(degrees(2.0 * atan(exp(y / 6378137.0)) - pi() / 2.0), 6) AS lat_rt
+  FROM p ORDER BY pid
+"""
+
+
 def _q_shape_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-ring polygon dedup (reference structures.py:348-355,
     _base.py:880-888): per customer, three constructed duplicates of the
@@ -2152,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'geojson_serialize_roundtrip': _q_geojson_serialize,
         'vincenty_distance_pairs': _q_vincenty,
         'karney_meridian_arc': _q_karney,
+        'web_mercator_roundtrip': _q_web_mercator,
         'knn_pruned_topk': _q_knn_pruned,
         'time_of_day_counts': _q_time_of_day,
         'ivf_kmeans_train': _q_kmeans_ivf,
@@ -2218,6 +2255,7 @@ def oracle_sql() -> dict[str, str]:
         'geojson_serialize_roundtrip': _GEOJSON_SERIALIZE_DUCK,
         'vincenty_distance_pairs': _vincenty_duckdb(),
         'karney_meridian_arc': _karney_meridian_duckdb(),
+        'web_mercator_roundtrip': _WEB_MERCATOR_DUCK.format(pts=_pts_customer_sql()),
         'knn_pruned_topk': _knn_duckdb(),
         'time_of_day_counts': _TIME_OF_DAY_DUCK,
         'ivf_kmeans_train': _kmeans_duckdb(),

@@ -30,6 +30,8 @@ __all__ = [
     'vincenty_distance_udf', 'karney_distance_udf', 'karney_destination_udf',
     'ellipsoidal_area_udf', 'rotate_coordinates_udf',
     'utm_forward_udf', 'mgrs_encode_udf', 'mgrs_decode_udf',
+    'to_projection_exprs', 'from_projection_exprs',
+    'to_projection_udf', 'from_projection_udf',
     'to_dms_exprs', 'to_qdms_udf',
 ]
 
@@ -97,6 +99,118 @@ def utm_forward_udf():
                              'northing': np.atleast_1d(n)}, index=lon.index)
 
     return _utm
+
+
+# --- EPSG reprojection (reference Coordinate.to_projection /
+# --- from_projection, coordinates.py:162-180,302-317) ----------------------
+#
+# The reference delegates to pyproj's Transformer and rounds half-up at 6
+# decimals. Supported here from scratch: EPSG:4326 (identity), EPSG:3857
+# (spherical Web Mercator — pure column expressions, JVM-side), and the UTM
+# CRS family EPSG:326xx / 327xx (the Krüger-series kernel, forced to the
+# code's zone/hemisphere). Other codes raise, matching "general EPSG
+# reprojection" staying out of scope (SURVEY.md §2.1).
+
+_WEB_MERCATOR_R = 6378137.0
+
+
+def _parse_epsg(crs) -> int:
+    if isinstance(crs, int):
+        return crs
+    s = str(crs).upper().strip()
+    if s.startswith('EPSG:'):
+        return int(s[5:])
+    return int(s)
+
+
+def to_projection_exprs(lon: Column, lat: Column, crs='EPSG:3857'):
+    """WGS84 -> target CRS as Column expressions, rounded half-up at 6dp
+    (coordinates.py:302-317). 4326/3857 only (UTM needs the kernel UDF)."""
+    code = _parse_epsg(crs)
+    if code == 4326:
+        return F.round(lon, 6), F.round(lat, 6)
+    if code == 3857:
+        x = F.lit(_WEB_MERCATOR_R) * F.radians(lon)
+        y = F.lit(_WEB_MERCATOR_R) * F.log(
+            F.tan(F.lit(math.pi / 4.0) + F.radians(lat) / 2.0))
+        return F.round(x, 6), F.round(y, 6)
+    raise ValueError(f'to_projection_exprs supports EPSG 4326/3857, got {crs}')
+
+
+def from_projection_exprs(x: Column, y: Column, crs='EPSG:3857'):
+    """Target CRS -> WGS84 as Column expressions (coordinates.py:162-180)."""
+    code = _parse_epsg(crs)
+    if code == 4326:
+        return F.round(x, 6), F.round(y, 6)
+    if code == 3857:
+        lon = F.degrees(x / F.lit(_WEB_MERCATOR_R))
+        lat = F.degrees(F.atan(F.exp(y / F.lit(_WEB_MERCATOR_R))) * 2.0
+                        - F.lit(math.pi / 2.0))
+        return F.round(lon, 6), F.round(lat, 6)
+    raise ValueError(f'from_projection_exprs supports EPSG 4326/3857, got {crs}')
+
+
+def _utm_epsg(code: int):
+    """EPSG:326xx (north) / 327xx (south) -> (zone, south). Hemisphere is a
+    property of the CRS, not the data, exactly as pyproj treats it."""
+    family, zone = code // 100, code % 100
+    if family not in (326, 327) or not 1 <= zone <= 60:
+        raise ValueError(f'unsupported EPSG code: {code}')
+    return zone, family == 327
+
+
+def to_projection_udf(crs):
+    """WGS84 -> projected (x, y) for any supported EPSG code; UTM codes run
+    the Krüger kernel forced to the code's zone/hemisphere."""
+    code = _parse_epsg(crs)
+    if code in (4326, 3857):
+        exprs = to_projection_exprs
+
+        def apply_exprs(lon, lat):
+            xx, yy = exprs(F.col(lon) if isinstance(lon, str) else lon,
+                           F.col(lat) if isinstance(lat, str) else lat, code)
+            return F.struct(xx.alias('x'), yy.alias('y'))
+        return apply_exprs
+    zone, south = _utm_epsg(code)
+    from geostructures_spark.kernels.geodesy import round_half_up
+    from geostructures_spark.kernels.mgrs import E0, N0_SOUTH, _tm_forward
+
+    @F.pandas_udf('struct<x:double,y:double>')
+    def _fwd(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        xx, yy = _tm_forward(lon.to_numpy(np.float64),
+                             lat.to_numpy(np.float64), zone * 6.0 - 183.0)
+        e = E0 + xx
+        n = yy + (N0_SOUTH if south else 0.0)
+        return pd.DataFrame({'x': round_half_up(e, 6),
+                             'y': round_half_up(n, 6)}, index=lon.index)
+
+    return _fwd
+
+
+def from_projection_udf(crs):
+    """Projected (x, y) -> WGS84 (lon, lat) for any supported EPSG code."""
+    code = _parse_epsg(crs)
+    if code in (4326, 3857):
+        exprs = from_projection_exprs
+
+        def apply_exprs(x, y):
+            lon, lat = exprs(F.col(x) if isinstance(x, str) else x,
+                             F.col(y) if isinstance(y, str) else y, code)
+            return F.struct(lon.alias('lon'), lat.alias('lat'))
+        return apply_exprs
+    zone, south = _utm_epsg(code)
+    from geostructures_spark.kernels.geodesy import round_half_up
+    from geostructures_spark.kernels.mgrs import utm_inverse
+
+    @F.pandas_udf('struct<lon:double,lat:double>')
+    def _inv(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        lon, lat = utm_inverse(np.full(len(x), zone, dtype=np.int64),
+                               np.full(len(x), south, dtype=bool),
+                               x.to_numpy(np.float64), y.to_numpy(np.float64))
+        return pd.DataFrame({'lon': round_half_up(lon, 6),
+                             'lat': round_half_up(lat, 6)}, index=x.index)
+
+    return _inv
 
 
 def mgrs_encode_udf(precision: int = 5):

@@ -347,3 +347,42 @@ def test_streaming_impossible_journeys_matches_batch(spark, tmp_path):
     key = lambda r: (r.entity, r.dt_start, round(r.lon, 9), round(r.lat, 9))
     assert sorted(map(key, streamed)) == sorted(map(key, batch_kept))
     assert len(batch_kept) < len(rows)  # the filter actually dropped pings
+
+
+def test_projection_goldens(spark):
+    """Coordinate.to_projection/from_projection goldens
+    (reference tests/test_coordinates.py:78-82, EPSG:3857) and UTM-family
+    EPSG codes against the Krüger kernel."""
+    from geostructures_spark.functions.geo import (
+        from_projection_udf, to_projection_udf)
+    inv = from_projection_udf('EPSG:3857')
+    r = (spark.createDataFrame([(2000.0, 3000.0)], 'x double, y double')
+         .select(inv('x', 'y').alias('p')).collect()[0].p)
+    assert (r.lon, r.lat) == (0.017966, 0.026949)
+    fwd = to_projection_udf('EPSG:3857')
+    r2 = (spark.createDataFrame([(0.017966, 0.026949)], 'lon double, lat double')
+          .select(fwd('lon', 'lat').alias('p')).collect()[0].p)
+    assert (r2.x, r2.y) == (1999.965972, 2999.949068)
+    # EPSG:326xx equals the zone-derived UTM kernel; 327xx south CRS
+    # round-trips even for northern points (false northing is CRS property)
+    from geostructures_spark.kernels.mgrs import utm_forward
+    import numpy as np
+    df = spark.createDataFrame([(4.35, 50.85), (3.0, -26.1)],
+                               'lon double, lat double')
+    got = df.select(to_projection_udf(32631)('lon', 'lat').alias('p')).collect()
+    _, _, e, n = utm_forward(np.array([4.35]), np.array([50.85]))
+    assert got[0].p.x == round(float(e[0]), 6) and got[0].p.y == round(float(n[0]), 6)
+    rt = (df.select('lon', 'lat',
+                    to_projection_udf('EPSG:32731')('lon', 'lat').alias('p'))
+          .select('lon', 'lat',
+                  from_projection_udf('EPSG:32731')(F.col('p.x'), F.col('p.y')).alias('q'))
+          .collect())
+    for r in rt:
+        assert (r.q.lon, r.q.lat) == (r.lon, r.lat)
+    # identity CRS
+    ident = to_projection_udf(4326)
+    r3 = df.select(ident('lon', 'lat').alias('p')).collect()[0].p
+    assert (r3.x, r3.y) == (4.35, 50.85)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        to_projection_udf('EPSG:2154')
