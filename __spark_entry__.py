@@ -807,6 +807,43 @@ _IVF_DUCK = """
 """
 
 
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via IVF bucketing (2-probe
+    multi-assignment, within-bucket self-join, exact cosine >= 0.35).
+    Pair ids only in the output — the float32-list cosine accumulates in a
+    different order in DuckDB, so the sim value itself is not hash-stable
+    across engines."""
+    from geostructures_spark.operators.simsearch import embedding_neardup_pairs
+    _load(spark, sf_dir, 'embeddings')
+    vecs = spark.table('embeddings')
+    cents = (vecs.filter(F.col('vec_id') < 8)
+             .select(F.col('vec_id').alias('centroid_id'),
+                     F.col('embedding').alias('c_embedding')))
+    pairs = embedding_neardup_pairs(vecs, cents, threshold=0.35)
+    return (pairs.select(F.col('doc_a').cast('long').alias('doc_a'),
+                         F.col('doc_b').cast('long').alias('doc_b'))
+            .orderBy('doc_a', 'doc_b'))
+
+
+_EMB_NEARDUP_DUCK = """
+  WITH cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+                 FROM embeddings WHERE vec_id < 8),
+  assign AS (
+    SELECT vec_id, embedding, centroid_id FROM (
+      SELECT v.vec_id, v.embedding, c.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_cosine_similarity(v.embedding, c.c_emb) DESC,
+                                         c.centroid_id ASC) AS r
+      FROM embeddings v, cents c) WHERE r <= 2)
+  SELECT DISTINCT CAST(a.vec_id AS BIGINT) AS doc_a,
+                  CAST(b.vec_id AS BIGINT) AS doc_b
+  FROM assign a JOIN assign b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+  ORDER BY doc_a, doc_b
+"""
+
+
 def _q_streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming windowed aggregation driven to completion over
     the events parquet (file source -> memory sink); same result contract
@@ -2164,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'lang_id_agreement': _q_lang_markers,
         'cosine_topk': _q_cosine_topk,
         'ivf_assign_counts': _q_ivf_counts,
+        'embedding_neardup_pairs': _q_embedding_neardup,
         'streaming_events_windowed': _q_streaming_events,
         'niemeyer_cover_circle': _q_niemeyer_cover_circle,
         'h3_cell_counts': _q_h3_cells,
@@ -2231,6 +2269,7 @@ def oracle_sql() -> dict[str, str]:
         'lang_id_agreement': _lang_markers_duckdb(),
         'cosine_topk': _COSINE_DUCK,
         'ivf_assign_counts': _IVF_DUCK,
+        'embedding_neardup_pairs': _EMB_NEARDUP_DUCK,
         'streaming_events_windowed': _STREAMING_DUCK,
         # niemeyer_cover_circle: BFS flood fill — not SQL-expressible
         # h3_cell_counts / h3_cover_circle: no H3 in DuckDB — kernel is

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ['cosine_sim_expr', 'cosine_topk_exact', 'ivf_assign', 'ivf_topk',
-           'kmeans_train']
+           'kmeans_train', 'embedding_neardup_pairs']
 
 
 def cosine_sim_expr(a, b):
@@ -97,6 +97,44 @@ def kmeans_train(vectors: DataFrame, k: int, n_iter: int = 2,
         cent_rows = [(cid, got.get(cid, emb)) for cid, emb in cent_rows]
         cents = spark.createDataFrame(cent_rows, schema)
     return cents
+
+
+def embedding_neardup_pairs(vectors: DataFrame, centroids: DataFrame,
+                            threshold: float, n_assign: int = 2,
+                            id_col: str = 'vec_id', vec_col: str = 'embedding',
+                            c_id: str = 'centroid_id',
+                            c_vec: str = 'c_embedding') -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, IVF-bucketed (the LLM-pipeline
+    dedup missing from the minhash/simhash family: near-dups in embedding
+    space rather than token space).
+
+    Scale shape: each vector is multi-assigned to its ``n_assign`` nearest
+    centroid buckets (broadcast centroids, one shuffle on the bucket key),
+    then candidate pairs come from a within-bucket equi-self-join — never
+    an all-pairs cross join. Exact cosine filters candidates at
+    ``threshold``; pairs co-bucketed more than once collapse via groupBy.
+    Multi-assignment is the recall lever (a pair is found iff the two
+    vectors share at least one of their n_assign buckets); at 100 TB you
+    raise the centroid count to keep buckets bounded and this stays a
+    bucket-local quadratic, exactly like the reference LSH pipelines.
+
+    Output: (doc_a, doc_b) with doc_a < doc_b."""
+    scored = (vectors
+              .crossJoin(F.broadcast(centroids.select(c_id, c_vec)))
+              .withColumn('c_sim', cosine_sim_expr(F.col(vec_col), F.col(c_vec))))
+    w = Window.partitionBy(id_col).orderBy(F.col('c_sim').desc(), F.col(c_id).asc())
+    assign = (scored.withColumn('r', F.row_number().over(w))
+              .filter(F.col('r') <= n_assign).select(id_col, vec_col, c_id))
+    a = assign.select(F.col(id_col).alias('doc_a'),
+                      F.col(vec_col).alias('vec_a'), c_id)
+    b = assign.select(F.col(id_col).alias('doc_b'),
+                      F.col(vec_col).alias('vec_b'), c_id)
+    return (a.join(b, c_id)
+            .filter(F.col('doc_a') < F.col('doc_b'))
+            .withColumn('cos_sim', cosine_sim_expr(F.col('vec_a'), F.col('vec_b')))
+            .filter(F.col('cos_sim') >= threshold)
+            .groupBy('doc_a', 'doc_b')
+            .agg(F.max('cos_sim').alias('cos_sim')))
 
 
 def ivf_topk(inverted: DataFrame, centroids: DataFrame, queries: DataFrame,

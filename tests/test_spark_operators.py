@@ -386,3 +386,24 @@ def test_projection_goldens(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         to_projection_udf('EPSG:2154')
+
+
+def test_embedding_neardup_finds_planted_pairs(spark):
+    """IVF-bucketed cosine near-dup: planted duplicates (same vector +
+    tiny noise) must be found; orthogonal vectors must not pair."""
+    import random
+    rng = random.Random(3)
+    dim = 16
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(20)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # plant near-dups of vectors 0..4 as ids 100..104
+    for i in range(5):
+        rows.append((100 + i, [x + rng.gauss(0, 0.01) for x in base[i]]))
+    vecs = spark.createDataFrame(rows, 'vec_id long, embedding array<double>')
+    cents = (vecs.filter(F.col('vec_id') < 4)
+             .select(F.col('vec_id').alias('centroid_id'),
+                     F.col('embedding').alias('c_embedding')))
+    from geostructures_spark.operators.simsearch import embedding_neardup_pairs
+    got = {(r.doc_a, r.doc_b)
+           for r in embedding_neardup_pairs(vecs, cents, threshold=0.98).collect()}
+    assert got == {(i, 100 + i) for i in range(5)}
