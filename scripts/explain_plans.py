@@ -85,6 +85,26 @@ def main() -> int:
     spark.sql('DROP TABLE IF EXISTS plans_buck_a')
     spark.sql('DROP TABLE IF EXISTS plans_buck_b')
 
+    # Web Mercator reprojection: pure column expressions — the whole query
+    # must stay inside codegen, zero Python evaluation nodes
+    plan = formatted(em.queries()['web_mercator_roundtrip'](spark, sf))
+    pure = ('EvalPython' not in plan and
+            any('ReadSchema' in l and 'c_custkey' in l and ',' not in l.split('struct<')[-1]
+                for l in plan.splitlines()))
+    print(f'[{"OK" if pure else "FAIL"}] web mercator is pure column exprs '
+          f'over a single-column pruned scan (no Python eval)')
+    ok &= pure
+
+    # Embedding near-dup: centroids broadcast; candidate generation is an
+    # equi-join on the bucket key, never a cross join of the vector side
+    plan = formatted(em.queries()['embedding_neardup_pairs'](spark, sf))
+    bucketed = ('BroadcastNestedLoopJoin' in plan  # vectors x tiny centroids
+                and 'CartesianProduct' not in plan
+                and 'centroid_id' in plan)
+    print(f'[{"OK" if bucketed else "FAIL"}] embedding near-dup pairs join '
+          f'on the bucket key (no vector-side cartesian)')
+    ok &= bucketed
+
     spark.stop()
     return 0 if ok else 1
 
