@@ -920,6 +920,42 @@ def _q_h3_cover_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy('shape_id'))
 
 
+def _q_h3_compact_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 compact/uncompact over shape covers (public compactCells
+    semantics, kernels/h3_core.py hierarchy ops): res-6 circle covers are
+    losslessly compacted per shape; the query certifies the round trip by
+    recomputing the full cover from the compacted one. Rows-only check
+    (DuckDB has no H3); the kernel invariants are golden-tested."""
+    from geostructures_spark.operators.tiling import (
+        compact_cover, cover_shapes, uncompact_cover)
+    _load(spark, sf_dir, 'supplier')
+    sup = spark.sql(_pts_supplier_sql()).filter(F.col('qid') <= 40)
+    shapes = sup.select(
+        F.col('qid').cast('long').alias('shape_id'),
+        F.lit('circle').alias('kind'),
+        F.struct(F.col('q_lon').alias('center_lon'),
+                 F.col('q_lat').alias('center_lat'),
+                 F.lit(150_000.0).alias('radius')).alias('params'),
+        F.lit(None).cast('array<array<struct<lon:double,lat:double>>>').alias('rings'))
+    cover = cover_shapes(shapes, scheme='h3', resolution=6,
+                         n_partitions=8).cache()
+    comp = compact_cover(cover)
+    rt = uncompact_cover(comp, 6)
+    full_n = cover.groupBy('shape_id').agg(F.count('*').alias('n_full'))
+    comp_n = comp.groupBy('shape_id').agg(F.count('*').alias('n_compact'))
+    rt_n = (rt.join(cover.withColumn('orig', F.lit(1)),
+                    ['shape_id', 'cell'], 'left')
+            .groupBy('shape_id')
+            .agg(F.count('*').alias('n_rt'),
+                 F.sum(F.when(F.col('orig').isNull(), 1).otherwise(0))
+                 .alias('n_extra')))
+    return (full_n.join(comp_n, 'shape_id').join(rt_n, 'shape_id')
+            .select(F.col('shape_id').cast('long').alias('shape_id'),
+                    F.col('n_full').cast('long').alias('n_full'),
+                    F.col('n_compact').cast('long').alias('n_compact'),
+                    (F.col('n_rt') == F.col('n_full')).alias('rt_count_ok'),
+                    (F.col('n_extra') == 0).alias('rt_cells_ok'))
+            .orderBy('shape_id'))
 
 
 def _q_wkt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2206,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'niemeyer_cover_circle': _q_niemeyer_cover_circle,
         'h3_cell_counts': _q_h3_cells,
         'h3_cover_circle': _q_h3_cover_circle,
+        'h3_compact_cover': _q_h3_compact_cover,
         'wkt_parse_roundtrip': _q_wkt_parse,
         'geojson_parse': _q_geojson_parse,
         'shape_join_intersects': _q_shape_join,

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import math
 from functools import lru_cache
-from typing import List, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
@@ -27,6 +27,7 @@ __all__ = [
     'latlng_to_cell', 'latlng_to_cell_scalar', 'cell_to_latlng',
     'cell_to_boundary', 'get_resolution', 'is_pentagon', 'h3_to_str',
     'str_to_h3', 'neighbors_geometric',
+    'cell_to_parent', 'cell_to_children', 'compact_cells', 'uncompact_cells',
 ]
 
 _EPSILON = 1e-10
@@ -937,3 +938,75 @@ def neighbors_geometric(cell) -> List[str]:
                 nb.append(cand)
                 break
     return nb
+
+
+# --- hierarchy: parent / children / compact / uncompact --------------------
+# Public H3 index spec: the parent truncates the digit path (unused digits
+# become 7); children enumerate the next digit, with a pentagon's deleted
+# K-axis (digit 1) skipped along the center-child chain.
+
+def cell_to_parent(cell: str, parent_res: int) -> str:
+    h = str_to_h3(cell)
+    res = get_resolution(h)
+    if parent_res > res or parent_res < 0:
+        raise ValueError(f'invalid parent res {parent_res} for res {res}')
+    h = (h & ~(0xF << 52)) | (parent_res << 52)
+    for r in range(parent_res + 1, res + 1):
+        h = _set_digit(h, r, 7)
+    return h3_to_str(h)
+
+
+def cell_to_children(cell: str, child_res: int) -> List[str]:
+    h = str_to_h3(cell)
+    res = get_resolution(h)
+    if child_res < res:
+        raise ValueError(f'invalid child res {child_res} for res {res}')
+    frontier = [h]
+    for r in range(res + 1, child_res + 1):
+        nxt = []
+        for p in frontier:
+            ph = (p & ~(0xF << 52)) | (r << 52)
+            pent = is_pentagon(p)
+            for d in range(7):
+                if pent and d == 1:
+                    continue  # deleted K subsequence under a pentagon
+                nxt.append(_set_digit(ph, r, d))
+        frontier = nxt
+    return [h3_to_str(x) for x in frontier]
+
+
+def compact_cells(cells) -> List[str]:
+    """Lossless minimal-cover compaction of a uniform-resolution cell set:
+    any parent whose full child set (7, or 6 for a pentagon) is present is
+    substituted, recursively toward res 0. Deterministic sorted output."""
+    pool = {str_to_h3(c) for c in cells}
+    if not pool:
+        return []
+    res_set = {get_resolution(h) for h in pool}
+    if len(res_set) != 1:
+        raise ValueError('compact_cells requires a uniform-resolution set')
+    out: List[int] = []
+    cur = pool
+    for r in range(res_set.pop(), 0, -1):
+        by_parent: Dict[int, List[int]] = {}
+        for h in cur:
+            p = _set_digit((h & ~(0xF << 52)) | ((r - 1) << 52), r, 7)
+            by_parent.setdefault(p, []).append(h)
+        nxt = set()
+        for p, kids in by_parent.items():
+            need = 6 if is_pentagon(p) else 7
+            if len(kids) == need:
+                nxt.add(p)
+            else:
+                out.extend(kids)
+        cur = nxt
+    out.extend(cur)
+    return sorted(h3_to_str(h) for h in out)
+
+
+def uncompact_cells(cells, res: int) -> List[str]:
+    """Expand a (possibly compacted) cell set to uniform ``res``."""
+    out: List[str] = []
+    for c in cells:
+        out.extend(cell_to_children(c, res))
+    return sorted(out)

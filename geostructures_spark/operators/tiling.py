@@ -35,6 +35,7 @@ DEFAULT_COVER_PARTITIONS = 64
 __all__ = [
     'with_cell', 'with_salted_cell', 'cover_shapes', 'hash_coordinates_agg',
     'hash_collection_agg', 'shape_row_to_kernel', 'SHAPES_SCHEMA_DDL',
+    'compact_cover', 'uncompact_cover',
 ]
 
 SHAPES_SCHEMA_DDL = (
@@ -180,3 +181,45 @@ def hash_collection_agg(shapes: DataFrame, length: int = 8, base: int = 16,
         return joined.groupBy('cell').agg(
             F.countDistinct(F.col('properties').getItem('entity')).alias('value'))
     raise ValueError(f'unknown agg: {agg}')
+
+
+def compact_cover(cover: DataFrame, key_col: str = 'shape_id',
+                  cell_col: str = 'cell') -> DataFrame:
+    """Losslessly compact a uniform-resolution H3 cover per key: complete
+    child sets collapse into their parent recursively (public H3
+    compactCells semantics; kernels/h3_core.py:978). A compacted cover is
+    the scale lever for storing and joining large covers — a res-9 polygon
+    fill shrinks ~7x per complete level.
+
+    Distribution: cells sharing a key never share parents with other keys'
+    cells, so compaction is key-local — one applyInPandas over the existing
+    (key, cell) shuffle partitioning, no cross-key traffic."""
+    from geostructures_spark.kernels.h3_core import compact_cells
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        cells = compact_cells(pdf[cell_col].tolist())
+        return pd.DataFrame({key_col: [pdf[key_col].iloc[0]] * len(cells),
+                             cell_col: cells})
+
+    return (cover.groupBy(key_col)
+            .applyInPandas(per_key, schema=f'{key_col} long, {cell_col} string'))
+
+
+def uncompact_cover(cover: DataFrame, res: int, key_col: str = 'shape_id',
+                    cell_col: str = 'cell') -> DataFrame:
+    """Expand a (possibly compacted) cover back to uniform ``res`` — the
+    join-time inverse of compact_cover, row-parallel (each cell expands
+    independently; no grouping needed)."""
+    from geostructures_spark.kernels.h3_core import cell_to_children
+
+    def per_batch(batches):
+        for pdf in batches:
+            keys, cells = [], []
+            for k, c in zip(pdf[key_col], pdf[cell_col]):
+                kids = cell_to_children(c, res)
+                keys.extend([k] * len(kids))
+                cells.extend(kids)
+            yield pd.DataFrame({key_col: keys, cell_col: cells})
+
+    return cover.mapInPandas(per_batch,
+                             schema=f'{key_col} long, {cell_col} string')

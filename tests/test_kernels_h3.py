@@ -105,3 +105,32 @@ def test_pentagon_has_five_neighbors():
     assert H.is_pentagon(pent)
     nb = H.neighbors_geometric(pent)
     assert len(nb) == 5
+
+
+def test_h3_parent_children_compact():
+    """Hierarchy ops against the public H3 index spec: parent truncation,
+    child enumeration (7 per hexagon, 6 per pentagon, 41 res+2 under a
+    pentagon = 1 + 5*(49-1)/6 cells), lossless compact/uncompact."""
+    from geostructures_spark.kernels import h3_tables as T
+    from geostructures_spark.kernels.h3_core import (
+        cell_to_children, cell_to_parent, compact_cells, is_pentagon,
+        latlng_to_cell_scalar, str_to_h3, uncompact_cells)
+    c = latlng_to_cell_scalar(51.5074, -0.1278, 9)
+    p = cell_to_parent(c, 7)
+    assert c in cell_to_children(p, 9)
+    assert len(cell_to_children(p, 8)) == 7
+    assert len(cell_to_children(p, 9)) == 49
+    assert compact_cells(cell_to_children(p, 9)) == [p]
+    assert uncompact_cells([p], 9) == sorted(cell_to_children(p, 9))
+    # pentagon: 6 children, K-digit skipped, sizes match h3's formula
+    pent_bc = next(i for i in range(122) if T.base_cell_is_pentagon(i))
+    h0 = format((1 << 59) | (pent_bc << 45) | ((1 << 45) - 1), 'x')
+    assert is_pentagon(str_to_h3(h0))
+    assert len(cell_to_children(h0, 1)) == 6
+    assert len(cell_to_children(h0, 2)) == 41
+    assert compact_cells(cell_to_children(h0, 2)) == [h0]
+    # a partial child set must NOT compact
+    kids = cell_to_children(p, 8)
+    assert compact_cells(kids[:-1]) == sorted(kids[:-1])
+    # parent of parent composes
+    assert cell_to_parent(c, 5) == cell_to_parent(cell_to_parent(c, 7), 5)
