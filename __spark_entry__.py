@@ -1671,6 +1671,39 @@ _WEB_MERCATOR_DUCK = f"""
 """
 
 
+def _q_xyz_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slippy-map XYZ tile assignment + Bing quadkeys at zoom 9 (the
+    raster<->vector web-tile partition key), pure column expressions; the
+    oracle rebuilds the quadkey with a DuckDB list_transform over the tile
+    bits."""
+    from geostructures_spark.functions.geo import quadkey_expr, xyz_tile_exprs
+    _load(spark, sf_dir, 'customer')
+    pts = spark.sql(_pts_customer_sql())
+    x, y = xyz_tile_exprs(F.col('lon'), F.col('lat'), 9)
+    t = pts.select(F.col('pid').cast('long').alias('pid'),
+                   x.alias('tile_x'), y.alias('tile_y'))
+    return (t.withColumn('quadkey', quadkey_expr(F.col('tile_x'),
+                                                 F.col('tile_y'), 9))
+            .orderBy('pid'))
+
+
+_XYZ_TILES_DUCK = f"""
+  WITH pts AS ({{pts}}),
+  t AS (SELECT pid,
+          LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 512.0) AS BIGINT),
+                         0), 511) AS tile_x,
+          LEAST(GREATEST(CAST(floor((1.0 - ln(tan(radians(lat))
+                   + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 512.0) AS BIGINT),
+                         0), 511) AS tile_y
+        FROM pts)
+  SELECT CAST(pid AS BIGINT) AS pid, tile_x, tile_y,
+         list_aggregate(list_transform(generate_series(8, 0, -1),
+             i -> CAST((tile_x >> i) % 2 + 2 * ((tile_y >> i) % 2) AS VARCHAR)),
+             'string_agg', '') AS quadkey
+  FROM t ORDER BY pid
+"""
+
+
 def _q_shape_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-ring polygon dedup (reference structures.py:348-355,
     _base.py:880-888): per customer, three constructed duplicates of the
@@ -2264,6 +2297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'vincenty_distance_pairs': _q_vincenty,
         'karney_meridian_arc': _q_karney,
         'web_mercator_roundtrip': _q_web_mercator,
+        'xyz_tile_quadkeys': _q_xyz_tiles,
         'knn_pruned_topk': _q_knn_pruned,
         'time_of_day_counts': _q_time_of_day,
         'ivf_kmeans_train': _q_kmeans_ivf,
@@ -2332,6 +2366,7 @@ def oracle_sql() -> dict[str, str]:
         'vincenty_distance_pairs': _vincenty_duckdb(),
         'karney_meridian_arc': _karney_meridian_duckdb(),
         'web_mercator_roundtrip': _WEB_MERCATOR_DUCK.format(pts=_pts_customer_sql()),
+        'xyz_tile_quadkeys': _XYZ_TILES_DUCK.format(pts=_pts_customer_sql()),
         'knn_pruned_topk': _knn_duckdb(),
         'time_of_day_counts': _TIME_OF_DAY_DUCK,
         'ivf_kmeans_train': _kmeans_duckdb(),

@@ -32,6 +32,7 @@ __all__ = [
     'utm_forward_udf', 'mgrs_encode_udf', 'mgrs_decode_udf',
     'to_projection_exprs', 'from_projection_exprs',
     'to_projection_udf', 'from_projection_udf',
+    'xyz_tile_exprs', 'quadkey_expr',
     'to_dms_exprs', 'to_qdms_udf',
 ]
 
@@ -211,6 +212,37 @@ def from_projection_udf(crs):
                              'lat': round_half_up(lat, 6)}, index=x.index)
 
     return _inv
+
+
+# --- slippy-map XYZ tiles / quadkeys ---------------------------------------
+# The standard web-tile partition keys (OSM XYZ scheme; Bing quadkey is the
+# same tile in base-4 string form). Pure column expressions — at 100 TB the
+# tile key is the shuffle/join key for raster<->vector assignment, so it must
+# stay inside codegen.
+
+def xyz_tile_exprs(lon: Column, lat: Column, zoom: int):
+    """(lon, lat) -> (tile_x, tile_y) at ``zoom`` (OSM XYZ convention:
+    x east from -180, y south from the top latitude ~85.0511). Latitudes
+    beyond the Mercator clip map to the edge rows, as web tile servers do."""
+    n = float(1 << zoom)
+    x = F.floor((lon + 180.0) / 360.0 * n)
+    x = F.least(F.greatest(x, F.lit(0)), F.lit(int(n) - 1))
+    lat_r = F.radians(lat)
+    y = F.floor((1.0 - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r)) / math.pi)
+                / 2.0 * n)
+    y = F.least(F.greatest(y, F.lit(0)), F.lit(int(n) - 1))
+    return x.cast('long'), y.cast('long')
+
+
+def quadkey_expr(tile_x: Column, tile_y: Column, zoom: int) -> Column:
+    """(x, y, zoom) -> Bing quadkey string: per level i (MSB first), digit =
+    x-bit + 2*y-bit. Prefix-matching quadkeys express tile containment, so a
+    quadkey prefix join replaces a multi-resolution tile hierarchy join."""
+    digits = [
+        (F.shiftright(tile_x, i) % 2 + (F.shiftright(tile_y, i) % 2) * 2)
+        .cast('int').cast('string')
+        for i in range(zoom - 1, -1, -1)]
+    return F.concat(*digits) if digits else F.lit('')
 
 
 def mgrs_encode_udf(precision: int = 5):

@@ -407,3 +407,19 @@ def test_embedding_neardup_finds_planted_pairs(spark):
     got = {(r.doc_a, r.doc_b)
            for r in embedding_neardup_pairs(vecs, cents, threshold=0.98).collect()}
     assert got == {(i, 100 + i) for i in range(5)}
+
+
+def test_xyz_tile_quadkey_golden(spark):
+    """Known slippy/Bing example: (139.7006793 E, 35.6590699 N) at zoom 18
+    is tile (232798, 103246), quadkey 133002112303013330; plus edge clamps
+    beyond the Mercator latitude limit."""
+    from geostructures_spark.functions.geo import quadkey_expr, xyz_tile_exprs
+    df = spark.createDataFrame([(139.7006793, 35.6590699), (0.0, 89.9),
+                                (0.0, -89.9)], 'lon double, lat double')
+    x, y = xyz_tile_exprs(F.col('lon'), F.col('lat'), 18)
+    out = (df.select(x.alias('x'), y.alias('y'))
+           .withColumn('qk', quadkey_expr(F.col('x'), F.col('y'), 18))
+           .collect())
+    assert (out[0].x, out[0].y) == (232798, 103246)
+    assert out[0].qk == '133002112303013330'
+    assert out[1].y == 0 and out[2].y == (1 << 18) - 1  # clamped to edges
