@@ -2248,6 +2248,78 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy('media_id'))
 
 
+def _q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode: deterministic WAV/PPM containers (sources/media.py
+    arithmetic content) -> genuine binary parse (kernels/media.py RIFF/P6
+    codecs) -> features. The oracle recomputes every feature from the
+    generator's closed-form content in SQL — value-exact agreement proves
+    the byte-level decode is correct, not stubbed."""
+    from geostructures_spark.operators.multimodal import extract_features
+    from geostructures_spark.sources.media import media_blobs
+    _load(spark, sf_dir, 'customer')
+    ids = (spark.sql(_pts_customer_sql())
+           .select(F.col('pid').alias('media_id')).filter('media_id <= 400'))
+    media = media_blobs(ids)
+    feats = extract_features(media, decode_fn='real')
+    f = F.col('features')
+    return (feats.select(
+        F.col('media_id').cast('long').alias('media_id'),
+        F.element_at(f, 1).cast('int').alias('is_image'),
+        F.round(F.element_at(f, 2), 6).alias('f1'),
+        F.round(F.element_at(f, 3), 6).alias('f2'),
+        F.round(F.element_at(f, 4), 6).alias('f3'),
+        F.round(F.element_at(f, 5), 6).alias('f4'),
+        F.round(F.element_at(f, 6), 6).alias('f5'),
+        F.round(F.element_at(f, 7), 6).alias('f6'))
+        .orderBy('media_id'))
+
+
+_MEDIA_REAL_DUCK = f"""
+  WITH ids AS (SELECT pid AS media_id FROM ({{pts}}) WHERE pid <= 400),
+  px AS (  -- image pixels: (id*31 + r*7 + c*3 + ch*11) % 256
+    SELECT i.media_id, r.r, c.c,
+           CAST((i.media_id*31 + r.r*7 + c.c*3) % 256 AS DOUBLE) AS pr,
+           CAST((i.media_id*31 + r.r*7 + c.c*3 + 11) % 256 AS DOUBLE) AS pg,
+           CAST((i.media_id*31 + r.r*7 + c.c*3 + 22) % 256 AS DOUBLE) AS pb
+    FROM ids i, generate_series(0, 7) r(r), generate_series(0, 7) c(c)
+    WHERE i.media_id % 2 = 0),
+  img AS (
+    SELECT media_id,
+           AVG(pr) / 255.0 AS mean_r, AVG(pg) / 255.0 AS mean_g,
+           AVG(pb) / 255.0 AS mean_b,
+           sqrt(AVG(l * l) - AVG(l) * AVG(l)) / 255.0 AS luma_std
+    FROM (SELECT *, 0.299 * pr + 0.587 * pg + 0.114 * pb AS l FROM px)
+    GROUP BY media_id),
+  smp AS (  -- audio samples: (id*13 + i*17) % 2048 - 1024
+    SELECT i.media_id, s.i,
+           CAST((i.media_id*13 + s.i*17) % 2048 - 1024 AS DOUBLE) AS v
+    FROM ids i, generate_series(0, 63) s(i)
+    WHERE i.media_id % 2 = 1),
+  aud AS (
+    SELECT media_id,
+           64.0 / 8000.0 AS duration_s,
+           sqrt(AVG(v * v)) / 32768.0 AS rms,
+           CAST(SUM(CASE WHEN prev IS NOT NULL
+                          AND (v < 0) <> (prev < 0) THEN 1 ELSE 0 END) AS DOUBLE)
+             / 63.0 AS zcr,
+           MAX(abs(v)) / 32768.0 AS peak
+    FROM (SELECT media_id, v,
+                 LAG(v) OVER (PARTITION BY media_id ORDER BY i) AS prev
+          FROM smp)
+    GROUP BY media_id)
+  SELECT CAST(i.media_id AS BIGINT) AS media_id,
+         CASE WHEN i.media_id % 2 = 0 THEN 1 ELSE 0 END AS is_image,
+         ROUND(CASE WHEN i.media_id % 2 = 0 THEN 8.0 ELSE a.duration_s END, 6) AS f1,
+         ROUND(CASE WHEN i.media_id % 2 = 0 THEN 8.0 ELSE a.rms END, 6) AS f2,
+         ROUND(CASE WHEN i.media_id % 2 = 0 THEN g.mean_r ELSE a.zcr END, 6) AS f3,
+         ROUND(CASE WHEN i.media_id % 2 = 0 THEN g.mean_g ELSE a.peak END, 6) AS f4,
+         ROUND(CASE WHEN i.media_id % 2 = 0 THEN g.mean_b ELSE 0.0 END, 6) AS f5,
+         ROUND(CASE WHEN i.media_id % 2 = 0 THEN g.luma_std ELSE 0.0 END, 6) AS f6
+  FROM ids i LEFT JOIN img g USING (media_id) LEFT JOIN aud a USING (media_id)
+  ORDER BY media_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         'q1_pricing_summary': _q1_pricing_summary,
@@ -2276,6 +2348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'h3_cell_counts': _q_h3_cells,
         'h3_cover_circle': _q_h3_cover_circle,
         'h3_compact_cover': _q_h3_compact_cover,
+        'media_real_decode': _q_media_real_decode,
         'wkt_parse_roundtrip': _q_wkt_parse,
         'geojson_parse': _q_geojson_parse,
         'shape_join_intersects': _q_shape_join,
@@ -2367,6 +2440,7 @@ def oracle_sql() -> dict[str, str]:
         'karney_meridian_arc': _karney_meridian_duckdb(),
         'web_mercator_roundtrip': _WEB_MERCATOR_DUCK.format(pts=_pts_customer_sql()),
         'xyz_tile_quadkeys': _XYZ_TILES_DUCK.format(pts=_pts_customer_sql()),
+        'media_real_decode': _MEDIA_REAL_DUCK.format(pts=_pts_customer_sql()),
         'knn_pruned_topk': _knn_duckdb(),
         'time_of_day_counts': _TIME_OF_DAY_DUCK,
         'ivf_kmeans_train': _kmeans_duckdb(),

@@ -423,3 +423,23 @@ def test_xyz_tile_quadkey_golden(spark):
     assert (out[0].x, out[0].y) == (232798, 103246)
     assert out[0].qk == '133002112303013330'
     assert out[1].y == 0 and out[2].y == (1 << 18) - 1  # clamped to edges
+
+
+def test_resize_images_operator(spark):
+    """Distributed resize: PPM blobs decode, resample, re-encode; decoding
+    the output must equal the kernel resize of the input."""
+    import numpy as np
+    from geostructures_spark.kernels.media import (
+        decode_ppm, encode_ppm, resize_nearest)
+    from geostructures_spark.operators.multimodal import resize_images
+    from geostructures_spark.sources.media import media_blobs
+    ids = spark.range(6).selectExpr('id AS media_id')  # 3 images, 3 wavs
+    media = media_blobs(ids)
+    out = {r.media_id: r.blob
+           for r in resize_images(media, 4, 4).collect()}
+    src = {r.media_id: r.blob for r in media.collect()}
+    for mid in (0, 2, 4):
+        want = resize_nearest(decode_ppm(src[mid]), 4, 4)
+        assert np.array_equal(decode_ppm(out[mid]), want)
+    for mid in (1, 3, 5):
+        assert out[mid] is None  # audio rows pass through null
