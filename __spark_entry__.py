@@ -2320,6 +2320,53 @@ _MEDIA_REAL_DUCK = f"""
 """
 
 
+def _q_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGC WKB serialize -> parse round trip (operators/wkb.py, from the
+    published binary spec; the reference's shapely interop surface,
+    _base.py:236-260). Holed multipolygons keep their per-polygon ring
+    grouping through the binary; IEEE doubles round-trip bit-exact."""
+    from geostructures_spark.operators.wkb import parse_wkb_df, to_wkb_df
+    _load(spark, sf_dir, 'customer')
+    pts = spark.sql(_pts_customer_sql()).filter(F.col('pid') <= 400)
+
+    def tri(dx, dy, scale):
+        return F.array(
+            F.struct((F.col('lon') + dx).alias('lon'), (F.col('lat') + dy).alias('lat')),
+            F.struct((F.col('lon') + dx + scale).alias('lon'), (F.col('lat') + dy).alias('lat')),
+            F.struct((F.col('lon') + dx).alias('lon'), (F.col('lat') + dy + scale).alias('lat')),
+            F.struct((F.col('lon') + dx).alias('lon'), (F.col('lat') + dy).alias('lat')))
+    shapes = pts.select(
+        F.col('pid').cast('long').alias('pid'),
+        F.lit('multipolygon').alias('kind'),
+        F.array(tri(0.0, 0.0, 0.1), tri(0.02, 0.02, 0.01), tri(0.5, 0.5, 0.1))
+        .alias('rings'),
+        F.array(F.lit(2), F.lit(1)).alias('poly_sizes'))
+    wkb = to_wkb_df(shapes)
+    parsed = parse_wkb_df(wkb.select('pid', 'wkb'))
+    return (parsed.select(
+        'pid', 'kind',
+        F.size('rings').cast('int').alias('n_rings'),
+        F.element_at('poly_sizes', 1).cast('int').alias('ps1'),
+        F.element_at('poly_sizes', 2).cast('int').alias('ps2'),
+        F.element_at(F.element_at('rings', 2), 2).getField('lon').alias('hole_v2_lon'),
+        F.element_at(F.element_at('rings', 3), 3).getField('lat').alias('p2_v3_lat'),
+        F.length(F.col('wkb')).cast('long').alias('wkb_bytes'))
+        .orderBy('pid'))
+
+
+_WKB_ROUNDTRIP_DUCK = f"""
+  WITH pts AS ({_pts_customer_sql()})
+  SELECT CAST(pid AS BIGINT) AS pid, 'multipolygon' AS kind,
+         3 AS n_rings, 2 AS ps1, 1 AS ps2,
+         lon + 0.02e0 + 0.01e0 AS hole_v2_lon,
+         lat + 0.5e0 + 0.1e0 AS p2_v3_lat,
+         -- 9-byte multipolygon header + poly1 (9 + 2 rings x 68) + poly2
+         -- (9 + 1 ring x 68), ring = 4-byte count + 4 points x 16 bytes
+         CAST(9 + (9 + 2 * 68) + (9 + 68) AS BIGINT) AS wkb_bytes
+  FROM pts WHERE pid <= 400 ORDER BY pid
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         'q1_pricing_summary': _q1_pricing_summary,
@@ -2349,6 +2396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'h3_cover_circle': _q_h3_cover_circle,
         'h3_compact_cover': _q_h3_compact_cover,
         'media_real_decode': _q_media_real_decode,
+        'wkb_roundtrip': _q_wkb_roundtrip,
         'wkt_parse_roundtrip': _q_wkt_parse,
         'geojson_parse': _q_geojson_parse,
         'shape_join_intersects': _q_shape_join,
@@ -2441,6 +2489,7 @@ def oracle_sql() -> dict[str, str]:
         'web_mercator_roundtrip': _WEB_MERCATOR_DUCK.format(pts=_pts_customer_sql()),
         'xyz_tile_quadkeys': _XYZ_TILES_DUCK.format(pts=_pts_customer_sql()),
         'media_real_decode': _MEDIA_REAL_DUCK.format(pts=_pts_customer_sql()),
+        'wkb_roundtrip': _WKB_ROUNDTRIP_DUCK,
         'knn_pruned_topk': _knn_duckdb(),
         'time_of_day_counts': _TIME_OF_DAY_DUCK,
         'ivf_kmeans_train': _kmeans_duckdb(),

@@ -443,3 +443,33 @@ def test_resize_images_operator(spark):
         assert np.array_equal(decode_ppm(out[mid]), want)
     for mid in (1, 3, 5):
         assert out[mid] is None  # audio rows pass through null
+
+
+def test_wkb_interchange(spark):
+    """OGC WKB spec golden (POINT(2 4) LE hex) + distributed round trip
+    preserving multipolygon hole grouping and bit-exact doubles."""
+    from geostructures_spark.operators.wkb import (
+        parse_wkb_df, shape_row_to_wkb, to_wkb_df, wkb_to_shape_row)
+    assert shape_row_to_wkb('point', [[{'lon': 2.0, 'lat': 4.0}]]).hex() == \
+        '010100000000000000000000400000000000001040'
+    import struct
+    be = struct.pack('>BIdd', 0, 1, 2.0, 4.0)  # big-endian variant parses
+    assert wkb_to_shape_row(be)['rings'][0][0]['lon'] == 2.0
+    assert wkb_to_shape_row(b'\x01\x63\x00\x00\x00') is None
+
+    tri = lambda x0, y0, s: [(x0, y0), (x0 + s, y0), (x0, y0 + s), (x0, y0)]
+    rows = [(1, 'multipolygon',
+             [tri(0.1234567891234, 7.0, 1.0), tri(0.3, 7.2, 0.1), tri(5.0, 5.0, 1.0)],
+             [2, 1]),
+            (2, 'linestring', [tri(0.0, 0.0, 2.0)[:3]], None),
+            (3, 'point', [[(3.5, -1.25)]], None)]
+    df = spark.createDataFrame(
+        rows, 'pid long, kind string, '
+              'rings array<array<struct<lon:double,lat:double>>>, '
+              'poly_sizes array<int>')
+    parsed = parse_wkb_df(to_wkb_df(df).select('pid', 'wkb')).collect()
+    byid = {r.pid: r for r in parsed}
+    assert byid[1].kind == 'multipolygon' and byid[1].poly_sizes == [2, 1]
+    assert byid[1].rings[0][0].lon == 0.1234567891234  # bit-exact double
+    assert byid[2].kind == 'linestring' and len(byid[2].rings[0]) == 3
+    assert byid[3].kind == 'point' and byid[3].rings[0][0].lat == -1.25
