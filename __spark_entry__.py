@@ -2320,6 +2320,45 @@ _MEDIA_REAL_DUCK = f"""
 """
 
 
+def _q_geojson_fc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON FeatureCollection parse (reference parsers.py:146-148): one
+    document per customer with three features explodes into per-feature
+    parsed rows; the fan-out runs JVM-side (get_json_object + posexplode),
+    only the per-feature parse is Python."""
+    from geostructures_spark.operators.interchange import (
+        explode_feature_collections)
+    _load(spark, sf_dir, 'customer')
+    pts = spark.sql(_pts_customer_sql()).filter(F.col('pid') <= 400)
+    doc = F.concat(
+        F.lit('{"type":"FeatureCollection","features":['),
+        F.concat_ws(',', *[
+            F.format_string(
+                '{"type":"Feature","geometry":{"type":"Point","coordinates":'
+                '[%s,%s]},"properties":{"i":"' + str(i) + '"}}',
+                (F.col('lon') + i).cast('string'), F.col('lat').cast('string'))
+            for i in range(3)]),
+        F.lit(']}'))
+    df = pts.select(F.col('pid').cast('long').alias('pid'),
+                    doc.alias('geojson'))
+    out = explode_feature_collections(df)
+    return (out.select('pid',
+                       F.col('feature_idx').cast('int').alias('feature_idx'),
+                       'kind',
+                       F.element_at(F.element_at('rings', 1), 1)
+                       .getField('lon').alias('lon'),
+                       F.col('properties').getItem('i').alias('i'))
+            .orderBy('pid', 'feature_idx'))
+
+
+_GEOJSON_FC_DUCK = f"""
+  WITH pts AS ({_pts_customer_sql()})
+  SELECT CAST(pid AS BIGINT) AS pid, CAST(f.i AS INT) AS feature_idx,
+         'point' AS kind, lon + f.i AS lon, CAST(f.i AS VARCHAR) AS i
+  FROM pts, generate_series(0, 2) f(i)
+  WHERE pid <= 400 ORDER BY pid, feature_idx
+"""
+
+
 def _q_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OGC WKB serialize -> parse round trip (operators/wkb.py, from the
     published binary spec; the reference's shapely interop surface,
@@ -2397,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'h3_compact_cover': _q_h3_compact_cover,
         'media_real_decode': _q_media_real_decode,
         'wkb_roundtrip': _q_wkb_roundtrip,
+        'geojson_featurecollection': _q_geojson_fc,
         'wkt_parse_roundtrip': _q_wkt_parse,
         'geojson_parse': _q_geojson_parse,
         'shape_join_intersects': _q_shape_join,
@@ -2490,6 +2530,7 @@ def oracle_sql() -> dict[str, str]:
         'xyz_tile_quadkeys': _XYZ_TILES_DUCK.format(pts=_pts_customer_sql()),
         'media_real_decode': _MEDIA_REAL_DUCK.format(pts=_pts_customer_sql()),
         'wkb_roundtrip': _WKB_ROUNDTRIP_DUCK,
+        'geojson_featurecollection': _GEOJSON_FC_DUCK,
         'knn_pruned_topk': _knn_duckdb(),
         'time_of_day_counts': _TIME_OF_DAY_DUCK,
         'ivf_kmeans_train': _kmeans_duckdb(),

@@ -11,9 +11,9 @@ scientific-notation numbers; Z/M values are parsed and dropped from the
 geometry (the engine's canonical rows are 2-D, matching the reference's
 geometric operations which ignore Z/M).
 
-KML/KMZ/shapefile connectors are out of scope for the distributed engine
-(file-format connectors; SURVEY.md §2.1) — WKT/GeoJSON are the interchange
-formats.
+Sibling connectors: KML/KMZ (operators/kml.py), ESRI shapefile
+(operators/shapefile.py), OGC WKB (operators/wkb.py) — all from their
+published specs.
 """
 
 from __future__ import annotations
@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ['parse_wkt_df', 'to_wkt_df', 'parse_geojson_df', 'to_geojson_df',
+           'explode_feature_collections',
            'wkt_to_shape_row', 'shape_row_to_wkt', 'SHAPE_ROW_SCHEMA']
 
 SHAPE_ROW_SCHEMA = ('kind string, '
@@ -329,3 +330,26 @@ def to_geojson_df(shapes: DataFrame, kind_col: str = 'kind',
     out_schema = ', '.join(f'{f.name} {f.dataType.simpleString()}'
                            for f in shapes.schema.fields) + f', {out_col} string'
     return encode_rings_json(shapes, rings_col).mapInPandas(run, schema=out_schema)
+
+
+def explode_feature_collections(df: DataFrame,
+                                geojson_col: str = 'geojson') -> DataFrame:
+    """GeoJSON FeatureCollection documents -> one parsed row per feature
+    (reference parsers.py:146-148: 'FEATURECOLLECTION' -> FeatureCollection).
+
+    The Spark form of a collection is rows, so the document explodes via
+    JVM-side json path extraction (get_json_object + explode over
+    json_array_length — no Python in the fan-out) and each feature then
+    runs through parse_geojson_df. Non-collection documents (bare
+    geometry/Feature) pass through as a single feature."""
+    is_fc = F.get_json_object(F.col(geojson_col), '$.type') == 'FeatureCollection'
+    feats = F.when(
+        is_fc, F.from_json(F.get_json_object(F.col(geojson_col), '$.features'),
+                           'array<string>')
+    ).otherwise(F.array(F.col(geojson_col)))
+    exploded = (df.withColumn('feature_idx_tmp', feats)
+                .select('*', F.posexplode('feature_idx_tmp')
+                        .alias('feature_idx', '_feature'))
+                .drop('feature_idx_tmp', geojson_col)
+                .withColumnRenamed('_feature', geojson_col))
+    return parse_geojson_df(exploded, geojson_col)

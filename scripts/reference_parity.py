@@ -24,9 +24,7 @@ REF = '/root/reference'
 
 REF_MODULES = ['tests/test_calc.py', 'tests/test_geometry.py',
                'tests/test_conversion.py', 'tests/test_geodesic.py']
-ENGINE_MODULES = ['tests/test_kernels_geodesy.py', 'tests/test_kernels_geometry.py',
-                  'tests/test_kernels_niemeyer_time.py', 'tests/test_kernels_h3.py',
-                  'tests/test_spark_operators.py']
+ENGINE_MODULES = ['tests/']  # the full golden-replay + operator suite
 
 
 def run(cwd, args):
@@ -43,8 +41,10 @@ def main() -> int:
                            '--deselect', 'tests/test_geodesic.py::test_karney_destination',
                            '--deselect', 'tests/test_geodesic.py::test_set_geodesic_algorithm'])
     print(f'[{"OK" if code == 0 else "FAIL"}] reference suite (dependency-free subset): {tail}')
-    print('      (karney_* deselected: geographiclib is not installable here;'
-          ' those tests fail in the reference itself in this environment)')
+    print('      (karney_* deselected: geographiclib is not installable here, so'
+          ' those tests fail in the reference itself in this environment;'
+          ' their golden VALUES are replayed against the from-scratch kernel'
+          ' in tests/test_kernels_karney.py below)')
     ok &= code == 0
 
     code, tail = run(REPO, ENGINE_MODULES)

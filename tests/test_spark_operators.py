@@ -473,3 +473,25 @@ def test_wkb_interchange(spark):
     assert byid[1].rings[0][0].lon == 0.1234567891234  # bit-exact double
     assert byid[2].kind == 'linestring' and len(byid[2].rings[0]) == 3
     assert byid[3].kind == 'point' and byid[3].rings[0][0].lat == -1.25
+
+
+def test_geojson_featurecollection_explode(spark):
+    """FeatureCollection documents explode to per-feature parsed rows
+    (reference parsers.py:146-148); bare geometries pass through."""
+    import json
+    from geostructures_spark.operators.interchange import (
+        explode_feature_collections)
+    fc = json.dumps({'type': 'FeatureCollection', 'features': [
+        {'type': 'Feature', 'geometry': {'type': 'Point',
+                                         'coordinates': [1.0, 2.0]},
+         'properties': {'a': 'x'}},
+        {'type': 'Feature', 'geometry': {'type': 'Polygon', 'coordinates':
+            [[[0, 0], [1, 0], [1, 1], [0, 0]]]}, 'properties': {}}]})
+    single = json.dumps({'type': 'Point', 'coordinates': [9.0, 9.0]})
+    df = spark.createDataFrame([(1, fc), (2, single)], 'id long, geojson string')
+    out = sorted(explode_feature_collections(df).collect(),
+                 key=lambda r: (r.id, r.feature_idx))
+    assert [(r.id, r.feature_idx, r.kind) for r in out] == [
+        (1, 0, 'point'), (1, 1, 'polygon'), (2, 0, 'point')]
+    assert dict(out[0].properties) == {'a': 'x'}
+    assert len(out[1].rings[0]) == 4
