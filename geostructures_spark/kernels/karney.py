@@ -187,6 +187,18 @@ def karney_inverse(lon1, lat1, lon2, lat2, iters: int = 64):
 
     b1 = _beta(np.radians(lat1))
     b2 = _beta(np.radians(lat2))
+    # Numerically-equatorial snap: when BOTH reduced latitudes are within
+    # ~1.8e-8 rad of the equator the ascending node is undefined and the
+    # canonical sigma = atan2(sin beta, cos alpha cos beta) loses all its
+    # significant bits (the bisection can even return negative distances).
+    # Snapping beta -> 0 routes such rows to the closed-form equatorial
+    # branch; the induced error is the endpoint moving <= 0.11 m along a
+    # meridian PERPENDICULAR to the path, i.e. < 6e-8 m in distance
+    # (second order) — far below the solver's conditioning error there.
+    _EPS_EQ = 1.8e-8
+    both_eq = (np.abs(b1) < _EPS_EQ) & (np.abs(b2) < _EPS_EQ)
+    b1 = np.where(both_eq, 0.0, b1)
+    b2 = np.where(both_eq, 0.0, b2)
 
     # Canonicalize: point 1 is the one farther from the equator ...
     swap = np.abs(b2) > np.abs(b1)

@@ -1,0 +1,96 @@
+"""Property-based invariants (hypothesis) over the pure kernels.
+
+Each property is a round-trip or symmetry law that must hold for ALL
+inputs, not just goldens: serialization inverses (WKB bit-exact, WKT via
+repr floats, Niemeyer, H3 compaction) and geodesic consistency laws
+(inverse symmetry, direct∘inverse identity).
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+finite_lon = st.floats(min_value=-179.99, max_value=179.99,
+                       allow_nan=False, allow_infinity=False)
+finite_lat = st.floats(min_value=-84.99, max_value=84.99,
+                       allow_nan=False, allow_infinity=False)
+
+
+def _coords(n_min=1, n_max=6):
+    return st.lists(st.tuples(finite_lon, finite_lat),
+                    min_size=n_min, max_size=n_max)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_coords(3, 6))
+def test_wkb_polygon_roundtrip_bit_exact(pts):
+    from geostructures_spark.operators.wkb import (
+        shape_row_to_wkb, wkb_to_shape_row)
+    ring = [{'lon': x, 'lat': y} for x, y in pts] + [
+        {'lon': pts[0][0], 'lat': pts[0][1]}]
+    row = wkb_to_shape_row(shape_row_to_wkb('polygon', [ring]))
+    assert row['kind'] == 'polygon'
+    assert row['rings'] == [ring]  # IEEE doubles, no precision loss
+
+
+@settings(max_examples=40, deadline=None)
+@given(_coords(2, 5))
+def test_wkt_linestring_roundtrip(pts):
+    from geostructures_spark.operators.interchange import (
+        shape_row_to_wkt, wkt_to_shape_row)
+    ring = [{'lon': x, 'lat': y} for x, y in pts]
+    row = wkt_to_shape_row(shape_row_to_wkt('linestring', [ring]))
+    assert row['kind'] == 'linestring'
+    got = row['rings'][0]
+    assert all(g['lon'] == c['lon'] and g['lat'] == c['lat']
+               for g, c in zip(got, ring))  # repr floats round-trip
+
+
+@settings(max_examples=30, deadline=None)
+@given(finite_lon, finite_lat)
+def test_niemeyer_encode_contains_point(lon, lat):
+    from geostructures_spark.kernels.niemeyer import cell_to_box, encode_scalar
+    cell = encode_scalar(lon, lat, 8, 16)
+    min_lon, min_lat, max_lon, max_lat = cell_to_box(cell, 16)
+    assert min_lon <= lon <= max_lon and min_lat <= lat <= max_lat
+
+
+@settings(max_examples=20, deadline=None)
+@given(finite_lon, finite_lat, finite_lon, finite_lat)
+def test_karney_inverse_symmetry(lon1, lat1, lon2, lat2):
+    from geostructures_spark.kernels.karney import karney_distance
+    d_ab = float(karney_distance(lon1, lat1, lon2, lat2))
+    d_ba = float(karney_distance(lon2, lat2, lon1, lat1))
+    assert abs(d_ab - d_ba) <= 1e-6 * max(1.0, d_ab)
+
+
+@settings(max_examples=20, deadline=None)
+@given(finite_lon, finite_lat, finite_lon, finite_lat)
+def test_karney_direct_closes_inverse(lon1, lat1, lon2, lat2):
+    from geostructures_spark.kernels.karney import (
+        karney_destination, karney_inverse)
+    s12, azi1, _ = karney_inverse(lon1, lat1, lon2, lat2)
+    rlon, rlat, _ = karney_destination(lon1, lat1, azi1, s12)
+    dlon = (float(rlon) - lon2 + 180.0) % 360.0 - 180.0
+    assert abs(dlon) < 1e-6 and abs(float(rlat) - lat2) < 1e-6
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(finite_lon, finite_lat), min_size=1, max_size=12),
+       st.integers(min_value=5, max_value=8))
+def test_h3_compact_uncompact_identity(pts, res):
+    from geostructures_spark.kernels.h3_core import (
+        compact_cells, latlng_to_cell_scalar, uncompact_cells)
+    cells = sorted({latlng_to_cell_scalar(lat, lon, res) for lon, lat in pts})
+    comp = compact_cells(cells)
+    assert uncompact_cells(comp, res) == cells
+    assert len(comp) <= len(cells)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=2**62), st.integers(min_value=0, max_value=7))
+def test_media_wav_roundtrip_random(seed, shift):
+    from geostructures_spark.kernels.media import decode_wav, encode_wav
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32767, size=16 + shift, dtype=np.int16)
+    rate, s2 = decode_wav(encode_wav(s, 22050))
+    assert rate == 22050 and np.array_equal(s, s2)
