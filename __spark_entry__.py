@@ -2320,6 +2320,50 @@ _MEDIA_REAL_DUCK = f"""
 """
 
 
+def _q_split_multishapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiShapeBase.split (reference _base.py:940-946): holed
+    multipolygons explode into per-child polygon rows, hole grouping kept
+    via poly_sizes slicing — entirely JVM-side (higher-order transform +
+    posexplode, no Python)."""
+    from geostructures_spark.operators.derive import split_multishapes
+    _load(spark, sf_dir, 'customer')
+    pts = spark.sql(_pts_customer_sql()).filter(F.col('pid') <= 400)
+
+    def tri(dx, dy, scale):
+        return F.array(
+            F.struct((F.col('lon') + dx).alias('lon'), (F.col('lat') + dy).alias('lat')),
+            F.struct((F.col('lon') + dx + scale).alias('lon'), (F.col('lat') + dy).alias('lat')),
+            F.struct((F.col('lon') + dx).alias('lon'), (F.col('lat') + dy + scale).alias('lat')),
+            F.struct((F.col('lon') + dx).alias('lon'), (F.col('lat') + dy).alias('lat')))
+    shapes = pts.select(
+        F.col('pid').cast('long').alias('pid'),
+        F.lit('multipolygon').alias('kind'),
+        F.array(tri(0.0, 0.0, 0.1), tri(0.02, 0.02, 0.01), tri(0.5, 0.5, 0.1))
+        .alias('rings'),
+        F.array(F.lit(2), F.lit(1)).alias('poly_sizes'),
+        F.create_map(F.lit('src'), F.col('seg')).alias('properties'))
+    out = split_multishapes(shapes)
+    return (out.select('pid',
+                       F.col('child_idx').cast('int').alias('child_idx'),
+                       'kind',
+                       F.size('rings').cast('int').alias('n_rings'),
+                       F.element_at(F.element_at('rings', 1), 1)
+                       .getField('lon').alias('v1_lon'),
+                       F.col('properties').getItem('src').alias('src'))
+            .orderBy('pid', 'child_idx'))
+
+
+_SPLIT_MULTI_DUCK = f"""
+  WITH pts AS ({_pts_customer_sql()})
+  SELECT CAST(pid AS BIGINT) AS pid, c.child_idx, 'polygon' AS kind,
+         CASE WHEN c.child_idx = 0 THEN 2 ELSE 1 END AS n_rings,
+         CASE WHEN c.child_idx = 0 THEN lon ELSE lon + 0.5e0 END AS v1_lon,
+         seg AS src
+  FROM pts, (VALUES (0), (1)) c(child_idx)
+  WHERE pid <= 400 ORDER BY pid, child_idx
+"""
+
+
 def _q_geojson_fc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoJSON FeatureCollection parse (reference parsers.py:146-148): one
     document per customer with three features explodes into per-feature
@@ -2437,6 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'media_real_decode': _q_media_real_decode,
         'wkb_roundtrip': _q_wkb_roundtrip,
         'geojson_featurecollection': _q_geojson_fc,
+        'split_multishapes': _q_split_multishapes,
         'wkt_parse_roundtrip': _q_wkt_parse,
         'geojson_parse': _q_geojson_parse,
         'shape_join_intersects': _q_shape_join,
@@ -2531,6 +2576,7 @@ def oracle_sql() -> dict[str, str]:
         'media_real_decode': _MEDIA_REAL_DUCK.format(pts=_pts_customer_sql()),
         'wkb_roundtrip': _WKB_ROUNDTRIP_DUCK,
         'geojson_featurecollection': _GEOJSON_FC_DUCK,
+        'split_multishapes': _SPLIT_MULTI_DUCK,
         'knn_pruned_topk': _knn_duckdb(),
         'time_of_day_counts': _TIME_OF_DAY_DUCK,
         'ivf_kmeans_train': _kmeans_duckdb(),

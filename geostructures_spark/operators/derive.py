@@ -36,7 +36,8 @@ __all__ = ['with_shape_derived', 'METERS_PER', 'convert_to_meters',
            'buffer_dt', 'set_dt', 'strip_dt', 'track_extremes',
            'covariance_from_ellipse_exprs', 'ellipse_from_covariance_exprs',
            'with_ellipse_covariance', 'with_ellipse_from_covariance',
-           'split_by_length', 'with_bounding_coords']
+           'split_by_length', 'with_bounding_coords', 'split_multishapes',
+           'set_property']
 
 # unit conversions (reference conversion.py:7-70)
 METERS_PER = {
@@ -270,6 +271,55 @@ def split_by_length(shapes: DataFrame, meters: float,
             yield pd.DataFrame(out_rows, columns=[*pdf.columns, 'chunk_idx'])
 
     return encode_rings_json(shapes, rings_col).mapInPandas(run, schema=out_schema)
+
+
+def split_multishapes(shapes: DataFrame) -> DataFrame:
+    """MultiShapeBase.split (reference _base.py:940-946): every multishape
+    row explodes into one row per child shape — multipolygon children keep
+    their [outline, *holes] ring group via ``poly_sizes`` slicing — with
+    dt/properties replicated onto each child (the reference copies both).
+    Non-multi rows pass through with child_idx 0.
+
+    Entirely JVM-side: per-child ring slices come from a higher-order
+    transform over poly_sizes (prefix sums of a per-row list are O(k^2) in
+    the child count k, which is tiny), then one posexplode. No Python, so
+    the explode participates in whole-stage codegen at any scale."""
+    sizes = F.coalesce(
+        F.col('poly_sizes'),
+        F.when(F.col('kind').startswith('multi'),
+               F.transform(F.col('rings'), lambda r: F.lit(1))))
+    # child i covers rings [offset_i, offset_i + sizes[i])
+    groups = F.transform(
+        F.sequence(F.lit(1), F.size(sizes)),
+        lambda i: F.slice(
+            F.col('rings'),
+            F.aggregate(F.slice(sizes, F.lit(1), i - 1), F.lit(0),
+                        lambda a, x: a + x) + 1,
+            F.element_at(sizes, i)))
+    child_kind = F.expr("substring(kind, 6)")  # multipolygon -> polygon
+    is_multi = F.col('kind').startswith('multi') & F.col('rings').isNotNull()
+    exploded = (shapes
+                .withColumn('_groups', F.when(is_multi, groups)
+                            .otherwise(F.array(F.col('rings'))))
+                .select('*', F.posexplode('_groups').alias('child_idx', '_child'))
+                .drop('_groups', 'rings', 'poly_sizes')
+                .withColumnRenamed('_child', 'rings')
+                .withColumn('kind', F.when(F.col('child_idx').isNotNull() & is_multi,
+                                           child_kind).otherwise(F.col('kind'))))
+    return exploded.withColumn(
+        'poly_sizes', F.lit(None).cast('array<int>'))
+
+
+def set_property(shapes: DataFrame, key: str, value) -> DataFrame:
+    """BaseShape.set_property (reference _base.py:436-461) over the
+    properties map column."""
+    return shapes.withColumn(
+        'properties',
+        F.map_concat(
+            F.map_filter(F.coalesce(F.col('properties'),
+                                    F.create_map().cast('map<string,string>')),
+                         lambda k, v: k != F.lit(key)),
+            F.create_map(F.lit(key), F.lit(str(value)))))
 
 
 # --- dt mutation helpers (reference _base.py:403-461) -----------------------

@@ -495,3 +495,31 @@ def test_geojson_featurecollection_explode(spark):
         (1, 0, 'point'), (1, 1, 'polygon'), (2, 0, 'point')]
     assert dict(out[0].properties) == {'a': 'x'}
     assert len(out[1].rings[0]) == 4
+
+
+def test_split_multishapes_and_set_property(spark):
+    """MultiShapeBase.split (_base.py:940-946): children keep hole grouping
+    and inherit dt/properties; set_property upserts into the map."""
+    from geostructures_spark.operators.derive import (
+        set_property, split_multishapes)
+    tri = lambda x0, y0, s: [(float(x0), float(y0)), (float(x0 + s), float(y0)),
+                             (float(x0), float(y0 + s)), (float(x0), float(y0))]
+    rows = [(1, 'multipolygon',
+             [tri(0, 0, 1), tri(0.2, 0.2, 0.1), tri(5, 5, 1)], [2, 1], {'a': 'b'}),
+            (2, 'multipoint', [[(1.0, 2.0)], [(3.0, 4.0)]], None, None),
+            (3, 'polygon', [tri(9, 9, 1)], None, {'k': 'v'})]
+    df = spark.createDataFrame(
+        rows, 'shape_id long, kind string, '
+              'rings array<array<struct<lon:double,lat:double>>>, '
+              'poly_sizes array<int>, properties map<string,string>')
+    got = [(r.shape_id, r.child_idx, r.kind, len(r.rings),
+            dict(r.properties or {}))
+           for r in split_multishapes(df).orderBy('shape_id', 'child_idx').collect()]
+    assert got == [(1, 0, 'polygon', 2, {'a': 'b'}),
+                   (1, 1, 'polygon', 1, {'a': 'b'}),
+                   (2, 0, 'point', 1, {}),
+                   (2, 1, 'point', 1, {}),
+                   (3, 0, 'polygon', 1, {'k': 'v'})]
+    props = [dict(r.properties) for r in
+             set_property(df, 'a', 'z').orderBy('shape_id').collect()]
+    assert props == [{'a': 'z'}, {'a': 'z'}, {'a': 'z', 'k': 'v'}]
