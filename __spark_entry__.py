@@ -461,6 +461,54 @@ def _q_interval_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy('probe_id', 'event_type'))
 
 
+def _q_interval_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeInterval.intersection/union as column expressions
+    (time.py:194-198, 224-226): each event interval against one fixed probe
+    window — intersection NULL when disjoint (right-open + instant rules),
+    union always the spanning hull."""
+    from geostructures_spark.functions.geo import (
+        interval_intersection_exprs, interval_union_exprs)
+    _load(spark, sf_dir, 'events')
+    ev = spark.sql("""
+      SELECT event_id, unix_micros(CAST(ts AS TIMESTAMP)) AS s_start,
+             unix_micros(CAST(ts AS TIMESTAMP)) + CAST(floor(value * 60) AS BIGINT) * 1000000 AS s_end
+      FROM events
+    """)
+    o_start = F.unix_micros(F.lit('2024-01-01 06:00:00').cast('timestamp'))
+    o_end = F.unix_micros(F.lit('2024-01-02 00:00:00').cast('timestamp'))
+    i0, i1 = interval_intersection_exprs(F.col('s_start'), F.col('s_end'),
+                                         o_start, o_end)
+    u0, u1 = interval_union_exprs(F.col('s_start'), F.col('s_end'),
+                                  o_start, o_end)
+    return (ev.select(F.col('event_id').cast('long').alias('event_id'),
+                      i0.alias('int_start'), i1.alias('int_end'),
+                      u0.alias('union_start'), u1.alias('union_end'))
+            .orderBy('event_id'))
+
+
+_INTERVAL_SETOPS_DUCK = """
+  WITH ev AS (
+    SELECT event_id, epoch_us(ts) AS s_start,
+           epoch_us(ts) + CAST(floor(value * 60) AS BIGINT) * 1000000 AS s_end
+    FROM events),
+  p AS (SELECT epoch_us(TIMESTAMP '2024-01-01 06:00:00') AS o_start,
+               epoch_us(TIMESTAMP '2024-01-02 00:00:00') AS o_end)
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CASE WHEN hit THEN greatest(s_start, o_start) END AS int_start,
+         CASE WHEN hit THEN least(s_end, o_end) END AS int_end,
+         least(s_start, o_start) AS union_start,
+         greatest(s_end, o_end) AS union_end
+  FROM (SELECT ev.*, p.*,
+          NOT (CASE
+            WHEN s_start = s_end AND o_start = o_end THEN s_start != o_start
+            WHEN s_start = s_end THEN NOT (o_start <= s_start AND s_start < o_end)
+            WHEN o_start = o_end THEN NOT (s_start <= o_start AND o_start < s_end)
+            ELSE s_end <= o_start OR s_start >= o_end END) AS hit
+        FROM ev, p)
+  ORDER BY event_id
+"""
+
+
 _INTERVAL_DUCK = """
   WITH ev AS (
     SELECT event_id, event_type, epoch_us(ts) AS s_start,
@@ -2462,6 +2510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'knn_topk': _q_knn,
         'track_speed_stats': _q_track_speeds,
         'interval_intersects_counts': _q_interval_intersects,
+        'interval_set_ops': _q_interval_set_ops,
         'collection_bounds': _q_bounds,
         'convolve_duplicate_timestamps': _q_convolve_dups,
         'impossible_journeys': _q_impossible_journeys,
@@ -2536,6 +2585,7 @@ def oracle_sql() -> dict[str, str]:
         'knn_topk': _knn_duckdb(),
         'track_speed_stats': _track_speeds_duckdb(),
         'interval_intersects_counts': _INTERVAL_DUCK,
+        'interval_set_ops': _INTERVAL_SETOPS_DUCK,
         'collection_bounds': _BOUNDS_SQL,
         'convolve_duplicate_timestamps': _CONVOLVE_DUCK,
         'impossible_journeys': _impossible_duckdb(),

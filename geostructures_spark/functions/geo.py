@@ -25,6 +25,7 @@ from geostructures_spark.kernels.geodesy import EARTH_RADIUS_METERS
 __all__ = [
     'haversine_expr', 'bearing_expr', 'box_contains_expr',
     'interval_intersects_expr', 'interval_contains_expr',
+    'interval_intersection_exprs', 'interval_union_exprs',
     'interval_contains_instant_expr',
     'niemeyer_encode_udf', 'h3_encode_udf', 'points_in_ring_udf', 'xyz_exprs',
     'vincenty_distance_udf', 'karney_distance_udf', 'karney_destination_udf',
@@ -421,6 +422,23 @@ def interval_contains_expr(s_start: Column, s_end: Column,
                            o_start: Column, o_end: Column) -> Column:
     """s contains o: closed superset (time.py:216-222)."""
     return (s_start <= o_start) & (o_end <= s_end)
+
+
+def interval_intersection_exprs(s_start: Column, s_end: Column,
+                                o_start: Column, o_end: Column):
+    """TimeInterval.intersection (time.py:194-198): (max starts, min ends)
+    when not disjoint, else (NULL, NULL) — disjointness per the right-open
+    + instant rules of interval_intersects_expr."""
+    hit = interval_intersects_expr(s_start, s_end, o_start, o_end)
+    return (F.when(hit, F.greatest(s_start, o_start)),
+            F.when(hit, F.least(s_end, o_end)))
+
+
+def interval_union_exprs(s_start: Column, s_end: Column,
+                         o_start: Column, o_end: Column):
+    """TimeInterval.union (time.py:224-226): the spanning hull (min starts,
+    max ends) regardless of overlap."""
+    return F.least(s_start, o_start), F.greatest(s_end, o_end)
 
 
 # --- pandas UDFs over the NumPy kernels ------------------------------------
