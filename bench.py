@@ -91,6 +91,26 @@ def _stress_spatial(spark, sf_dir: str) -> dict:
                                 max_broadcast_shapes=0).count()
             best = min(best, _t.time() - t0)
         out[label] = round(best, 3)
+
+    # exact ellipsoidal area over a 4k-shape catalog (one inverse-geodesic
+    # solve per edge, batched per Arrow partition): the derived-column path
+    # a million-shape catalog would take.
+    from geostructures_spark.operators.derive import with_shape_derived
+    area_shapes = spark.range(4000).selectExpr(
+        'id AS shape_id', "'circle' AS kind",
+        'named_struct('
+        '"center_lon", ((id * 7919) % 340000) / 1000.0D - 170.0D, '
+        '"center_lat", ((id * 104729) % 120000) / 1000.0D - 60.0D, '
+        '"radius", 50000.0D) AS params',
+        'CAST(NULL AS array<array<struct<lon:double,lat:double>>>) AS rings',
+        'CAST(NULL AS timestamp) AS dt_start',
+        'CAST(NULL AS timestamp) AS dt_end')
+    best = float('inf')
+    for _ in range(2):
+        t0 = _t.time()
+        with_shape_derived(area_shapes).select(F.sum('area_m2')).collect()
+        best = min(best, _t.time() - t0)
+    out['exact_area_4k_shapes'] = round(best, 3)
     return out
 
 
