@@ -1304,6 +1304,68 @@ _SHAPE_BOUNDS_DUCK = f"""
 """
 
 
+def _q_raster_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-grid -> vector tile assignment (the north star's
+    raster<->vector surface, operators/raster.py): supplier 100 km circles
+    get every zoom-8 slippy tile whose center falls inside them. The grid
+    fan-out is a JVM-side sequence+explode over the shape's bounds; circle
+    containment is a pure haversine predicate. The oracle enumerates the
+    same grid from the SQL bounds formulas."""
+    from geostructures_spark.operators.derive import with_shape_derived
+    from geostructures_spark.operators.raster import xyz_assign_tiles
+    _load(spark, sf_dir, 'supplier')
+    sup = spark.sql(_pts_supplier_sql())
+    shapes = sup.select(
+        F.col('qid').cast('long').alias('shape_id'),
+        F.lit('circle').alias('kind'),
+        F.struct(F.col('q_lon').alias('center_lon'),
+                 F.col('q_lat').alias('center_lat'),
+                 F.lit(100_000.0).alias('radius')).alias('params'),
+        F.lit(None).cast('array<array<struct<lon:double,lat:double>>>').alias('rings'))
+    sb = with_shape_derived(shapes).select(
+        'shape_id', 'kind', 'params', 'rings',
+        'min_lon', 'min_lat', 'max_lon', 'max_lat')
+    return (xyz_assign_tiles(sb, zoom=8)
+            .select(F.col('shape_id').cast('long').alias('shape_id'),
+                    'tile_x', 'tile_y')
+            .orderBy('shape_id', 'tile_x', 'tile_y'))
+
+
+_RASTER_TILES_DUCK = f"""
+  WITH s AS (
+    SELECT qid AS shape_id, q_lon AS lon, q_lat AS lat, 100000.0 AS r
+    FROM ({_pts_supplier_sql()})),
+  ang AS (SELECT shape_id, lon, lat, r, r / 6371000.0 AS a,
+                 radians(lat) AS rlat, radians(lon) AS rlon FROM s),
+  b AS (SELECT shape_id, lon, lat, r,
+          degrees(rlon + atan2(-sin(a) * cos(rlat),
+            cos(a) - sin(rlat) * sin(asin(sin(rlat) * cos(a))))) AS min_lon,
+          degrees(asin(sin(rlat) * cos(a) - cos(rlat) * sin(a))) AS min_lat,
+          degrees(rlon + atan2(sin(a) * cos(rlat),
+            cos(a) - sin(rlat) * sin(asin(sin(rlat) * cos(a))))) AS max_lon,
+          degrees(asin(sin(rlat) * cos(a) + cos(rlat) * sin(a))) AS max_lat
+        FROM ang),
+  rng AS (SELECT shape_id, lon, lat, r,
+            LEAST(GREATEST(CAST(floor((min_lon + 180.0) / 360.0 * 256.0) AS BIGINT), 0), 255) AS x0,
+            LEAST(GREATEST(CAST(floor((max_lon + 180.0) / 360.0 * 256.0) AS BIGINT), 0), 255) AS x1,
+            LEAST(GREATEST(CAST(floor((1.0 - ln(tan(radians(max_lat))
+              + 1.0 / cos(radians(max_lat))) / pi()) / 2.0 * 256.0) AS BIGINT), 0), 255) AS y0,
+            LEAST(GREATEST(CAST(floor((1.0 - ln(tan(radians(min_lat))
+              + 1.0 / cos(radians(min_lat))) / pi()) / 2.0 * 256.0) AS BIGINT), 0), 255) AS y1
+          FROM b),
+  g AS (SELECT shape_id, lon, lat, r, gx.x AS tile_x, gy.y AS tile_y,
+               (gx.x + 0.5) / 256.0 * 360.0 - 180.0 AS tc_lon,
+               degrees(atan((exp(pi() * (1.0 - 2.0 * (gy.y + 0.5) / 256.0))
+                 - exp(-pi() * (1.0 - 2.0 * (gy.y + 0.5) / 256.0))) / 2.0)) AS tc_lat
+        FROM rng, generate_series(0, 255) gx(x), generate_series(0, 255) gy(y)
+        WHERE gx.x BETWEEN x0 AND x1 AND gy.y BETWEEN y0 AND y1)
+  SELECT CAST(shape_id AS BIGINT) AS shape_id, tile_x, tile_y
+  FROM g
+  WHERE {_hav('lon', 'lat', 'tc_lon', 'tc_lat')} <= r
+  ORDER BY shape_id, tile_x, tile_y
+"""
+
+
 def _q_track_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Track.first/last/start/end (collections.py:807-857) as
     min_by/max_by aggregations over event-derived pings."""
@@ -2531,6 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'wkb_roundtrip': _q_wkb_roundtrip,
         'geojson_featurecollection': _q_geojson_fc,
         'split_multishapes': _q_split_multishapes,
+        'raster_tile_assignment': _q_raster_tiles,
         'wkt_parse_roundtrip': _q_wkt_parse,
         'geojson_parse': _q_geojson_parse,
         'shape_join_intersects': _q_shape_join,
@@ -2627,6 +2690,7 @@ def oracle_sql() -> dict[str, str]:
         'wkb_roundtrip': _WKB_ROUNDTRIP_DUCK,
         'geojson_featurecollection': _GEOJSON_FC_DUCK,
         'split_multishapes': _SPLIT_MULTI_DUCK,
+        'raster_tile_assignment': _RASTER_TILES_DUCK,
         'knn_pruned_topk': _knn_duckdb(),
         'time_of_day_counts': _TIME_OF_DAY_DUCK,
         'ivf_kmeans_train': _kmeans_duckdb(),

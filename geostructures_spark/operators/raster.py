@@ -1,0 +1,121 @@
+"""Raster-grid -> vector tile assignment (the north star's raster<->vector
+surface).
+
+Assigns slippy-map raster tiles (functions/geo.py XYZ scheme) to vector
+shapes: a tile belongs to a shape iff its center point is inside the shape
+— the standard rasterization rule, so per-shape tile sets partition the
+grid exactly like a raster burn.
+
+Scale shape: the per-shape tile-range fan-out is a JVM-side
+sequence+explode over the shape's bounding box (no Python in the
+row-multiplication), and containment for the parametric hot kinds
+(circle, box) stays a pure column predicate; ring-bearing kinds
+(polygon/ellipse/ring/multi*) filter through the same Arrow-batched exact
+kernels the spatial join uses. A ``max_tiles_per_shape`` guard drops
+shapes whose bbox would explode at the chosen zoom (callers pick zoom to
+match shape size, exactly as with H3/Niemeyer cover resolutions).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ['xyz_assign_tiles']
+
+
+def _tile_x_expr(lon, n):
+    x = F.floor((lon + 180.0) / 360.0 * n)
+    return F.least(F.greatest(x, F.lit(0)), F.lit(int(n) - 1)).cast('long')
+
+
+def _tile_y_expr(lat, n):
+    lat_r = F.radians(lat)
+    y = F.floor((1.0 - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r)) / math.pi)
+                / 2.0 * n)
+    return F.least(F.greatest(y, F.lit(0)), F.lit(int(n) - 1)).cast('long')
+
+
+def xyz_assign_tiles(shapes: DataFrame, zoom: int,
+                     max_tiles_per_shape: int = 100_000) -> DataFrame:
+    """shapes (canonical table WITH bounds columns min_lon/min_lat/
+    max_lon/max_lat, e.g. from with_shape_derived) -> one row per
+    (shape_id, tile_x, tile_y) whose tile center lies inside the shape.
+
+    Center coordinates: lon = (x+0.5)/2^z*360-180,
+    lat = atan(sinh(pi*(1-2*(y+0.5)/2^z))) — the inverse Web Mercator grid.
+    """
+    n = float(1 << zoom)
+    x_min = _tile_x_expr(F.col('min_lon'), n)
+    x_max = _tile_x_expr(F.col('max_lon'), n)
+    y_min = _tile_y_expr(F.col('max_lat'), n)   # y grows southward
+    y_max = _tile_y_expr(F.col('min_lat'), n)
+    n_tiles = (x_max - x_min + 1) * (y_max - y_min + 1)
+
+    grid = (shapes
+            .filter(n_tiles <= F.lit(max_tiles_per_shape))
+            .withColumn('tile_x', F.explode(F.sequence(x_min, x_max)))
+            .withColumn('tile_y', F.explode(F.sequence(y_min, y_max)))
+            .withColumn('tc_lon', (F.col('tile_x') + 0.5) / n * 360.0 - 180.0)
+            .withColumn('tc_lat', F.degrees(F.atan(F.sinh(
+                math.pi * (1.0 - 2.0 * (F.col('tile_y') + 0.5) / n))))))
+
+    # parametric fast paths stay in codegen (built only for the param
+    # fields the input schema actually carries)
+    from geostructures_spark.functions.geo import (box_contains_expr,
+                                                   haversine_expr)
+    p = F.col('params')
+    pfields = {f.name for f in shapes.schema['params'].dataType.fields}
+    fast_kinds, fast_pred = [], F.lit(False)
+    if {'center_lon', 'center_lat', 'radius'} <= pfields:
+        fast_kinds.append('circle')
+        fast_pred = fast_pred | (
+            (F.col('kind') == 'circle') &
+            (haversine_expr(F.col('tc_lon'), F.col('tc_lat'),
+                            p.getField('center_lon'),
+                            p.getField('center_lat')) <= p.getField('radius')))
+    if {'min_lon', 'min_lat', 'max_lon', 'max_lat'} <= pfields:
+        fast_kinds.append('box')
+        fast_pred = fast_pred | (
+            (F.col('kind') == 'box') &
+            box_contains_expr(F.col('tc_lon'), F.col('tc_lat'),
+                              p.getField('min_lon'), p.getField('min_lat'),
+                              p.getField('max_lon'), p.getField('max_lat')))
+    fast = grid.filter(fast_pred)
+
+    # exact kernel filter for ring-bearing kinds, Arrow-batched; each
+    # shape's tiles are grouped per batch so the vectorized kernel runs
+    # once per (shape, batch), not per tile
+    from geostructures_spark.kernels.shapes import shape_contains_points
+    from geostructures_spark.operators.ringio import (
+        decode_rings_json, encode_rings_json)
+    from geostructures_spark.operators.tiling import shape_row_to_kernel
+
+    slow_src = encode_rings_json(
+        grid.filter(~F.col('kind').isin(*fast_kinds) if fast_kinds
+                    else F.lit(True)))
+    slow_schema = ', '.join(f'{f.name} {f.dataType.simpleString()}'
+                            for f in slow_src.schema.fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            for sid, grp in pdf.groupby('shape_id', sort=False):
+                row = grp.iloc[0].to_dict()
+                row['rings'] = decode_rings_json(row.get('rings'))
+                shape = shape_row_to_kernel(row)
+                keep[grp.index.to_numpy()] = shape_contains_points(
+                    shape, grp['tc_lon'].to_numpy(np.float64),
+                    grp['tc_lat'].to_numpy(np.float64))
+            yield pdf[keep]
+
+    slow = slow_src.mapInPandas(run, schema=slow_schema)
+    out_cols = ['shape_id', 'tile_x', 'tile_y']
+    return fast.select(*out_cols).unionByName(slow.select(*out_cols))

@@ -523,3 +523,50 @@ def test_split_multishapes_and_set_property(spark):
     props = [dict(r.properties) for r in
              set_property(df, 'a', 'z').orderBy('shape_id').collect()]
     assert props == [{'a': 'z'}, {'a': 'z'}, {'a': 'z', 'k': 'v'}]
+
+
+def test_xyz_assign_tiles_matches_kernel(spark):
+    """Raster->vector assignment: circle fast path (pure predicate) and
+    polygon slow path (exact kernel) both emit exactly the tiles whose
+    centers are inside; oversized shapes are dropped by the guard."""
+    import math
+    import numpy as np
+    from geostructures_spark.kernels.shapes import shape_contains_points
+    from geostructures_spark.operators.derive import with_shape_derived
+    from geostructures_spark.operators.raster import xyz_assign_tiles
+    tri = [(10.0, 45.0), (10.3, 45.0), (10.15, 45.3), (10.0, 45.0)]
+    shapes = spark.createDataFrame(
+        [(1, 'circle', {'center_lon': 10.0, 'center_lat': 45.0,
+                        'radius': 20000.0}, None),
+         (2, 'polygon', None, [tri]),
+         (3, 'circle', {'center_lon': 0.0, 'center_lat': 0.0,
+                        'radius': 5_000_000.0}, None)],  # guard-dropped
+        'shape_id long, kind string, params map<string,double>, '
+        'rings array<array<struct<lon:double,lat:double>>>') \
+        .select('shape_id', 'kind',
+                F.struct(*[F.col('params').getItem(k).alias(k) for k in
+                           ('center_lon', 'center_lat', 'radius')]).alias('params'),
+                'rings')
+    sb = with_shape_derived(shapes).select(
+        'shape_id', 'kind', 'params', 'rings',
+        'min_lon', 'min_lat', 'max_lon', 'max_lat')
+    out = xyz_assign_tiles(sb, zoom=11, max_tiles_per_shape=500).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.shape_id, set()).add((r.tile_x, r.tile_y))
+    assert 3 not in got  # 5000 km circle exceeds the tile guard at z11
+    n = 1 << 11
+    # every emitted tile's center is inside; brute-force completeness over
+    # the bbox grid for the polygon
+    poly = {'kind': 'polygon', 'params': {}, 'rings': [np.array(tri)],
+            'children': None}
+    want = set()
+    for x in range(int((10.0 + 180) / 360 * n) - 1, int((10.3 + 180) / 360 * n) + 2):
+        for y in range(1, n):
+            lon = (x + 0.5) / n * 360 - 180
+            lat = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * (y + 0.5) / n))))
+            if 44.9 < lat < 45.4 and shape_contains_points(
+                    poly, np.array([lon]), np.array([lat]))[0]:
+                want.add((x, y))
+    assert got[2] == want
+    assert len(got[1]) > 0
