@@ -56,17 +56,11 @@ def xyz_assign_tiles(shapes: DataFrame, zoom: int,
     y_min = _tile_y_expr(F.col('max_lat'), n)   # y grows southward
     y_max = _tile_y_expr(F.col('min_lat'), n)
     n_tiles = (x_max - x_min + 1) * (y_max - y_min + 1)
+    guarded = shapes.filter(n_tiles <= F.lit(max_tiles_per_shape))
 
-    grid = (shapes
-            .filter(n_tiles <= F.lit(max_tiles_per_shape))
-            .withColumn('tile_x', F.explode(F.sequence(x_min, x_max)))
-            .withColumn('tile_y', F.explode(F.sequence(y_min, y_max)))
-            .withColumn('tc_lon', (F.col('tile_x') + 0.5) / n * 360.0 - 180.0)
-            .withColumn('tc_lat', F.degrees(F.atan(F.sinh(
-                math.pi * (1.0 - 2.0 * (F.col('tile_y') + 0.5) / n))))))
-
-    # parametric fast paths stay in codegen (built only for the param
-    # fields the input schema actually carries)
+    # parametric fast path: JVM-side sequence+explode fan-out + pure
+    # containment predicate, entirely inside codegen (built only for the
+    # param fields the input schema actually carries)
     from geostructures_spark.functions.geo import (box_contains_expr,
                                                    haversine_expr)
     p = F.col('params')
@@ -86,36 +80,57 @@ def xyz_assign_tiles(shapes: DataFrame, zoom: int,
             box_contains_expr(F.col('tc_lon'), F.col('tc_lat'),
                               p.getField('min_lon'), p.getField('min_lat'),
                               p.getField('max_lon'), p.getField('max_lat')))
-    fast = grid.filter(fast_pred)
+    fast = (guarded.filter(F.col('kind').isin(*fast_kinds)
+                           if fast_kinds else F.lit(False))
+            .withColumn('tile_x', F.explode(F.sequence(x_min, x_max)))
+            .withColumn('tile_y', F.explode(F.sequence(y_min, y_max)))
+            .withColumn('tc_lon', (F.col('tile_x') + 0.5) / n * 360.0 - 180.0)
+            .withColumn('tc_lat', F.degrees(F.atan(F.sinh(
+                math.pi * (1.0 - 2.0 * (F.col('tile_y') + 0.5) / n)))))
+            .filter(fast_pred))
 
-    # exact kernel filter for ring-bearing kinds, Arrow-batched; each
-    # shape's tiles are grouped per batch so the vectorized kernel runs
-    # once per (shape, batch), not per tile
+    # ring-bearing kinds: per-SHAPE fan-out inside the Arrow batch (the
+    # cover_shapes pattern) — the grid for one shape is generated and
+    # PIP-filtered as one NumPy meshgrid, so rings are deserialized once
+    # per shape, never replicated across exploded tile rows (which at high
+    # zoom would ship a polygon's rings through the shuffle per tile).
     from geostructures_spark.kernels.shapes import shape_contains_points
     from geostructures_spark.operators.ringio import (
         decode_rings_json, encode_rings_json)
     from geostructures_spark.operators.tiling import shape_row_to_kernel
 
     slow_src = encode_rings_json(
-        grid.filter(~F.col('kind').isin(*fast_kinds) if fast_kinds
-                    else F.lit(True)))
-    slow_schema = ', '.join(f'{f.name} {f.dataType.simpleString()}'
-                            for f in slow_src.schema.fields)
+        guarded.filter(~F.col('kind').isin(*fast_kinds) if fast_kinds
+                       else F.lit(True)))
+    n_int = 1 << zoom
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not len(pdf):
-                continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            for sid, grp in pdf.groupby('shape_id', sort=False):
-                row = grp.iloc[0].to_dict()
+            ids, txs, tys = [], [], []
+            for row in pdf.to_dict('records'):
                 row['rings'] = decode_rings_json(row.get('rings'))
                 shape = shape_row_to_kernel(row)
-                keep[grp.index.to_numpy()] = shape_contains_points(
-                    shape, grp['tc_lon'].to_numpy(np.float64),
-                    grp['tc_lat'].to_numpy(np.float64))
-            yield pdf[keep]
+                x0 = min(max(int((row['min_lon'] + 180.0) / 360.0 * n_int), 0), n_int - 1)
+                x1 = min(max(int((row['max_lon'] + 180.0) / 360.0 * n_int), 0), n_int - 1)
+                la0, la1 = np.radians(row['max_lat']), np.radians(row['min_lat'])
+                y0 = min(max(int((1.0 - math.log(math.tan(la0) + 1.0 / math.cos(la0))
+                                  / math.pi) / 2.0 * n_int), 0), n_int - 1)
+                y1 = min(max(int((1.0 - math.log(math.tan(la1) + 1.0 / math.cos(la1))
+                                  / math.pi) / 2.0 * n_int), 0), n_int - 1)
+                xs = np.arange(x0, x1 + 1)
+                ys = np.arange(y0, y1 + 1)
+                gx, gy = np.meshgrid(xs, ys, indexing='ij')
+                gx, gy = gx.ravel(), gy.ravel()
+                tc_lon = (gx + 0.5) / n_int * 360.0 - 180.0
+                tc_lat = np.degrees(np.arctan(np.sinh(
+                    np.pi * (1.0 - 2.0 * (gy + 0.5) / n_int))))
+                hit = shape_contains_points(shape, tc_lon, tc_lat)
+                ids.extend([row['shape_id']] * int(hit.sum()))
+                txs.extend(gx[hit].tolist())
+                tys.extend(gy[hit].tolist())
+            yield pd.DataFrame({'shape_id': ids, 'tile_x': txs, 'tile_y': tys})
 
-    slow = slow_src.mapInPandas(run, schema=slow_schema)
+    slow = slow_src.mapInPandas(
+        run, schema='shape_id long, tile_x long, tile_y long')
     out_cols = ['shape_id', 'tile_x', 'tile_y']
-    return fast.select(*out_cols).unionByName(slow.select(*out_cols))
+    return fast.select(*out_cols).unionByName(slow)
