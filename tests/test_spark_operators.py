@@ -570,3 +570,58 @@ def test_xyz_assign_tiles_matches_kernel(spark):
                 want.add((x, y))
     assert got[2] == want
     assert len(got[1]) > 0
+
+
+def test_streaming_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed agg with a 1-hour watermark: an event arriving
+    after the watermark has passed its window is dropped (the late-data
+    contract that makes unbounded aggregation state safe at scale)."""
+    import os
+    from geostructures_spark.streaming.events import (
+        EVENTS_SCHEMA, windowed_event_agg)
+    src = str(tmp_path / 'late_stream')
+    os.makedirs(src)
+
+    def write_chunk(name, rows, mtime):
+        p = os.path.join(src, name)
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1) \
+            .write.mode('overwrite').parquet(p + '.dir')
+        part = [f for f in os.listdir(p + '.dir') if f.endswith('.parquet')][0]
+        os.rename(os.path.join(p + '.dir', part), p)
+        os.utime(p, (mtime, mtime))
+
+    def ev(i, ts, typ='a', v=1.0):
+        import datetime as dt
+        return (i, dt.datetime.fromisoformat(ts), 1, typ, v, '{}')
+
+    write_chunk('c0.parquet',
+                [ev(1, '2024-01-01 00:10:00'), ev(2, '2024-01-01 00:20:00')],
+                1000)
+    # advance event time far past window [00:00, 01:00) — stateful
+    # operators apply the watermark one batch late, so a second fresh
+    # batch lets it propagate and finalize the window ...
+    write_chunk('c1.parquet', [ev(3, '2024-01-01 12:00:00')], 1001)
+    write_chunk('c2.parquet', [ev(6, '2024-01-01 12:30:00')], 1002)
+    # ... so this late arrival for the finalized window must be dropped
+    write_chunk('c3.parquet', [ev(4, '2024-01-01 00:30:00')], 1003)
+    # one more advance so the 12:00 window can finalize too
+    write_chunk('c4.parquet', [ev(5, '2024-01-02 00:00:00')], 1004)
+
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option('maxFilesPerTrigger', 1).parquet(src))
+    agg = windowed_event_agg(stream, window='1 hour', watermark='1 hour')
+    q = (agg.writeStream.outputMode('append')
+         .format('memory').queryName('late_agg_test').start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.window_start.isoformat(): r.n_events
+           for r in spark.sql('SELECT * FROM late_agg_test').collect()}
+    # the 00:00 window finalized with 2 events — the late one was dropped
+    assert got.get('2024-01-01T00:00:00') == 2
+    assert got.get('2024-01-01T12:00:00') == 2
+    dropped = sum((p.get('stateOperators') or [{}])[0]
+                  .get('numRowsDroppedByWatermark', 0) or 0
+                  for p in q.recentProgress)
+    assert dropped == 1
