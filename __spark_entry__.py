@@ -752,6 +752,37 @@ _TEXT_STATS_DUCK = """
 """
 
 
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pretokenizer token counting (training-data budgeting):
+    whitespace vs regex-pretokenizer token counts per doc."""
+    from geostructures_spark.operators.textstats import with_token_counts
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    return (with_token_counts(docs)
+            .select(F.col('doc_id').cast('long').alias('doc_id'),
+                    F.col('n_ws_tokens').cast('long').alias('n_ws_tokens'),
+                    F.col('n_bpe_tokens').cast('long').alias('n_bpe_tokens'),
+                    F.round('chars_per_token', 6).alias('chars_per_token'))
+            .orderBy('doc_id'))
+
+
+_TOKEN_COUNTS_DUCK = r"""
+  WITH pieces AS (
+    SELECT doc_id,
+           len(string_split_regex(trim(text), ' +')) AS n_ws,
+           list_filter(regexp_extract_all(text,
+               ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+'),
+               p -> regexp_matches(p, '\S')) AS bpe,
+           length(text) AS n_chars
+    FROM documents)
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(n_ws AS BIGINT) AS n_ws_tokens,
+         CAST(len(bpe) AS BIGINT) AS n_bpe_tokens,
+         ROUND(n_chars / greatest(len(bpe), 1), 6) AS chars_per_token
+  FROM pieces ORDER BY doc_id
+"""
+
+
 def _q_lang_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic agreement: marker-argmax prediction vs the
     table's lang column, counted per (lang, pred_lang)."""
@@ -2580,6 +2611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'exact_dedup_groups': _q_exact_dedup,
         'minhash_lsh_pairs': _q_minhash_pairs,
         'text_stats': _q_text_stats,
+        'token_counts': _q_token_counts,
         'lang_id_agreement': _q_lang_markers,
         'cosine_topk': _q_cosine_topk,
         'ivf_assign_counts': _q_ivf_counts,
@@ -2656,6 +2688,7 @@ def oracle_sql() -> dict[str, str]:
         'exact_dedup_groups': _EXACT_DEDUP_DUCK,
         'minhash_lsh_pairs': _MINHASH_DUCK,
         'text_stats': _TEXT_STATS_DUCK,
+        'token_counts': _TOKEN_COUNTS_DUCK,
         'lang_id_agreement': _lang_markers_duckdb(),
         'cosine_topk': _COSINE_DUCK,
         'ivf_assign_counts': _IVF_DUCK,

@@ -11,7 +11,16 @@ from pyspark.sql import functions as F
 from geostructures_spark.operators.dedup import tokens_expr
 
 __all__ = ['with_text_stats', 'with_quality_score', 'lang_id_scores',
-           'fingerprint_expr', 'with_fingerprint']
+           'fingerprint_expr', 'with_fingerprint', 'BPE_TOKEN_PATTERN',
+           'with_token_counts']
+
+# GPT-2-style pretokenizer reduced to lookahead-free alternatives so the
+# same pattern runs identically under Java regex (Spark) and RE2 (DuckDB):
+# a token is an optionally-space-prefixed letter run, digit run, or
+# punctuation run, else a whitespace run. Leftmost-first (Java) and
+# leftmost-longest (RE2) agree here because the alternatives are disjoint
+# by first character class.
+BPE_TOKEN_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
 
 # tiny per-language stopword marker lists for the n-gram/stopword heuristic
 LANG_MARKERS = {
@@ -39,6 +48,21 @@ def with_text_stats(docs: DataFrame, text_col: str = 'text') -> DataFrame:
                         (n_chars - (n_tokens - 1)) / n_tokens)
             .withColumn('punct_ratio', n_punct / F.greatest(n_chars, F.lit(1)))
             .withColumn('stopword_ratio', stop / F.greatest(n_tokens, F.lit(1))))
+
+
+def with_token_counts(docs: DataFrame, text_col: str = 'text') -> DataFrame:
+    """Token counting for training-data budgeting: whitespace tokens
+    (n_ws_tokens) and BPE-ish pretokenizer tokens (n_bpe_tokens, whitespace
+    runs excluded) plus chars-per-token. Pure JVM-side expressions — the
+    regex runs inside whole-stage codegen, no Python."""
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0)
+    n_bpe = F.size(F.filter(pieces, lambda p: p.rlike(r'\S')))
+    n_ws = F.size(tokens_expr(F.col(text_col)))
+    return (docs
+            .withColumn('n_ws_tokens', n_ws)
+            .withColumn('n_bpe_tokens', n_bpe)
+            .withColumn('chars_per_token',
+                        F.length(F.col(text_col)) / F.greatest(n_bpe, F.lit(1))))
 
 
 def with_quality_score(docs: DataFrame, text_col: str = 'text') -> DataFrame:

@@ -618,3 +618,23 @@ def test_simhash_matches_pure_python(spark):
         assert rows[i][0] == exp
         assert rows[i][1] == exp >> 16
     assert rows[0] == rows[1]  # identical docs collide exactly
+
+
+# --- BPE-ish token counting (training-data budgeting operator)
+
+def test_token_counts_hand_values(spark):
+    from geostructures_spark.operators.textstats import with_token_counts
+
+    df = spark.createDataFrame(
+        [(0, 'hello world 42 foo-bar!  end'),
+         (1, 'a'),
+         (2, "it's 2024, really?")],
+        'doc_id long, text string')
+    rows = {r.doc_id: r for r in with_token_counts(df).collect()}
+    # doc 0 pieces: hello | world | 42 | foo | - | bar | ! | end  (ws runs dropped)
+    assert rows[0].n_bpe_tokens == 8
+    assert rows[0].n_ws_tokens == 5
+    assert rows[1].n_bpe_tokens == 1 and rows[1].n_ws_tokens == 1
+    # doc 2 pieces: it | ' | s | 2024 | , | really | ?
+    assert rows[2].n_bpe_tokens == 7
+    assert rows[2].chars_per_token == pytest.approx(len("it's 2024, really?") / 7)
