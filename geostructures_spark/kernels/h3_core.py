@@ -863,13 +863,33 @@ def cell_to_latlng(cell) -> Tuple[float, float]:
     return math.degrees(lat), math.degrees(lon)
 
 
+def _v2d_intersect(p0, p1, p2, p3) -> Tuple[float, float]:
+    """2D line intersection (published _v2dIntersect form, bit-identical
+    order of operations)."""
+    s1x, s1y = p1[0] - p0[0], p1[1] - p0[1]
+    s2x, s2y = p3[0] - p2[0], p3[1] - p2[1]
+    t = (s2x * (p0[1] - p2[1]) - s2y * (p0[0] - p2[0])) / \
+        (-s2x * s1y + s1x * s2y)
+    return (p0[0] + t * s1x, p0[1] + t * s1y)
+
+
+@lru_cache(maxsize=1)
+def _adjacent_face_dir() -> Dict[int, Dict[int, str]]:
+    """{face: {neighbor_face: quadrant}} derived from face_neighbors()."""
+    fn = face_neighbors()
+    return {f: {fn[f][q][0]: q for q in ('ij', 'jk', 'ki')} for f in fn}
+
+
 def cell_to_boundary(cell) -> List[Tuple[float, float]]:
     """H3 cell -> [(lat_deg, lng_deg), ...] boundary vertices.
 
-    Hexagon path (substrate-grid vertices + per-vertex overage); pentagons
-    use the same machinery with the five distinct vertices (distortion
-    vertices on icosa edges are not inserted — covered cells in the parity
-    corpus are mid-face)."""
+    Hexagon path follows the published _faceIjkToCellBoundary exactly:
+    substrate-grid vertices, one overage adjustment per vertex, and — at
+    Class III resolutions — an extra vertex inserted where a cell edge
+    crosses an icosahedron face edge (each half of such an edge lives on a
+    different gnomonic projection plane). Pentagons follow the published
+    _faceIjkPentToCellBoundary: 5 vertices, plus one icosa-edge
+    intersection per edge at Class III resolutions (10 total)."""
     h = str_to_h3(cell) if isinstance(cell, str) else int(cell)
     face, c, res = _h3_to_face_ijk(h)
     pent = is_pentagon(h)
@@ -882,31 +902,100 @@ def cell_to_boundary(cell) -> List[Tuple[float, float]]:
         c2 = _down_ap7r(c2)
         adj_res = res + 1
     verts_tab = _VERTS_CIII if _is_class_iii(res) else _VERTS_CII
+    vert_ijk = [_ijk_normalize((c2[0] + int(verts_tab[v][0]),
+                                c2[1] + int(verts_tab[v][1]),
+                                c2[2] + int(verts_tab[v][2])))
+                for v in range(6)]
+
+    if pent:
+        # published _faceIjkPentToCellBoundary: 5 vertices (the 6th hexagon
+        # vertex table row is dropped); at Class III every pentagon edge
+        # crosses an icosa face edge, so an intersection vertex is inserted
+        # per edge (10 boundary vertices total)
+        fn = face_neighbors()
+        adj_dir = _adjacent_face_dir()
+        out = []
+        last_fv = -1
+        last_cv = None
+        for vert in range(6):  # 5 verts + 1 wraparound-edge iteration
+            v = vert % 5
+            fv, cv = face, vert_ijk[v]
+            while True:
+                over, fv, cv = _adjust_overage_class_ii(fv, cv, adj_res,
+                                                        False, True)
+                if over != 2:
+                    break
+            if _is_class_iii(res) and vert > 0 and fv != last_fv:
+                # transform the current vertex into the last face's system,
+                # then intersect the edge with that face's icosa boundary
+                ox0, oy0 = _ijk_to_hex2d(np.array([last_cv]))
+                quad_to_last = adj_dir[fv][last_fv]
+                g, rot, trans = fn[fv][quad_to_last]
+                c = cv
+                for _ in range(rot):
+                    c = _ijk_rotate60_ccw(c)
+                unit = _UNIT_SCALE_BY_CII_RES[adj_res] * 3
+                c = _ijk_normalize((c[0] + trans[0] * unit,
+                                    c[1] + trans[1] * unit,
+                                    c[2] + trans[2] * unit))
+                ox1, oy1 = _ijk_to_hex2d(np.array([c]))
+                p0 = (float(ox0[0]), float(oy0[0]))
+                p1 = (float(ox1[0]), float(oy1[0]))
+                max_dim = float(_MAX_DIM_BY_CII_RES[adj_res])
+                e0 = (3.0 * max_dim, 0.0)
+                e1 = (-1.5 * max_dim, 3.0 * _M_SIN60 * max_dim)
+                e2 = (-1.5 * max_dim, -3.0 * _M_SIN60 * max_dim)
+                ea, eb = {'ij': (e0, e1), 'jk': (e1, e2),
+                          'ki': (e2, e0)}[adj_dir[last_fv][fv]]
+                inter = _v2d_intersect(p0, p1, ea, eb)
+                lat, lon = _hex2d_to_geo(inter[0], inter[1], last_fv,
+                                         adj_res, True)
+                out.append((math.degrees(lat), math.degrees(lon)))
+            if vert < 5:
+                x, yv = _ijk_to_hex2d(np.array([cv]))
+                lat, lon = _hex2d_to_geo(float(x[0]), float(yv[0]), fv,
+                                         adj_res, True)
+                out.append((math.degrees(lat), math.degrees(lon)))
+            last_fv, last_cv = fv, cv
+        return out
+
+    # hexagon path (with Class III icosa-edge distortion vertices)
     out = []
-    vert_order = range(6)
-    last = None
-    for v in vert_order:
-        vi = _ijk_normalize((c2[0] + int(verts_tab[v][0]),
-                             c2[1] + int(verts_tab[v][1]),
-                             c2[2] + int(verts_tab[v][2])))
-        fv, cv = face, vi
-        for _ in range(5):
-            over, fv, cv = _adjust_overage_class_ii(fv, cv, adj_res, False, True)
-            if over != 2:
-                break
-        x, yv = _ijk_to_hex2d(np.array([cv]))
-        lat, lon = _hex2d_to_geo(float(x[0]), float(yv[0]), fv, adj_res, True)
-        pt = (math.degrees(lat), math.degrees(lon))
-        if last is None or (abs(pt[0] - last[0]) > 1e-12 or abs(pt[1] - last[1]) > 1e-12):
-            out.append(pt)
-        last = pt
-    # pentagons have 5 distinct vertices
-    if pent and len(out) == 6:
-        dedup = []
-        for p in out:
-            if not any(abs(p[0] - q[0]) < 1e-9 and abs(p[1] - q[1]) < 1e-9 for q in dedup):
-                dedup.append(p)
-        out = dedup
+    last_face = -1
+    last_over = 0
+    adj_dir = _adjacent_face_dir()
+    for vert in range(7):  # one extra iteration to catch the wraparound edge
+        v = vert % 6
+        over, fv, cv = _adjust_overage_class_ii(face, vert_ijk[v], adj_res,
+                                                False, True)
+        if _is_class_iii(res) and vert > 0 and fv != last_face and last_over != 1:
+            # cell edge crosses an icosa face edge: insert the intersection,
+            # projected through the center face's plane (where both original
+            # substrate vertices are exact)
+            last_v = (v + 5) % 6
+            ox0, oy0 = _ijk_to_hex2d(np.array([vert_ijk[last_v]]))
+            ox1, oy1 = _ijk_to_hex2d(np.array([vert_ijk[v]]))
+            p0 = (float(ox0[0]), float(oy0[0]))
+            p1 = (float(ox1[0]), float(oy1[0]))
+            max_dim = float(_MAX_DIM_BY_CII_RES[adj_res])
+            e0 = (3.0 * max_dim, 0.0)
+            e1 = (-1.5 * max_dim, 3.0 * _M_SIN60 * max_dim)
+            e2 = (-1.5 * max_dim, -3.0 * _M_SIN60 * max_dim)
+            face2 = fv if last_face == face else last_face
+            quad = adj_dir[face][face2]
+            ea, eb = {'ij': (e0, e1), 'jk': (e1, e2), 'ki': (e2, e0)}[quad]
+            inter = _v2d_intersect(p0, p1, ea, eb)
+            at_vertex = (p0[0] == inter[0] and p0[1] == inter[1]) or \
+                        (p1[0] == inter[0] and p1[1] == inter[1])
+            if not at_vertex:
+                lat, lon = _hex2d_to_geo(inter[0], inter[1], face, adj_res, True)
+                out.append((math.degrees(lat), math.degrees(lon)))
+        if vert < 6:
+            x, yv = _ijk_to_hex2d(np.array([cv]))
+            lat, lon = _hex2d_to_geo(float(x[0]), float(yv[0]), fv, adj_res, True)
+            out.append((math.degrees(lat), math.degrees(lon)))
+        last_face = fv
+        last_over = over
     return out
 
 

@@ -134,3 +134,97 @@ def test_h3_parent_children_compact():
     assert compact_cells(kids[:-1]) == sorted(kids[:-1])
     # parent of parent composes
     assert cell_to_parent(c, 5) == cell_to_parent(cell_to_parent(c, 7), 5)
+
+
+def test_class_iii_icosa_edge_distortion_vertices():
+    """Class III cells whose edges cross an icosahedron face edge gain
+    intersection vertices (published _faceIjkToCellBoundary behavior).
+    Invariants: inserted vertices lie exactly on the icosa edge
+    (equidistant from the two adjacent face centers), nudged-inward points
+    index back to the cell, and the neighbor across the edge produces the
+    bit-identical inserted vertex."""
+    import math
+    import numpy as np
+    from geostructures_spark.kernels import h3_core as H
+
+    H._init_faces()
+    fc = np.array(H._FACE_XYZ)
+
+    def xyz(plat, plon):
+        pr, lr = math.radians(plat), math.radians(plon)
+        return np.array([math.cos(pr) * math.cos(lr),
+                         math.cos(pr) * math.sin(lr), math.sin(pr)])
+
+    cells = ['852c000bfffffff', '852c0003fffffff', '872c00000ffffff']
+    seen_extra = 0
+    for cell in cells:
+        bd = H.cell_to_boundary(cell)
+        assert len(bd) > 6  # at least one distortion vertex
+        seen_extra += len(bd) - 6
+        res = H.get_resolution(H.str_to_h3(cell))
+        clat, clon = H.cell_to_latlng(cell)
+        for (plat, plon) in bd:
+            q = H.latlng_to_cell_scalar(plat + (clat - plat) * 0.02,
+                                        plon + (clon - plon) * 0.02, res)
+            assert q == cell
+    assert seen_extra >= 4
+
+    # on-edge + neighbor agreement for one cell
+    c1 = cells[0]
+    ins = []
+    for p in H.cell_to_boundary(c1):
+        d = np.sort(np.arccos(np.clip(fc @ xyz(*p), -1, 1)))[:2]
+        if abs(d[0] - d[1]) < 1e-9:
+            ins.append(p)
+    assert ins  # it has on-edge vertices
+    nb_pts = [p for nb in H.neighbors_geometric(c1)
+              for p in H.cell_to_boundary(nb)]
+    for q in ins:
+        # the neighbor projects from its own center face; agreement is exact
+        # up to float rounding of the two gnomonic paths
+        assert min(np.linalg.norm(xyz(*p) - xyz(*q)) for p in nb_pts) < 1e-12
+
+
+def test_mid_face_boundary_unchanged_by_distortion_path():
+    """Mid-face Class III cells still emit exactly 6 vertices."""
+    from geostructures_spark.kernels import h3_core as H
+    cell = H.latlng_to_cell_scalar(51.5074, -0.1278, 7)
+    assert len(H.cell_to_boundary(cell)) == 6
+
+
+def test_pentagon_boundary_class_ii_and_iii():
+    """Pentagon boundaries (published _faceIjkPentToCellBoundary): 5
+    vertices at Class II (each ON an icosa edge), 10 at Class III (5
+    original + 5 icosa-edge intersections), all index-consistent."""
+    import math
+    import numpy as np
+    from geostructures_spark.kernels import h3_core as H
+
+    H._init_faces()
+    fc = np.array(H._FACE_XYZ)
+
+    def xyz(plat, plon):
+        pr, lr = math.radians(plat), math.radians(plon)
+        return np.array([math.cos(pr) * math.cos(lr),
+                         math.cos(pr) * math.sin(lr), math.sin(pr)])
+
+    h0 = (1 << 59) | (4 << 45) | sum(7 << (3 * (15 - r)) for r in range(1, 16))
+    c0 = H.h3_to_str(h0)
+    for res, expect in ((1, 10), (2, 5), (3, 10), (4, 5)):
+        p = next(k for k in H.cell_to_children(c0, res)
+                 if H.is_pentagon(H.str_to_h3(k)))
+        bd = H.cell_to_boundary(p)
+        assert len(bd) == expect
+        clat, clon = H.cell_to_latlng(p)
+        for plat, plon in bd:
+            assert H.latlng_to_cell_scalar(plat + (clat - plat) * 0.02,
+                                           plon + (clon - plon) * 0.02,
+                                           res) == p
+        on_edge = []
+        for pt in bd:
+            d = np.sort(np.arccos(np.clip(fc @ xyz(*pt), -1, 1)))[:2]
+            on_edge.append(abs(d[0] - d[1]) < 1e-9)
+        if expect == 5:
+            assert all(on_edge)          # Class II: vertices sit on edges
+        else:
+            assert sum(on_edge) == 5     # Class III: the 5 inserted ones
