@@ -949,9 +949,11 @@ _STREAMING_DUCK = """
 
 def _q_niemeyer_cover_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shape-cover tiling (NiemeyerHasher.hash_shape BFS) for supplier
-    circles: cover cell counts per shape. Kernel-verified vs reference
-    goldens in tests/; rows-only driver check (BFS flood fill is not
-    SQL-expressible)."""
+    circles: cover cell counts per shape. Oracle: the BFS of a convex shape
+    equals bbox grid enumeration with the same keep test, so the DuckDB side
+    enumerates length-4 cells and replays the kernel's box-vs-36-gon
+    intersection (edge pairs at 10dp rounding + first-vertex-in-box +
+    NW-corner-in-circle) entirely in SQL."""
     from geostructures_spark.operators.tiling import cover_shapes
     _load(spark, sf_dir, 'supplier')
     sup = spark.sql(_pts_supplier_sql())
@@ -966,6 +968,124 @@ def _q_niemeyer_cover_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy('shape_id').agg(F.count('*').cast('long').alias('n_cells'))
             .orderBy('shape_id'))
 
+
+
+def _niemeyer_cover_duckdb() -> str:
+    """SQL replay of the Niemeyer circle-cover keep test (see
+    _q_niemeyer_cover_circle). Enumeration == BFS because a circle's cover
+    is connected; every float formula mirrors the kernel's operand order
+    (kernels/tiling_niemeyer._boxes_intersect_shape, geometry.intersect_matrix,
+    geodesy.haversine_distance) so verdicts agree bit-for-bit."""
+    return f"""
+WITH s AS (SELECT qid AS shape_id, q_lon AS clon, q_lat AS clat
+           FROM ({_pts_supplier_sql()}) p),
+ki AS (SELECT unnest(range(1, 37)) AS i),
+vk AS (
+  SELECT shape_id, clon, clat, 36 - i AS vidx,
+         radians(degrees(2.0e0*pi()/36.0e0*i)) AS brad,
+         100000.0e0/6371000.0e0 AS ang
+  FROM s, ki),
+v1 AS (
+  SELECT *, asin(sin(radians(clat))*cos(ang) + cos(radians(clat))*sin(ang)*cos(brad)) AS vlat_r
+  FROM vk),
+v2 AS (
+  SELECT shape_id, vidx, degrees(vlat_r) AS vlat,
+         degrees(radians(clon) + atan2(sin(brad)*sin(ang)*cos(radians(clat)),
+                 cos(ang) - sin(radians(clat))*sin(vlat_r))) AS vlon_raw
+  FROM v1),
+v AS (
+  SELECT shape_id, vidx, vlat,
+         CASE WHEN nlon = 180.0e0 THEN -180.0e0 ELSE nlon END AS vlon
+  FROM (SELECT shape_id, vidx, vlat,
+               CASE WHEN vlon_raw > 180.0e0 THEN vlon_raw - 360.0e0*ceil((vlon_raw - 180.0e0)/360.0e0)
+                    WHEN vlon_raw < -180.0e0 THEN vlon_raw + 360.0e0*ceil((-180.0e0 - vlon_raw)/360.0e0)
+                    ELSE vlon_raw END AS nlon
+        FROM v2)),
+eg AS (
+  SELECT a.shape_id, a.vlon AS ex0, a.vlat AS ey0, b.vlon AS ex1r, b.vlat AS ey1
+  FROM v a JOIN v b ON a.shape_id = b.shape_id AND b.vidx = (a.vidx + 1) % 36),
+egu AS (
+  SELECT shape_id, ex0, ey0, ey1,
+         CASE WHEN abs(ex0-ex1r) > 180.0e0 THEN
+                CASE WHEN ex0 < 0.0e0 THEN ex1r - 360.0e0 ELSE ex1r + 360.0e0 END
+              ELSE ex1r END AS ex1
+  FROM eg),
+egf AS (
+  SELECT shape_id,
+         CASE WHEN ex1 < ex0 THEN ex1 ELSE ex0 END AS ax0,
+         CASE WHEN ex1 < ex0 THEN ey1 ELSE ey0 END AS ay0,
+         CASE WHEN ex1 < ex0 THEN ex0 ELSE ex1 END AS ax1,
+         CASE WHEN ex1 < ex0 THEN ey0 ELSE ey1 END AS ay1
+  FROM egu),
+bb AS (
+  SELECT shape_id, min(vlon) AS mnx, max(vlon) AS mxx,
+         min(vlat) AS mny, max(vlat) AS mxy
+  FROM v GROUP BY shape_id),
+grid AS (
+  SELECT b.shape_id,
+         -180.0e0 + gi.i * 1.40625e0 AS bx0,
+         -90.0e0 + gj.j * 0.703125e0 AS by0,
+         -180.0e0 + (gi.i+1) * 1.40625e0 AS bx1,
+         -90.0e0 + (gj.j+1) * 0.703125e0 AS by1
+  FROM bb b
+  JOIN (SELECT unnest(range(0, 256)) AS i) gi
+    ON gi.i BETWEEN floor((b.mnx + 180.0e0)/1.40625e0) - 1
+                AND floor((b.mxx + 180.0e0)/1.40625e0) + 1
+  JOIN (SELECT unnest(range(0, 256)) AS j) gj
+    ON gj.j BETWEEN floor((b.mny + 90.0e0)/0.703125e0) - 1
+                AND floor((b.mxy + 90.0e0)/0.703125e0) + 1),
+bedge AS (
+  SELECT g.*, e.k,
+         CASE e.k WHEN 0 THEN bx0 WHEN 1 THEN bx0 WHEN 2 THEN bx1 ELSE bx1 END AS px0,
+         CASE e.k WHEN 0 THEN by1 WHEN 1 THEN by0 WHEN 2 THEN by0 ELSE by1 END AS py0,
+         CASE e.k WHEN 0 THEN bx0 WHEN 1 THEN bx1 WHEN 2 THEN bx1 ELSE bx0 END AS px1,
+         CASE e.k WHEN 0 THEN by0 WHEN 1 THEN by0 WHEN 2 THEN by1 ELSE by1 END AS py1
+  FROM grid g, (SELECT unnest(range(0, 4)) AS k) e),
+bedgef AS (
+  SELECT shape_id, bx0, by0, bx1, by1,
+         CASE WHEN px1 < px0 THEN px1 ELSE px0 END AS qx0,
+         CASE WHEN px1 < px0 THEN py1 ELSE py0 END AS qy0,
+         CASE WHEN px1 < px0 THEN px0 ELSE px1 END AS qx1,
+         CASE WHEN px1 < px0 THEN py0 ELSE py1 END AS qy1
+  FROM bedge),
+hits AS (
+  SELECT be.shape_id, be.bx0, be.by0, be.bx1, be.by1,
+         MAX(CASE WHEN
+           greatest(round(least(e.ax0, e.ax1), 10), round(least(be.qx0, be.qx1), 10))
+             <= least(round(greatest(e.ax0, e.ax1), 10), round(greatest(be.qx0, be.qx1), 10))
+           AND greatest(round(least(e.ay0, e.ay1), 10), round(least(be.qy0, be.qy1), 10))
+             <= least(round(greatest(e.ay0, e.ay1), 10), round(greatest(be.qy0, be.qy1), 10))
+           AND ((e.ax0 - e.ax1) * (be.qy0 - be.qy1) - (e.ay0 - e.ay1) * (be.qx0 - be.qx1)) <> 0.0e0
+           AND round((((e.ax0*e.ay1 - e.ay0*e.ax1) * (be.qx0 - be.qx1)) - ((e.ax0 - e.ax1) * (be.qx0*be.qy1 - be.qy0*be.qx1)))
+                 / ((e.ax0 - e.ax1) * (be.qy0 - be.qy1) - (e.ay0 - e.ay1) * (be.qx0 - be.qx1)), 10)
+               BETWEEN greatest(round(least(e.ax0, e.ax1), 10), round(least(be.qx0, be.qx1), 10))
+                   AND least(round(greatest(e.ax0, e.ax1), 10), round(greatest(be.qx0, be.qx1), 10))
+           AND round((((e.ax0*e.ay1 - e.ay0*e.ax1) * (be.qy0 - be.qy1)) - ((e.ay0 - e.ay1) * (be.qx0*be.qy1 - be.qy0*be.qx1)))
+                 / ((e.ax0 - e.ax1) * (be.qy0 - be.qy1) - (e.ay0 - e.ay1) * (be.qx0 - be.qx1)), 10)
+               BETWEEN greatest(round(least(e.ay0, e.ay1), 10), round(least(be.qy0, be.qy1), 10))
+                   AND least(round(greatest(e.ay0, e.ay1), 10), round(greatest(be.qy0, be.qy1), 10))
+         THEN 1 ELSE 0 END) AS any_hit
+  FROM bedgef be JOIN egf e ON e.shape_id = be.shape_id
+  GROUP BY 1, 2, 3, 4, 5),
+kept AS (
+  SELECT h.shape_id, h.bx0, h.by0,
+         CASE WHEN h.any_hit = 1 THEN 1
+              WHEN f.vlon BETWEEN h.bx0 AND h.bx1 AND f.vlat BETWEEN h.by0 AND h.by1 THEN 1
+              WHEN 6371000.0e0 * 2.0e0 * atan2(
+                     sqrt(pow(sin((radians(h.by1) - radians(s.clat))/2.0e0), 2)
+                          + cos(radians(s.clat)) * cos(radians(h.by1))
+                            * pow(sin((radians(h.bx0) - radians(s.clon))/2.0e0), 2)),
+                     sqrt(1.0e0 - (pow(sin((radians(h.by1) - radians(s.clat))/2.0e0), 2)
+                          + cos(radians(s.clat)) * cos(radians(h.by1))
+                            * pow(sin((radians(h.bx0) - radians(s.clon))/2.0e0), 2)))) <= 100000.0e0
+              THEN 1 ELSE 0 END AS keep
+  FROM hits h
+  JOIN (SELECT shape_id, vlon, vlat FROM v WHERE vidx = 0) f ON f.shape_id = h.shape_id
+  JOIN s ON s.shape_id = h.shape_id)
+SELECT CAST(shape_id AS BIGINT) AS shape_id,
+       CAST(SUM(keep) AS BIGINT) AS n_cells
+FROM kept GROUP BY shape_id ORDER BY shape_id
+"""
 
 
 def _q_h3_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1170,9 +1290,10 @@ def _q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection convex hull (collections.py:72-92; monotone chain,
     _geometry.py:40-79) per market segment over derived points — two-stage
     hierarchical hull (local shard hulls -> hull of hulls), so no group
-    ever loads all its rows into one task. Hull itself is not
-    SQL-expressible; the bbox columns are oracle-checked implicitly via
-    collection_bounds."""
+    ever loads all its rows into one task. Oracle: the hull-edge
+    characterization — a directed pair (a,b) is a strict-hull edge iff
+    every other point lies strictly left of a->b — counts hull vertices
+    without replaying the sequential chain in SQL."""
     from geostructures_spark.operators.hull import convex_hull_by_key
     _load(spark, sf_dir, 'customer')
     pts = spark.sql(_pts_customer_sql())
@@ -1182,6 +1303,40 @@ def _q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min('lon').alias('min_lon'),
                  F.max('lat').alias('max_lat'))
             .orderBy('seg'))
+
+
+# Strict-hull edge characterization: (a,b) is a directed hull edge iff all
+# other points are strictly left of a->b (the kernel's monotone chain pops
+# collinear points, so strict-left is the matching convention); hull vertex
+# count == directed edge count. The cross product uses the same
+# (bx-ax)*(cy-ay)-(by-ay)*(cx-ax) operand order as kernels/geometry.py
+# convex_hull, so degenerate-triple float signs agree between engines.
+_CONVEX_HULL_DUCK = """
+  WITH p AS (
+    SELECT DISTINCT c_mktsegment AS seg,
+           ((c_custkey * 7919) % 360000) / 1000.0e0 - 180.0e0 + 0.000123e0 AS lon,
+           ((c_custkey * 104729) % 170000) / 1000.0e0 - 85.0e0 + 0.000321e0 AS lat
+    FROM customer),
+  cand AS (
+    SELECT a.seg, a.lon AS ax, a.lat AS ay, b.lon AS bx, b.lat AS b_y
+    FROM p a JOIN p b ON a.seg = b.seg AND (a.lon <> b.lon OR a.lat <> b.lat)),
+  ed AS (
+    SELECT c0.seg, ax, ay, bx, b_y,
+           MIN(CASE WHEN (c.lon = ax AND c.lat = ay)
+                      OR (c.lon = bx AND c.lat = b_y) THEN 1e308
+                    ELSE (bx - ax) * (c.lat - ay) - (b_y - ay) * (c.lon - ax)
+               END) AS mincross
+    FROM cand c0 JOIN p c ON c.seg = c0.seg
+    GROUP BY 1, 2, 3, 4, 5)
+  SELECT e.seg,
+         CAST(COUNT(*) AS BIGINT) AS n_hull_vertices,
+         MIN(m.min_lon) AS min_lon,
+         MIN(m.max_lat) AS max_lat
+  FROM ed e JOIN (SELECT seg, MIN(lon) AS min_lon, MAX(lat) AS max_lat
+                  FROM p GROUP BY seg) m ON e.seg = m.seg
+  WHERE e.mincross > 0
+  GROUP BY e.seg ORDER BY e.seg
+"""
 
 
 def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2694,14 +2849,14 @@ def oracle_sql() -> dict[str, str]:
         'ivf_assign_counts': _IVF_DUCK,
         'embedding_neardup_pairs': _EMB_NEARDUP_DUCK,
         'streaming_events_windowed': _STREAMING_DUCK,
-        # niemeyer_cover_circle: BFS flood fill — not SQL-expressible
+        'niemeyer_cover_circle': _niemeyer_cover_duckdb(),
         # h3_cell_counts / h3_cover_circle: no H3 in DuckDB — kernel is
         # golden-verified against the h3 C library values in tests/
         'wkt_parse_roundtrip': _WKT_PARSE_DUCK,
         'geojson_parse': _GEOJSON_PARSE_DUCK,
         'shape_join_intersects': _shape_join_duckdb(),
         'filter_by_property': _FILTER_PROP_DUCK,
-        # convex_hull_by_segment: monotone chain — not SQL-expressible
+        'convex_hull_by_segment': _CONVEX_HULL_DUCK,
         'quality_score_buckets': _QUALITY_DUCK,
         'doc_fingerprints': _FINGERPRINT_DUCK,
         'ngram_jaccard_pairs': _JACCARD_DUCK,
