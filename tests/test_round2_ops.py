@@ -638,3 +638,49 @@ def test_token_counts_hand_values(spark):
     # doc 2 pieces: it | ' | s | 2024 | , | really | ?
     assert rows[2].n_bpe_tokens == 7
     assert rows[2].chars_per_token == pytest.approx(len("it's 2024, really?") / 7)
+
+
+# --- geopandas bridge (reference collections.py:236-311, 481-513) ---------
+
+def test_pandas_features_roundtrip(spark):
+    import pandas as pd
+    from geostructures_spark.operators.geopandas_io import (
+        from_pandas_features, to_pandas_features)
+
+    pdf = pd.DataFrame({
+        'geometry': ['POINT (1.5 2.5)',
+                     'POLYGON ((0 0, 1 0, 1 1, 0 0))'],
+        'name': ['a', None],
+        'score': [1.25, float('nan')],
+    })
+    shapes = from_pandas_features(spark, pdf)
+    rows = shapes.orderBy('kind').collect()
+    assert [r.kind for r in rows] == ['point', 'polygon']
+    # NaN/None properties dropped per row (reference NaN stripping)
+    pt = next(r for r in rows if r.kind == 'point')
+    poly = next(r for r in rows if r.kind == 'polygon')
+    assert pt.properties == {'name': 'a', 'score': '1.25'}
+    assert poly.properties == {}
+
+    back = to_pandas_features(shapes)
+    # the emitter prints float reprs, like the reference's to_wkt
+    assert sorted(back['geometry']) == [
+        'POINT (1.5 2.5)',
+        'POLYGON ((0.0 0.0, 1.0 0.0, 1.0 1.0, 0.0 0.0))']
+    assert 'name' in back.columns and 'score' in back.columns
+
+
+def test_geopandas_gated_import_raises(spark):
+    import pytest as _pytest
+    from geostructures_spark.operators.geopandas_io import to_geopandas
+    from geostructures_spark.operators.interchange import parse_wkt_df
+
+    df = spark.createDataFrame([('POINT (0 0)',)], 'wkt string')
+    shapes = parse_wkt_df(df)
+    try:
+        import geopandas  # noqa: F401
+        _pytest.skip('geopandas installed; gate not exercisable')
+    except ImportError:
+        pass
+    with _pytest.raises(ImportError, match='geopandas'):
+        to_geopandas(shapes)
