@@ -165,7 +165,16 @@ def _lambda_and_arcs(salp1, calp1, sb1, cb1, sb2, cb2, fast: bool = False):
 
     sig1 = np.arctan2(sb1, calp1 * cb1)
     # Clairaut at point 2 with the northward-crossing branch (calp2 >= 0).
-    calp2 = np.sqrt(np.maximum(0.0, cb2 * cb2 - sa0 * sa0)) / np.maximum(cb2, 1e-300)
+    # cb2^2 - sa0^2 cancels catastrophically when point 2 sits near the
+    # geodesic vertex (cb2 ~ |sa0|, e.g. near-equatorial east-west lines:
+    # the naive form made lambda12 non-deterministic at the 1e-5 level and
+    # broke inverse->direct closure). Expand via
+    #   cb2^2 - sa0^2 = (calp1 cb2)^2 + salp1^2 (sb1 - sb2)(sb1 + sb2),
+    # whose terms are BOTH non-negative in the canonical arrangement
+    # (|beta2| <= |beta1|) — no cancellation for any input.
+    calp2 = np.sqrt(np.maximum(0.0, (calp1 * cb2) ** 2 +
+                               (salp1 * salp1) * (sb1 - sb2) * (sb1 + sb2))
+                    ) / np.maximum(cb2, 1e-300)
     sig2 = np.arctan2(sb2, calp2 * cb2)
 
     omg1 = np.arctan2(sa0 * np.sin(sig1), np.cos(sig1))
@@ -174,7 +183,7 @@ def _lambda_and_arcs(salp1, calp1, sb1, cb1, sb2, cb2, fast: bool = False):
     return lam12, sig1, sig2, k2, sa0, ca0, calp2
 
 
-def karney_inverse(lon1, lat1, lon2, lat2, iters: int = 48):
+def karney_inverse(lon1, lat1, lon2, lat2, iters: int = 64):
     """Inverse geodesic problem on WGS84 (reference geodesic.py:292-305).
 
     Returns (s12_m, azi1_deg, azi2_deg) with azimuths in [0, 360). Solves the
@@ -255,8 +264,11 @@ def karney_inverse(lon1, lat1, lon2, lat2, iters: int = 48):
         # diverges) and — unlike secant-family solvers — immune to
         # lambda12's derivative spanning ~10 orders of magnitude between
         # the short-geodesic and antipodal regimes. Each iteration costs
-        # one fast-quadrature (8-node) lambda eval; 48 halvings of pi
-        # bracket alpha1 to ~1e-14 rad (distance error ~1e-7 m).
+        # one fast-quadrature (8-node) lambda eval; 64 halvings of pi
+        # saturate double granularity near alpha1 ~ pi/2 (the bisection
+        # stalls harmlessly once mid == lo or hi). 48 was NOT enough:
+        # for near-equatorial east-west lines d(lambda)/d(alpha1) reaches
+        # ~4e7, so a 1e-14 bracket left a ~4e-7 rad longitude residual.
         lo = np.full_like(lam_t, 1e-300)
         hi = np.full_like(lam_t, np.pi * (1.0 - 1e-16))
         for _ in range(iters):
