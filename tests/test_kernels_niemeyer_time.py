@@ -145,3 +145,40 @@ def test_interval_isdisjoint():
 
 def test_elapsed_seconds():
     assert float(t.elapsed_seconds(us(2024, 1, 1), us(2024, 1, 1, 1))) == 3600.0
+
+
+def test_enum_cover_equals_bfs_adversarial():
+    """The vectorized enumeration cover must equal the BFS flood fill on
+    the geometries where their domains differ most: near-pole and
+    antimeridian-straddling analytic kinds (the corner-in-shape test
+    reaches beyond the discretized vertices' bbox there) and sparse
+    linestrings."""
+    import numpy as np
+    from geostructures_spark.kernels import shapes as shp
+    from geostructures_spark.kernels.tiling_niemeyer import (
+        _bfs_cover, _enum_cover)
+
+    cases = [
+        ('circle', {'center_lon': -179.999877, 'center_lat': -84.999679,
+                    'radius': 500000.0}),
+        ('circle', {'center_lon': 10.0, 'center_lat': 89.0, 'radius': 500000.0}),
+        ('circle', {'center_lon': 0.0, 'center_lat': -89.9, 'radius': 300000.0}),
+        ('ellipse', {'center_lon': 179.5, 'center_lat': 82.0,
+                     'semi_major': 400000.0, 'semi_minor': 150000.0,
+                     'rotation': 30.0}),
+        ('ring', {'center_lon': -179.2, 'center_lat': -83.0,
+                  'inner_radius': 50000.0, 'outer_radius': 350000.0,
+                  'angle_min': 0.0, 'angle_max': 360.0}),
+    ]
+    for kind, params in cases:
+        s = shp.make_shape(kind, params)
+        o = shp.shape_linear_rings(s)[0]
+        seed = (float(o[0, 0]), float(o[0, 1]))
+        for length in (4, 5):
+            assert _enum_cover(s, *seed, length, 16) == \
+                _bfs_cover(s, *seed, length, 16), (kind, length)
+
+    ls = shp.make_shape('linestring', rings=[np.array(
+        [[-179.5, 85.0], [-175.0, 87.5], [-170.0, 84.0], [-160.0, 88.0]])])
+    seed = (-179.5, 85.0)
+    assert _enum_cover(ls, *seed, 4, 16) == _bfs_cover(ls, *seed, 4, 16)
