@@ -783,6 +783,58 @@ _TOKEN_COUNTS_DUCK = r"""
 """
 
 
+def _q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/noise scrubbing (webtext pipeline stage): deterministic synthetic
+    URLs/emails/IPs/digit-runs appended per doc, masked by
+    with_scrubbed_text; the oracle rebuilds the same augmented text and
+    replays the ordered regexp chain in RE2."""
+    from geostructures_spark.operators.textstats import with_scrubbed_text
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents').withColumn(
+        'text',
+        F.concat(F.col('text'), F.lit(' contact'), F.col('doc_id'),
+                 F.lit('@example.com see http://site'), F.col('doc_id'),
+                 F.lit('.com/page from '), F.lit('10.0.0.'),
+                 F.pmod(F.col('doc_id'), F.lit(255)), F.lit(' ref '),
+                 (F.col('doc_id') * 1000003 + 123456789).cast('string')))
+    return (with_scrubbed_text(docs)
+            .select(F.col('doc_id').cast('long').alias('doc_id'),
+                    F.col('n_url').cast('long').alias('n_url'),
+                    F.col('n_email').cast('long').alias('n_email'),
+                    F.col('n_ip').cast('long').alias('n_ip'),
+                    F.col('n_longnum').cast('long').alias('n_longnum'),
+                    F.md5('scrubbed').alias('scrub_hash'))
+            .orderBy('doc_id'))
+
+
+def _scrub_pii_duckdb() -> str:
+    from geostructures_spark.operators.textstats import SCRUB_PATTERNS
+    cur = 't0'
+    counts = []
+    steps = ['SELECT doc_id, text || \' contact\' || doc_id || '
+             "'@example.com see http://site' || doc_id || '.com/page from "
+             "10.0.0.' || (doc_id % 255) || ' ref ' || "
+             '(doc_id * 1000003 + 123456789) AS t0 FROM documents']
+    sql = f'WITH aug AS ({steps[0]})'
+    prev = 'aug'
+    for i, (name, pat, repl) in enumerate(SCRUB_PATTERNS):
+        pat_sql = pat.replace("'", "''")
+        nxt = f's{i}'
+        sql += (f", {nxt} AS (SELECT doc_id, "
+                f"len(regexp_extract_all({cur}, '{pat_sql}')) AS n_{name}, "
+                + ', '.join(f'n_{n}' for n, _, _ in SCRUB_PATTERNS[:i]) +
+                (', ' if i else '') +
+                f"regexp_replace({cur}, '{pat_sql}', '{repl}', 'g') AS t{i+1} "
+                f"FROM {prev})")
+        cur = f't{i+1}'
+        prev = nxt
+    names = ', '.join(f'CAST(n_{n} AS BIGINT) AS n_{n}'
+                      for n, _, _ in SCRUB_PATTERNS)
+    sql += (f" SELECT CAST(doc_id AS BIGINT) AS doc_id, {names}, "
+            f"md5({cur}) AS scrub_hash FROM {prev} ORDER BY doc_id")
+    return sql
+
+
 def _q_lang_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic agreement: marker-argmax prediction vs the
     table's lang column, counted per (lang, pred_lang)."""
@@ -2767,6 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'minhash_lsh_pairs': _q_minhash_pairs,
         'text_stats': _q_text_stats,
         'token_counts': _q_token_counts,
+        'scrub_pii': _q_scrub_pii,
         'lang_id_agreement': _q_lang_markers,
         'cosine_topk': _q_cosine_topk,
         'ivf_assign_counts': _q_ivf_counts,
@@ -2844,6 +2897,7 @@ def oracle_sql() -> dict[str, str]:
         'minhash_lsh_pairs': _MINHASH_DUCK,
         'text_stats': _TEXT_STATS_DUCK,
         'token_counts': _TOKEN_COUNTS_DUCK,
+        'scrub_pii': _scrub_pii_duckdb(),
         'lang_id_agreement': _lang_markers_duckdb(),
         'cosine_topk': _COSINE_DUCK,
         'ivf_assign_counts': _IVF_DUCK,

@@ -12,7 +12,7 @@ from geostructures_spark.operators.dedup import tokens_expr
 
 __all__ = ['with_text_stats', 'with_quality_score', 'lang_id_scores',
            'fingerprint_expr', 'with_fingerprint', 'BPE_TOKEN_PATTERN',
-           'with_token_counts']
+           'with_token_counts', 'SCRUB_PATTERNS', 'with_scrubbed_text']
 
 # GPT-2-style pretokenizer reduced to lookahead-free alternatives so the
 # same pattern runs identically under Java regex (Spark) and RE2 (DuckDB):
@@ -63,6 +63,32 @@ def with_token_counts(docs: DataFrame, text_col: str = 'text') -> DataFrame:
             .withColumn('n_bpe_tokens', n_bpe)
             .withColumn('chars_per_token',
                         F.length(F.col(text_col)) / F.greatest(n_bpe, F.lit(1))))
+
+
+# PII/noise scrubbing for webtext training corpora. Patterns are ordered
+# (URLs first so emails/IPs inside them are not double-counted) and
+# lookahead/backref-free so Java regex (Spark) and RE2 (DuckDB) agree.
+SCRUB_PATTERNS = [
+    ('url', r"https?://[^\s]+", '<URL>'),
+    ('email', r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", '<EMAIL>'),
+    ('ip', r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", '<IP>'),
+    ('longnum', r"\d{6,}", '<NUM>'),
+]
+
+
+def with_scrubbed_text(docs: DataFrame, text_col: str = 'text',
+                       out_col: str = 'scrubbed') -> DataFrame:
+    """Masks URLs, emails, IPv4s, and long digit runs with placeholder
+    tokens, adding an ``n_<category>`` count per pattern (counted on the
+    progressively-scrubbed text, so a match inside an earlier category is
+    not double-counted). Pure JVM regexp expressions — whole-stage codegen,
+    no Python."""
+    cur = F.col(text_col)
+    d = docs
+    for name, pat, repl in SCRUB_PATTERNS:
+        d = d.withColumn(f'n_{name}', F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, repl)
+    return d.withColumn(out_col, cur)
 
 
 def with_quality_score(docs: DataFrame, text_col: str = 'text') -> DataFrame:

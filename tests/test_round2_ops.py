@@ -684,3 +684,23 @@ def test_geopandas_gated_import_raises(spark):
         pass
     with _pytest.raises(ImportError, match='geopandas'):
         to_geopandas(shapes)
+
+
+def test_scrubbed_text_hand_values(spark):
+    from geostructures_spark.operators.textstats import with_scrubbed_text
+
+    df = spark.createDataFrame(
+        [(0, 'mail a@b.io or visit https://x.io/a?b=1 from 192.168.0.1 id 1234567'),
+         (1, 'clean words only'),
+         (2, 'http://a.io/u@v.com trailing')],  # email inside URL not double-counted
+        'doc_id long, text string')
+    rows = {r.doc_id: r for r in with_scrubbed_text(df).collect()}
+    r0 = rows[0]
+    assert (r0.n_url, r0.n_email, r0.n_ip, r0.n_longnum) == (1, 1, 1, 1)
+    assert r0.scrubbed == 'mail <EMAIL> or visit <URL> from <IP> id <NUM>'
+    r1 = rows[1]
+    assert (r1.n_url, r1.n_email, r1.n_ip, r1.n_longnum) == (0, 0, 0, 0)
+    assert r1.scrubbed == 'clean words only'
+    r2 = rows[2]
+    assert (r2.n_url, r2.n_email) == (1, 0)
+    assert r2.scrubbed == '<URL> trailing'
