@@ -2355,6 +2355,75 @@ def _circle_discretize_duckdb() -> str:
     """
 
 
+def _q_ellipse_discretize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoEllipse.bounding_coords discretization (structures.py:1023-1038):
+    k = ceil(36*a/b) vertices at parametric radius a*b/sqrt(a^2 sin^2 +
+    b^2 cos^2), bearings offset by the rotation; the oracle recomputes two
+    sampled vertices with the same formula chain in SQL."""
+    from geostructures_spark.operators.derive import with_bounding_coords
+    _load(spark, sf_dir, 'supplier')
+    sup = spark.sql(_pts_supplier_sql())
+    shapes = sup.select(
+        F.col('qid').cast('long').alias('shape_id'),
+        F.lit('ellipse').alias('kind'),
+        F.struct(F.col('q_lon').alias('center_lon'),
+                 F.col('q_lat').alias('center_lat'),
+                 (F.lit(40000.0) + F.pmod('qid', F.lit(11)) * 5000.0).alias('semi_major'),
+                 ((F.lit(40000.0) + F.pmod('qid', F.lit(11)) * 5000.0) / 2.0).alias('semi_minor'),
+                 (F.pmod(F.col('qid'), F.lit(7)) * 20.0).alias('rotation')).alias('params'),
+        F.lit(None).cast('array<array<struct<lon:double,lat:double>>>').alias('rings'))
+    d = with_bounding_coords(shapes)
+    ring = F.element_at('rings', 1)
+    return (d.select(
+        F.col('shape_id').cast('long').alias('shape_id'),
+        F.size(ring).cast('int').alias('n_verts'),
+        F.round(F.element_at(ring, 1).getField('lon'), 6).alias('v1_lon'),
+        F.round(F.element_at(ring, 1).getField('lat'), 6).alias('v1_lat'),
+        F.round(F.element_at(ring, 25).getField('lon'), 6).alias('v25_lon'),
+        F.round(F.element_at(ring, 25).getField('lat'), 6).alias('v25_lat'))
+        .orderBy('shape_id'))
+
+
+def _ellipse_discretize_duckdb() -> str:
+    # ring position p (1-based) corresponds to kernel index i = k+1-p with
+    # k = 72 (a/b = 2 exactly): angle = 2*pi/72*i (radians, used raw in the
+    # radius formula), bearing = radians(degrees(angle + radians(rot)))
+    # round-tripped like the kernel, destination via haversine formulas
+    def vertex(p: int, name: str) -> str:
+        i = 73 - p
+        ang = f'(2.0e0 * pi() / 72.0e0 * {i}.0e0)'
+        rad = (f'(a * b / sqrt(a*a * sin({ang})*sin({ang}) + '
+               f'b*b * cos({ang})*cos({ang})))')
+        brg = f'radians(degrees({ang} + radians(rot)))'
+        aa = f'({rad} / 6371000.0e0)'
+        lat2 = (f'asin(sin(radians(lat)) * cos({aa}) + '
+                f'cos(radians(lat)) * sin({aa}) * cos({brg}))')
+        lon2 = (f'degrees(radians(lon) + atan2(sin({brg}) * sin({aa}) * '
+                f'cos(radians(lat)), cos({aa}) - sin(radians(lat)) * '
+                f'sin({name}_lat2)))')
+        norm = (f'(CASE WHEN {lon2} >= 180.0e0 THEN {lon2} - 360.0e0 '
+                f'WHEN {lon2} < -180.0e0 THEN {lon2} + 360.0e0 '
+                f'ELSE {lon2} END)')
+        return (f'{name}_lat2', lat2,
+                f'ROUND(degrees({name}_lat2), 6) AS {name}_lat, '
+                f'ROUND({norm}, 6) AS {name}_lon')
+
+    v1 = vertex(1, 'v1')
+    v25 = vertex(25, 'v25')
+    return f"""
+      WITH s AS (
+        SELECT qid AS shape_id, q_lon AS lon, q_lat AS lat,
+               (40000.0e0 + (qid % 11) * 5000.0e0) AS a,
+               (40000.0e0 + (qid % 11) * 5000.0e0) / 2.0e0 AS b,
+               (qid % 7) * 20.0e0 AS rot
+        FROM ({_pts_supplier_sql()}) p),
+      t AS (SELECT *, {v1[1]} AS {v1[0]}, {v25[1]} AS {v25[0]} FROM s)
+      SELECT CAST(shape_id AS BIGINT) AS shape_id, 73 AS n_verts,
+             {v1[2]}, {v25[2]}
+      FROM t ORDER BY shape_id
+    """
+
+
 def _q_kml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KML interchange (reference parsers.py:228-351, from-scratch stdlib
     XML): constructed point Placemarks serialize (to_kml_df) and reparse
@@ -2862,6 +2931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_sessionize': _q_streaming_sessions,
         'rotate_coordinates': _q_rotate,
         'circle_bounding_coords': _q_circle_discretize,
+        'ellipse_bounding_coords': _q_ellipse_discretize,
         'kml_parse_roundtrip': _q_kml_roundtrip,
         'utm_project': _q_utm_project,
         'mgrs_encode_strings': _q_mgrs_encode,
@@ -2939,6 +3009,7 @@ def oracle_sql() -> dict[str, str]:
         'streaming_sessionize': _SESSIONS_DUCK,
         'rotate_coordinates': _ROTATE_DUCK,
         'circle_bounding_coords': _circle_discretize_duckdb(),
+        'ellipse_bounding_coords': _ellipse_discretize_duckdb(),
         'kml_parse_roundtrip': _KML_ROUNDTRIP_DUCK,
         'utm_project': _utm_project_duckdb(),
         'mgrs_encode_strings': _mgrs_encode_duckdb(),

@@ -168,7 +168,9 @@ def _enum_cover(shape: Dict, seed_lon: float, seed_lat: float,
              'ring': p.get('outer_radius')}.get(shape['kind'])
     if reach is not None:
         from geostructures_spark.kernels.geodesy import EARTH_RADIUS_METERS
-        ang = math.degrees(reach / EARTH_RADIUS_METERS)
+        # params may carry decimal.Decimal when built from SQL decimal
+        # literals (Spark parses bare `200000.0` as DECIMAL)
+        ang = math.degrees(float(reach) / EARTH_RADIUS_METERS)
         clon, clat = float(p['center_lon']), float(p['center_lat'])
         lat_lo = min(lat_lo, clat - ang)
         lat_hi = max(lat_hi, clat + ang)
