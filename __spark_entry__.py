@@ -2424,6 +2424,75 @@ def _ellipse_discretize_duckdb() -> str:
     """
 
 
+def _q_ring_wedge_discretize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoRing wedge discretization (structures.py:1265-1297 _draw_bounds +
+    1346-1361 linear_rings): k = max(ceil(span/10), 10) angle steps, outer
+    arc then reversed inner arc, self-closed. 120-degree wedges -> k = 12,
+    27-vertex rings; the oracle recomputes an outer and an inner vertex."""
+    from geostructures_spark.operators.derive import with_bounding_coords
+    _load(spark, sf_dir, 'supplier')
+    sup = spark.sql(_pts_supplier_sql())
+    amin = F.pmod(F.col('qid'), F.lit(5)) * 30.0
+    shapes = sup.select(
+        F.col('qid').cast('long').alias('shape_id'),
+        F.lit('ring').alias('kind'),
+        F.struct(F.col('q_lon').alias('center_lon'),
+                 F.col('q_lat').alias('center_lat'),
+                 (F.lit(30000.0) + F.pmod('qid', F.lit(7)) * 4000.0).alias('inner_radius'),
+                 (F.lit(60000.0) + F.pmod('qid', F.lit(7)) * 8000.0).alias('outer_radius'),
+                 amin.alias('angle_min'),
+                 (amin + 120.0).alias('angle_max')).alias('params'),
+        F.lit(None).cast('array<array<struct<lon:double,lat:double>>>').alias('rings'))
+    d = with_bounding_coords(shapes)
+    ring = F.element_at('rings', 1)
+    return (d.select(
+        F.col('shape_id').cast('long').alias('shape_id'),
+        F.size(ring).cast('int').alias('n_verts'),
+        F.round(F.element_at(ring, 1).getField('lon'), 6).alias('v1_lon'),
+        F.round(F.element_at(ring, 1).getField('lat'), 6).alias('v1_lat'),
+        F.round(F.element_at(ring, 20).getField('lon'), 6).alias('v20_lon'),
+        F.round(F.element_at(ring, 20).getField('lat'), 6).alias('v20_lat'))
+        .orderBy('shape_id'))
+
+
+def _ring_wedge_discretize_duckdb() -> str:
+    # ring position 1 = outer radius at angle_max (i=k); position 20 =
+    # inner radius at angle_min + span*6/12 (reversed inner arc, m=6);
+    # angle in radians pi*(amin + span/k*i)/180, bearing =
+    # radians(degrees(angle)) round-tripped like the kernel
+    def vertex(angle_expr: str, rad_col: str, name: str) -> str:
+        ang = angle_expr
+        brg = f'radians(degrees({ang}))'
+        aa = f'({rad_col} / 6371000.0e0)'
+        lat2 = (f'asin(sin(radians(lat)) * cos({aa}) + '
+                f'cos(radians(lat)) * sin({aa}) * cos({brg}))')
+        lon2 = (f'degrees(radians(lon) + atan2(sin({brg}) * sin({aa}) * '
+                f'cos(radians(lat)), cos({aa}) - sin(radians(lat)) * '
+                f'sin({name}_lat2)))')
+        norm = (f'(CASE WHEN {lon2} >= 180.0e0 THEN {lon2} - 360.0e0 '
+                f'WHEN {lon2} < -180.0e0 THEN {lon2} + 360.0e0 '
+                f'ELSE {lon2} END)')
+        return (f'{name}_lat2', lat2,
+                f'ROUND(degrees({name}_lat2), 6) AS {name}_lat, '
+                f'ROUND({norm}, 6) AS {name}_lon')
+
+    v1 = vertex('(pi() * (amin + 120.0e0) / 180.0e0)', 'r_out', 'v1')
+    v20 = vertex('(pi() * (amin + 120.0e0 * 6.0e0 / 12.0e0) / 180.0e0)',
+                 'r_in', 'v20')
+    return f"""
+      WITH s AS (
+        SELECT qid AS shape_id, q_lon AS lon, q_lat AS lat,
+               (30000.0e0 + (qid % 7) * 4000.0e0) AS r_in,
+               (60000.0e0 + (qid % 7) * 8000.0e0) AS r_out,
+               (qid % 5) * 30.0e0 AS amin
+        FROM ({_pts_supplier_sql()}) p),
+      t AS (SELECT *, {v1[1]} AS {v1[0]}, {v20[1]} AS {v20[0]} FROM s)
+      SELECT CAST(shape_id AS BIGINT) AS shape_id, 27 AS n_verts,
+             {v1[2]}, {v20[2]}
+      FROM t ORDER BY shape_id
+    """
+
+
 def _q_kml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KML interchange (reference parsers.py:228-351, from-scratch stdlib
     XML): constructed point Placemarks serialize (to_kml_df) and reparse
@@ -2932,6 +3001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'rotate_coordinates': _q_rotate,
         'circle_bounding_coords': _q_circle_discretize,
         'ellipse_bounding_coords': _q_ellipse_discretize,
+        'ring_wedge_coords': _q_ring_wedge_discretize,
         'kml_parse_roundtrip': _q_kml_roundtrip,
         'utm_project': _q_utm_project,
         'mgrs_encode_strings': _q_mgrs_encode,
@@ -3010,6 +3080,7 @@ def oracle_sql() -> dict[str, str]:
         'rotate_coordinates': _ROTATE_DUCK,
         'circle_bounding_coords': _circle_discretize_duckdb(),
         'ellipse_bounding_coords': _ellipse_discretize_duckdb(),
+        'ring_wedge_coords': _ring_wedge_discretize_duckdb(),
         'kml_parse_roundtrip': _KML_ROUNDTRIP_DUCK,
         'utm_project': _utm_project_duckdb(),
         'mgrs_encode_strings': _mgrs_encode_duckdb(),
