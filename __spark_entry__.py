@@ -2493,6 +2493,72 @@ def _ring_wedge_discretize_duckdb() -> str:
     """
 
 
+def _q_polygon_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon signed-area centroid (reference structures.py:320-338:
+    triangle-fan shoelace weighting) over deterministic quadrilaterals; the
+    oracle replays the cross-product formula edge-by-edge in SQL. Bounds
+    come along from the same derived-column pass (min/max fold)."""
+    from geostructures_spark.operators.derive import with_shape_derived
+    _load(spark, sf_dir, 'supplier')
+    sup = spark.sql(_pts_supplier_sql()).filter(F.col('q_lat') < 80.0)
+
+    def v(dx, dy):
+        return F.struct((F.col('q_lon') + dx).alias('lon'),
+                        (F.col('q_lat') + dy).alias('lat'))
+
+    a = F.pmod(F.col('qid'), F.lit(5)) * 0.1
+    b = F.pmod(F.col('qid'), F.lit(3)) * 0.2
+    shapes = sup.select(
+        F.col('qid').cast('long').alias('shape_id'),
+        F.lit('polygon').alias('kind'),
+        F.lit(None).cast(
+            'struct<center_lon:double,center_lat:double,radius:double>').alias('params'),
+        F.array(F.array(v(F.lit(0.0), F.lit(0.0)),
+                        v(F.lit(2.0) + a, F.lit(0.3)),
+                        v(F.lit(1.8), F.lit(2.0) + b),
+                        v(F.lit(-0.2), F.lit(1.5)),
+                        v(F.lit(0.0), F.lit(0.0)))).alias('rings'))
+    d = with_shape_derived(shapes)
+    return (d.select(
+        F.col('shape_id').cast('long').alias('shape_id'),
+        F.round('centroid_lon', 6).alias('c_lon'),
+        F.round('centroid_lat', 6).alias('c_lat'),
+        F.round('min_lon', 6).alias('min_lon'),
+        F.round('max_lat', 6).alias('max_lat'))
+        .orderBy('shape_id'))
+
+
+def _polygon_centroid_duckdb() -> str:
+    # vertices: (0,0), (2+a, .3), (1.8, 2+b), (-.2, 1.5) relative to center
+    pts = [('lon', 'lat'),
+           ('lon + 2.0e0 + a', 'lat + 0.3e0'),
+           ('lon + 1.8e0', 'lat + 2.0e0 + b'),
+           ('lon - 0.2e0', 'lat + 1.5e0')]
+    cross = []
+    cx_terms = []
+    cy_terms = []
+    for i in range(4):
+        x0, y0 = pts[i]
+        x1, y1 = pts[(i + 1) % 4]
+        c = f'(({x0}) * ({y1}) - ({x1}) * ({y0}))'
+        cross.append(c)
+        cx_terms.append(f'((({x0}) + ({x1})) * {c})')
+        cy_terms.append(f'((({y0}) + ({y1})) * {c})')
+    area6 = '(' + ' + '.join(cross) + ') * 3.0e0'
+    return f"""
+      WITH s AS (
+        SELECT qid AS shape_id, q_lon AS lon, q_lat AS lat,
+               (qid % 5) * 0.1e0 AS a, (qid % 3) * 0.2e0 AS b
+        FROM ({_pts_supplier_sql()}) p WHERE q_lat < 80.0e0)
+      SELECT CAST(shape_id AS BIGINT) AS shape_id,
+             ROUND(({' + '.join(cx_terms)}) / ({area6}), 6) AS c_lon,
+             ROUND(({' + '.join(cy_terms)}) / ({area6}), 6) AS c_lat,
+             ROUND(least(lon, lon + 2.0e0 + a, lon + 1.8e0, lon - 0.2e0), 6) AS min_lon,
+             ROUND(greatest(lat, lat + 0.3e0, lat + 2.0e0 + b, lat + 1.5e0), 6) AS max_lat
+      FROM s ORDER BY shape_id
+    """
+
+
 def _q_kml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KML interchange (reference parsers.py:228-351, from-scratch stdlib
     XML): constructed point Placemarks serialize (to_kml_df) and reparse
@@ -3002,6 +3068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'circle_bounding_coords': _q_circle_discretize,
         'ellipse_bounding_coords': _q_ellipse_discretize,
         'ring_wedge_coords': _q_ring_wedge_discretize,
+        'polygon_centroid': _q_polygon_centroid,
         'kml_parse_roundtrip': _q_kml_roundtrip,
         'utm_project': _q_utm_project,
         'mgrs_encode_strings': _q_mgrs_encode,
@@ -3081,6 +3148,7 @@ def oracle_sql() -> dict[str, str]:
         'circle_bounding_coords': _circle_discretize_duckdb(),
         'ellipse_bounding_coords': _ellipse_discretize_duckdb(),
         'ring_wedge_coords': _ring_wedge_discretize_duckdb(),
+        'polygon_centroid': _polygon_centroid_duckdb(),
         'kml_parse_roundtrip': _KML_ROUNDTRIP_DUCK,
         'utm_project': _utm_project_duckdb(),
         'mgrs_encode_strings': _mgrs_encode_duckdb(),
