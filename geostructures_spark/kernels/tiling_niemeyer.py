@@ -3,7 +3,11 @@
 Reimplements NiemeyerHasher's shape covering
 (``/root/reference/geostructures/geohash.py:592-764``): BFS flood fill from
 a seed cell, expanding through the 8-neighborhood and keeping cells whose
-GeoBox intersects the shape.
+GeoBox intersects the shape. The default execution path is the equivalent
+single-batch bbox enumeration (``_enum_cover``): for connected shapes the
+kept-cell set is 8-connected, so one vectorized keep-test sweep returns
+exactly the BFS result at a fraction of the per-level Python overhead; the
+BFS remains as the oversized-grid fallback and the equivalence witness.
 
 At engine scale this runs per-shape inside ``applyInPandas`` — one shape's
 cover is small and bounded, the distributed dimension is the number of
