@@ -1796,8 +1796,10 @@ _ELLIPSE_COV_DUCK = f"""
 
 def _q_wkt_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """to_wkt -> parse_wkt round trip (serializers, structures.py:217-233):
-    constructed triangles serialize and reparse to bit-identical doubles
-    (repr float round trip)."""
+    constructed triangles serialize and reparse. The emitter matches the
+    reference's Coordinate.to_str (12 fixed decimals, trailing zeros
+    trimmed), so compared values are rounded to 9dp — exact at that
+    precision, byte-parity with the reference over bit-exact repr."""
     from geostructures_spark.operators.interchange import parse_wkt_df, to_wkt_df
     _load(spark, sf_dir, 'customer')
     pts = spark.sql(_pts_customer_sql()).filter(F.col('pid') <= 400)
@@ -1816,8 +1818,8 @@ def _q_wkt_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         'pid', 'kind',
         F.size('rings').cast('int').alias('n_rings'),
         F.size(r0).cast('int').alias('n_verts'),
-        F.element_at(r0, 2).getField('lon').alias('v2_lon'),
-        F.element_at(r0, 3).getField('lat').alias('v3_lat'))
+        F.round(F.element_at(r0, 2).getField('lon'), 9).alias('v2_lon'),
+        F.round(F.element_at(r0, 3).getField('lat'), 9).alias('v3_lat'))
         .orderBy('pid'))
 
 
@@ -1825,7 +1827,7 @@ _WKT_SERIALIZE_DUCK = f"""
   WITH pts AS ({_pts_customer_sql()})
   SELECT CAST(pid AS BIGINT) AS pid, 'polygon' AS kind,
          1 AS n_rings, 4 AS n_verts,
-         lon + 0.01e0 AS v2_lon, lat + 0.01e0 AS v3_lat
+         ROUND(lon + 0.01e0, 9) AS v2_lon, ROUND(lat + 0.01e0, 9) AS v3_lat
   FROM pts WHERE pid <= 400 ORDER BY pid
 """
 

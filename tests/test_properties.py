@@ -41,8 +41,12 @@ def test_wkt_linestring_roundtrip(pts):
     row = wkt_to_shape_row(shape_row_to_wkt('linestring', [ring]))
     assert row['kind'] == 'linestring'
     got = row['rings'][0]
-    assert all(g['lon'] == c['lon'] and g['lat'] == c['lat']
-               for g, c in zip(got, ring))  # repr floats round-trip
+    # the emitter matches the reference's Coordinate.to_str (12 fixed
+    # decimals, trailing zeros trimmed) — byte parity over exact repr, so
+    # round trips are exact to the 12th decimal, not bit-exact
+    assert all(abs(g['lon'] - c['lon']) < 1e-12
+               and abs(g['lat'] - c['lat']) < 1e-12
+               for g, c in zip(got, ring))
 
 
 @settings(max_examples=30, deadline=None)
