@@ -8,8 +8,10 @@ binary format directly:
 - ``.shp``: 100-byte header (file code 9994 BE, version 1000 LE, shape
   type, bbox) + records of (record# BE, content-length BE in 16-bit words,
   shape type LE, geometry). Types covered: 1 Point, 3 PolyLine, 5 Polygon,
-  8 MultiPoint (the reference's writable kinds; Z/M variants parse with
-  their Z/M payload ignored, matching the engine's 2-D canonical rows).
+  8 MultiPoint, plus their Z (11/13/15/18) and M (21/23/25/28) variants —
+  Z/M payloads are preserved in the ``zm`` side channel (per-coord [z, m],
+  -1e38 no-data sentinel respected) and re-emitted on write; the geometry
+  rows stay 2-D like the reference's geometric operations.
 - ``.shx``: same header + (offset, content length) per record.
 - ``.dbf``: dBase III — version byte 0x03, record counts/sizes, 32-byte
   field descriptors ('C' text / 'N' numeric), fixed-width records.
@@ -39,28 +41,122 @@ _KIND_TO_TYPE = {'point': 1, 'linestring': 3, 'polygon': 5, 'multipoint': 8,
 _Z_OFFSET = {11: 1, 13: 3, 15: 5, 18: 8, 21: 1, 23: 3, 25: 5, 28: 8}
 
 
-def _shape_record(kind: str, rings: List[List[Tuple[float, float]]]) -> bytes:
-    stype = _KIND_TO_TYPE[kind]
-    if stype == 1:
+_M_NODATA = -1e40  # ESRI spec: measures below -1e38 mean "no data"
+
+# Z and M variants of each base type (ESRI spec table: 11/13/15/18 carry Z
+# [+ optional M arrays]; 21/23/25/28 carry M arrays)
+_Z_TYPE = {1: 11, 3: 13, 5: 15, 8: 18}
+_M_TYPE = {1: 21, 3: 23, 5: 25, 8: 28}
+
+
+def _flatten_zm(rings, zm):
+    """Per-coord (z, m) aligned with the flattened point order; (None, None)
+    when absent."""
+    out = []
+    for ri, ring in enumerate(rings):
+        for ci in range(len(ring)):
+            pair = None
+            if zm is not None:
+                try:
+                    pair = zm[ri][ci]
+                except (IndexError, TypeError):
+                    pair = None
+            z = pair[0] if pair and len(pair) > 0 else None
+            m = pair[1] if pair and len(pair) > 1 else None
+            z = None if z is None or z != z else float(z)
+            m = None if m is None or m != m else float(m)
+            out.append((z, m))
+    return out
+
+
+def _range_arr(vals, nodata):
+    """(min, max, packed array) with nodata fill for absent values."""
+    filled = [nodata if v is None else v for v in vals]
+    present = [v for v in vals if v is not None]
+    lo = min(present) if present else 0.0
+    hi = max(present) if present else 0.0
+    return struct.pack('<2d', lo, hi) + b''.join(
+        struct.pack('<d', v) for v in filled)
+
+
+def _shape_record(kind: str, rings: List[List[Tuple[float, float]]],
+                  zm=None) -> bytes:
+    base = _KIND_TO_TYPE[kind]
+    flat_zm = _flatten_zm(rings, zm)
+    has_z = any(z is not None for z, _ in flat_zm)
+    has_m = any(m is not None for _, m in flat_zm)
+    stype = _Z_TYPE[base] if has_z else (_M_TYPE[base] if has_m else base)
+
+    if base == 1:
         x, y = rings[0][0]
+        z, m = flat_zm[0]
+        if has_z:
+            out = struct.pack('<iddd', stype, x, y, z if z is not None else 0.0)
+            if has_m:
+                out += struct.pack('<d', m if m is not None else _M_NODATA)
+            return out
+        if has_m:
+            return struct.pack('<iddd', stype, x, y, m)
         return struct.pack('<idd', 1, x, y)
+
     pts = [p for ring in rings for p in ring]
     xs = [p[0] for p in pts]
     ys = [p[1] for p in pts]
     bbox = struct.pack('<4d', min(xs), min(ys), max(xs), max(ys))
-    if stype == 8:
+    if base == 8:
         body = struct.pack('<i', len(pts)) + b''.join(
             struct.pack('<2d', x, y) for x, y in pts)
-        return struct.pack('<i', 8) + bbox + body
-    # PolyLine / Polygon: parts are ring start offsets
-    offsets, off = [], 0
+    else:
+        # PolyLine / Polygon: parts are ring start offsets
+        offsets, off = [], 0
+        for ring in rings:
+            offsets.append(off)
+            off += len(ring)
+        body = struct.pack('<2i', len(rings), len(pts))
+        body += b''.join(struct.pack('<i', o) for o in offsets)
+        body += b''.join(struct.pack('<2d', x, y) for x, y in pts)
+    out = struct.pack('<i', stype) + bbox + body
+    if has_z:
+        out += _range_arr([z for z, _ in flat_zm], 0.0)
+    if has_m:
+        out += _range_arr([m for _, m in flat_zm], _M_NODATA)
+    return out
+
+
+def _read_zm_arrays(content: bytes, pos: int, n: int, stype: int):
+    """Optional Z then M blocks (range + n values each) from ``pos``.
+    Returns (z_list_or_None, m_list_or_None); measures below -1e38 are the
+    spec's no-data sentinel -> None."""
+    has_z_type = stype in (11, 13, 15, 18)
+    has_m_type = stype in (21, 23, 25, 28)
+    blk = 16 + 8 * n
+    zs = ms = None
+    if has_z_type and pos + blk <= len(content):
+        zs = list(struct.unpack_from(f'<{n}d', content, pos + 16))
+        pos += blk
+    if (has_z_type or has_m_type) and pos + blk <= len(content):
+        raw = struct.unpack_from(f'<{n}d', content, pos + 16)
+        ms = [None if v < -1e38 else v for v in raw]
+    return zs, ms
+
+
+def _attach_zm(row, rings, zs, ms):
+    """Align flat z/m arrays back to ring nesting; only attach when any
+    value is present."""
+    if zs is None and (ms is None or all(m is None for m in ms)):
+        return row
+    zm = []
+    i = 0
     for ring in rings:
-        offsets.append(off)
-        off += len(ring)
-    body = struct.pack('<2i', len(rings), len(pts))
-    body += b''.join(struct.pack('<i', o) for o in offsets)
-    body += b''.join(struct.pack('<2d', x, y) for x, y in pts)
-    return struct.pack('<i', stype) + bbox + body
+        r = []
+        for _ in ring:
+            z = zs[i] if zs is not None else None
+            m = ms[i] if ms is not None else None
+            r.append([z, m])
+            i += 1
+        zm.append(r)
+    row['zm'] = zm
+    return row
 
 
 def _parse_record(content: bytes):
@@ -70,11 +166,25 @@ def _parse_record(content: bytes):
         return None
     if base == 1:
         x, y = struct.unpack_from('<2d', content, 4)
-        return {'kind': 'point', 'rings': [[(x, y)]]}
+        row = {'kind': 'point', 'rings': [[(x, y)]]}
+        if stype == 11:  # PointZ: z [+ optional m]
+            (z,) = struct.unpack_from('<d', content, 20)
+            m = None
+            if len(content) >= 36:
+                (m,) = struct.unpack_from('<d', content, 28)
+                m = None if m < -1e38 else m
+            row['zm'] = [[[z, m]]]
+        elif stype == 21:  # PointM
+            (m,) = struct.unpack_from('<d', content, 20)
+            if m >= -1e38:
+                row['zm'] = [[[None, m]]]
+        return row
     if base == 8:
         (n,) = struct.unpack_from('<i', content, 36)
         pts = list(struct.iter_unpack('<2d', content[40:40 + 16 * n]))
-        return {'kind': 'multipoint', 'rings': [[p] for p in pts]}
+        rings = [[p] for p in pts]
+        zs, ms = _read_zm_arrays(content, 40 + 16 * n, n, stype)
+        return _attach_zm({'kind': 'multipoint', 'rings': rings}, rings, zs, ms)
     if base in (3, 5):
         n_parts, n_pts = struct.unpack_from('<2i', content, 36)
         offs = list(struct.unpack_from(f'<{n_parts}i', content, 44))
@@ -87,20 +197,24 @@ def _parse_record(content: bytes):
             kind = 'linestring' if n_parts == 1 else 'multilinestring'
         else:
             kind = 'polygon'
-        return {'kind': kind, 'rings': rings}
+        zs, ms = _read_zm_arrays(content, pt_base + 16 * n_pts, n_pts, stype)
+        return _attach_zm({'kind': kind, 'rings': rings}, rings, zs, ms)
     raise ValueError(f'unsupported shape type: {stype}')
 
 
 def _write_shp_shx(shapes: List[Dict]) -> Tuple[bytes, bytes]:
     records = []
+    header_stype = 0
     for i, s in enumerate(shapes):
-        content = _shape_record(s['kind'], s['rings'])
+        content = _shape_record(s['kind'], s['rings'], s.get('zm'))
+        if i == 0:
+            (header_stype,) = struct.unpack_from('<i', content, 0)
         records.append(struct.pack('>2i', i + 1, len(content) // 2) + content)
     all_pts = [p for s in shapes for ring in s['rings'] for p in ring]
     xs = [p[0] for p in all_pts] or [0.0]
     ys = [p[1] for p in all_pts] or [0.0]
     total = 100 + sum(len(r) for r in records)
-    stype = _KIND_TO_TYPE[shapes[0]['kind']] if shapes else 0
+    stype = header_stype
 
     def header(file_len_bytes: int) -> bytes:
         return (struct.pack('>7i', 9994, 0, 0, 0, 0, 0, file_len_bytes // 2) +
@@ -212,7 +326,8 @@ def read_shapefile_zip(blob: bytes) -> List[Dict]:
 
 _PARSED_SCHEMA = (', kind string, '
                   'rings array<array<struct<lon:double,lat:double>>>, '
-                  'properties map<string,string>, record_idx int')
+                  'properties map<string,string>, record_idx int, '
+                  'zm array<array<array<double>>>')
 
 
 def parse_shapefile_df(df: DataFrame, zip_col: str = 'shp_zip') -> DataFrame:
@@ -236,9 +351,10 @@ def parse_shapefile_df(df: DataFrame, zip_col: str = 'shp_zip') -> DataFrame:
                               for x, y in ring] for ring in s['rings']]
                     rows.append((*base, s['kind'], rings,
                                  {str(k): str(v) for k, v in
-                                  (s.get('properties') or {}).items()}, i))
+                                  (s.get('properties') or {}).items()}, i,
+                                 s.get('zm')))
             yield pd.DataFrame(rows, columns=[
-                *cols, 'kind', 'rings', 'properties', 'record_idx'])
+                *cols, 'kind', 'rings', 'properties', 'record_idx', 'zm'])
 
     return df.mapInPandas(run, schema=out_schema)
 
@@ -254,5 +370,6 @@ def to_shapefile_zip(shapes: DataFrame, rings_col: str = 'rings') -> bytes:
         rings = [[(c['lon'], c['lat']) for c in ring]
                  for ring in (d.get(rings_col) or [])]
         dicts.append({'kind': d['kind'], 'rings': rings,
-                      'properties': d.get('properties') or {}})
+                      'properties': d.get('properties') or {},
+                      'zm': d.get('zm')})
     return write_shapefile_zip(dicts)

@@ -748,3 +748,49 @@ def test_wkt_zm_spark_roundtrip(spark):
     got = {r.id: r.wkt2 for r in out.collect()}
     for i, w in rows:
         assert got[i] == w, (w, got[i])
+
+
+# --- shapefile Z/M variants (ESRI spec types 11/13/15/18/21/23/25/28) -----
+
+def test_shapefile_zm_roundtrip():
+    from geostructures_spark.operators.shapefile import (
+        read_shapefile_zip, write_shapefile_zip)
+    cases = [
+        [{'kind': 'point', 'rings': [[(1.5, 2.5)]],
+          'zm': [[[3.25, 9.5]]], 'properties': {}}],
+        [{'kind': 'point', 'rings': [[(1.5, 2.5)]],
+          'zm': [[[None, 7.5]]], 'properties': {}}],          # PointM
+        [{'kind': 'polygon', 'rings': [[(0., 0.), (4., 0.), (4., 4.), (0., 0.)]],
+          'zm': [[[1.0, 10.0], [2.0, None], [3.0, 30.0], [1.0, 10.0]]],
+          'properties': {}}],                                  # PolygonZ + partial M
+        [{'kind': 'multipoint', 'rings': [[(1., 2.)], [(3., 4.)]],
+          'zm': [[[5.0, None]], [[6.0, None]]], 'properties': {}}],
+        [{'kind': 'linestring', 'rings': [[(0., 0.), (1., 1.), (2., 0.)]],
+          'zm': [[[None, 1.5], [None, 2.5], [None, 3.5]]],
+          'properties': {}}],                                  # PolyLineM
+    ]
+    for shapes in cases:
+        got = read_shapefile_zip(write_shapefile_zip(shapes))[0]
+        exp = shapes[0]
+        assert got['kind'] == exp['kind']
+        assert got['rings'] == [[tuple(p) for p in r] for r in exp['rings']]
+        assert got.get('zm') == exp.get('zm'), exp['kind']
+
+
+def test_shapefile_zm_spark_df(spark):
+    """parse_shapefile_df surfaces the zm column; to_shapefile_zip
+    round-trips it."""
+    from geostructures_spark.operators.shapefile import (
+        parse_shapefile_df, to_shapefile_zip, write_shapefile_zip)
+    blob = write_shapefile_zip(
+        [{'kind': 'point', 'rings': [[(10.0, 20.0)]],
+          'zm': [[[7.5, None]]], 'properties': {'n': '1'}}])
+    df = spark.createDataFrame([(1, bytearray(blob))], 'id long, shp_zip binary')
+    rows = parse_shapefile_df(df).collect()
+    assert len(rows) == 1
+    assert rows[0].zm == [[[7.5, None]]]
+    # DF -> zip keeps the z value
+    parsed = parse_shapefile_df(df)
+    blob2 = to_shapefile_zip(parsed.select('kind', 'rings', 'properties', 'zm'))
+    from geostructures_spark.operators.shapefile import read_shapefile_zip
+    assert read_shapefile_zip(blob2)[0]['zm'] == [[[7.5, None]]]
