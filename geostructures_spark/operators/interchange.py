@@ -314,24 +314,34 @@ _KIND_GJ = {v: k for k, v in _GJ_KIND.items()}
 
 
 def _gj_to_rings(kind: str, coords):
-    """-> (rings, poly_sizes): sizes keep the multipolygon hole grouping."""
-    if kind == 'point':
-        return [[{'lon': coords[0], 'lat': coords[1]}]], None
-    if kind == 'linestring':
-        return [[{'lon': c[0], 'lat': c[1]} for c in coords]], None
-    if kind == 'polygon':
-        return [[{'lon': c[0], 'lat': c[1]} for c in ring]
-                for ring in coords], None
-    if kind == 'multipoint':
-        return [[{'lon': c[0], 'lat': c[1]}] for c in coords], None
-    if kind == 'multilinestring':
-        return [[{'lon': c[0], 'lat': c[1]} for c in line]
-                for line in coords], None
-    if kind == 'multipolygon':
-        rings = [[{'lon': c[0], 'lat': c[1]} for c in ring]
-                 for poly in coords for ring in poly]
-        return rings, [len(poly) for poly in coords]
-    raise ValueError(kind)
+    """-> (rings, poly_sizes, zm): sizes keep the multipolygon hole
+    grouping; zm carries per-coord [z, None] when any position has a third
+    element (GeoJSON positions carry Z only, never M —
+    reference coordinates.py:278-292)."""
+    def pos_rings():
+        if kind == 'point':
+            return [[coords]]
+        if kind in ('linestring',):
+            return [coords]
+        if kind == 'polygon':
+            return list(coords)
+        if kind == 'multipoint':
+            return [[c] for c in coords]
+        if kind == 'multilinestring':
+            return list(coords)
+        if kind == 'multipolygon':
+            return [ring for poly in coords for ring in poly]
+        raise ValueError(kind)
+
+    pr = pos_rings()
+    rings = [[{'lon': c[0], 'lat': c[1]} for c in ring] for ring in pr]
+    sizes = ([len(poly) for poly in coords]
+             if kind == 'multipolygon' else None)
+    zm = None
+    if any(len(c) > 2 for ring in pr for c in ring):
+        zm = [[[float(c[2]) if len(c) > 2 else None, None] for c in ring]
+              for ring in pr]
+    return rings, sizes, zm
 
 
 def parse_geojson_df(df: DataFrame, geojson_col: str = 'geojson') -> DataFrame:
@@ -339,11 +349,12 @@ def parse_geojson_df(df: DataFrame, geojson_col: str = 'geojson') -> DataFrame:
     appended. Dispatch on 'type' (reference parsers.py:121-171)."""
     out_schema = (', '.join(f'{f.name} {f.dataType.simpleString()}'
                             for f in df.schema.fields)
-                  + ', ' + SHAPE_ROW_SCHEMA + ', properties map<string,string>')
+                  + ', ' + SHAPE_ROW_SCHEMA + ', properties map<string,string>'
+                  + ', zm array<array<array<double>>>')
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            kinds, rings, sizes, props = [], [], [], []
+            kinds, rings, sizes, props, zms = [], [], [], [], []
             for s in pdf[geojson_col]:
                 try:
                     obj = json.loads(s)
@@ -355,21 +366,24 @@ def parse_geojson_df(df: DataFrame, geojson_col: str = 'geojson') -> DataFrame:
                         geom = obj
                         prop = {}
                     kind = _GJ_KIND[geom['type']]
-                    rr, ps = _gj_to_rings(kind, geom['coordinates'])
+                    rr, ps, zm = _gj_to_rings(kind, geom['coordinates'])
                     kinds.append(kind)
                     rings.append([[(c['lon'], c['lat']) for c in ring] for ring in rr])
                     sizes.append(ps)
                     props.append(prop)
+                    zms.append(zm)
                 except Exception:
                     kinds.append(None)
                     rings.append(None)
                     sizes.append(None)
                     props.append(None)
+                    zms.append(None)
             pdf = pdf.copy()
             pdf['kind'] = kinds
             pdf['rings'] = rings
             pdf['poly_sizes'] = sizes
             pdf['properties'] = props
+            pdf['zm'] = zms
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
@@ -382,14 +396,30 @@ def to_geojson_df(shapes: DataFrame, kind_col: str = 'kind',
     from geostructures_spark.operators.ringio import (
         decode_rings_json, encode_rings_json)
     has_sizes = 'poly_sizes' in shapes.columns
+    has_zm = 'zm' in shapes.columns
 
-    def emit(kind, rings, poly_sizes=None):
+    def emit(kind, rings, poly_sizes=None, zm=None):
         def xy(c):
             try:
                 return float(c['lon']), float(c['lat'])
             except (KeyError, TypeError, IndexError):
                 return float(c[0]), float(c[1])
-        rr = [[list(xy(c)) for c in ring] for ring in rings]
+
+        def pos(c, ri, ci):
+            p = list(xy(c))
+            if zm is not None:
+                try:
+                    z = (zm[ri][ci] or [None])[0]
+                except (IndexError, TypeError):
+                    z = None
+                # GeoJSON positions carry Z only, never M
+                # (reference coordinates.py:278-292)
+                if z is not None and z == z:
+                    p.append(float(z))
+            return p
+
+        rr = [[pos(c, ri, ci) for ci, c in enumerate(ring)]
+              for ri, ring in enumerate(rings)]
         if kind == 'point':
             coords = rr[0][0]
         elif kind == 'linestring':
@@ -412,14 +442,22 @@ def to_geojson_df(shapes: DataFrame, kind_col: str = 'kind',
             pdf = pdf.copy()
             rings = [decode_rings_json(s) for s in pdf[rings_col]]
             sizes = pdf['poly_sizes'] if has_sizes else [None] * len(pdf)
+            zms = ([decode_rings_json(s) for s in pdf['zm']]
+                   if has_zm else [None] * len(pdf))
             pdf[rings_col] = rings
-            pdf[out_col] = [emit(k, r, s)
-                            for k, r, s in zip(pdf[kind_col], rings, sizes)]
+            if has_zm:
+                pdf['zm'] = zms
+            pdf[out_col] = [emit(k, r, s, z)
+                            for k, r, s, z in zip(pdf[kind_col], rings,
+                                                  sizes, zms)]
             yield pdf
 
     out_schema = ', '.join(f'{f.name} {f.dataType.simpleString()}'
                            for f in shapes.schema.fields) + f', {out_col} string'
-    return encode_rings_json(shapes, rings_col).mapInPandas(run, schema=out_schema)
+    enc = encode_rings_json(shapes, rings_col)
+    if has_zm:
+        enc = encode_rings_json(enc, 'zm')
+    return enc.mapInPandas(run, schema=out_schema)
 
 
 def explode_feature_collections(df: DataFrame,

@@ -50,14 +50,17 @@ def _find(el, name):
     return None
 
 
-def _parse_coords(text: str) -> List[Tuple[float, float]]:
-    """KML coordinate blob: whitespace-separated lon,lat[,alt] tuples."""
+def _parse_coords(text: str):
+    """KML coordinate blob: whitespace-separated lon,lat[,alt] tuples.
+    Returns (points, alts) with alts[i] None when no altitude is given."""
     out = []
+    alts = []
     for tok in (text or '').split():
         parts = tok.split(',')
         if len(parts) >= 2:
             out.append((float(parts[0]), float(parts[1])))
-    return out
+            alts.append(float(parts[2]) if len(parts) > 2 else None)
+    return out, alts
 
 
 def _parse_dt(s: Optional[str]):
@@ -72,56 +75,88 @@ def _parse_dt(s: Optional[str]):
         return None
 
 
+def _with_zm(row, zrings):
+    """Attach the [z, None]-pair nesting when any altitude is present."""
+    if any(z is not None for zr in zrings for z in zr):
+        row['zm'] = [[[z, None] for z in zr] for zr in zrings]
+    return row
+
+
 def _geometry_to_row(el) -> Optional[Dict]:
     tag = _local(el.tag)
     if tag == 'Point':
         c = _find(el, 'coordinates')
-        pts = _parse_coords(c.text if c is not None else '')
+        pts, alts = _parse_coords(c.text if c is not None else '')
         if not pts:
             return None
-        return {'kind': 'point', 'rings': [[pts[0]]], 'poly_sizes': None}
+        return _with_zm({'kind': 'point', 'rings': [[pts[0]]],
+                         'poly_sizes': None}, [[alts[0]]])
     if tag == 'LineString':
         c = _find(el, 'coordinates')
-        pts = _parse_coords(c.text if c is not None else '')
-        return {'kind': 'linestring', 'rings': [pts], 'poly_sizes': None}
+        pts, alts = _parse_coords(c.text if c is not None else '')
+        return _with_zm({'kind': 'linestring', 'rings': [pts],
+                         'poly_sizes': None}, [alts])
     if tag == 'LinearRing':
         # direct LinearRing geometry parses as its polygon (reference
         # regression, parsers.py)
         c = _find(el, 'coordinates')
-        pts = _parse_coords(c.text if c is not None else '')
-        return {'kind': 'polygon', 'rings': [pts], 'poly_sizes': None}
+        pts, alts = _parse_coords(c.text if c is not None else '')
+        return _with_zm({'kind': 'polygon', 'rings': [pts],
+                         'poly_sizes': None}, [alts])
     if tag == 'Polygon':
         rings = []
+        zrings = []
         outer = _find(el, 'outerBoundaryIs')
         if outer is not None:
             lr = _find(outer, 'LinearRing')
             c = _find(lr, 'coordinates') if lr is not None else None
-            rings.append(_parse_coords(c.text if c is not None else ''))
+            pts, alts = _parse_coords(c.text if c is not None else '')
+            rings.append(pts)
+            zrings.append(alts)
         for t, child in _children(el):
             if t == 'innerBoundaryIs':
                 lr = _find(child, 'LinearRing')
                 c = _find(lr, 'coordinates') if lr is not None else None
-                rings.append(_parse_coords(c.text if c is not None else ''))
-        return {'kind': 'polygon', 'rings': rings, 'poly_sizes': None}
+                pts, alts = _parse_coords(c.text if c is not None else '')
+                rings.append(pts)
+                zrings.append(alts)
+        return _with_zm({'kind': 'polygon', 'rings': rings,
+                         'poly_sizes': None}, zrings)
     if tag == 'MultiGeometry':
         subs = [_geometry_to_row(c) for _, c in _children(el)]
         subs = [s for s in subs if s]
         if not subs:
             return None
         kinds = {s['kind'] for s in subs}
+
+        def child_zm(s, i):
+            zm = s.get('zm')
+            if zm is not None:
+                return zm[i]
+            return [None for _ in s['rings'][i]]
+
         if kinds == {'point'}:
-            return {'kind': 'multipoint',
+            rows = {'kind': 'multipoint',
                     'rings': [s['rings'][0] for s in subs], 'poly_sizes': None}
+            zr = [[(p or [None])[0] if isinstance(p, list) else p
+                   for p in child_zm(s, 0)] for s in subs]
+            return _with_zm(rows, zr)
         if kinds == {'linestring'}:
-            return {'kind': 'multilinestring',
+            rows = {'kind': 'multilinestring',
                     'rings': [s['rings'][0] for s in subs], 'poly_sizes': None}
+            zr = [[(p or [None])[0] if isinstance(p, list) else p
+                   for p in child_zm(s, 0)] for s in subs]
+            return _with_zm(rows, zr)
         if kinds == {'polygon'}:
-            rings, sizes = [], []
+            rings, sizes, zrings = [], [], []
             for s in subs:
                 rings.extend(s['rings'])
                 sizes.append(len(s['rings']))
-            return {'kind': 'multipolygon', 'rings': rings,
-                    'poly_sizes': sizes}
+                for i in range(len(s['rings'])):
+                    zrings.append([(p or [None])[0] if isinstance(p, list) else p
+                                   for p in child_zm(s, i)])
+            return _with_zm({'kind': 'multipolygon', 'rings': rings,
+                             'poly_sizes': sizes}, zrings)
         # heterogeneous MultiGeometry: keep the first geometry (reference
         # explodes into the collection; one row per placemark here)
         return subs[0]
@@ -209,7 +244,8 @@ def kmz_to_kml(blob: bytes) -> str:
 _PARSED_SCHEMA = (', kind string, '
                   'rings array<array<struct<lon:double,lat:double>>>, '
                   'poly_sizes array<int>, properties map<string,string>, '
-                  'dt_start timestamp, dt_end timestamp, placemark_idx int')
+                  'dt_start timestamp, dt_end timestamp, placemark_idx int, '
+                  'zm array<array<array<double>>>')
 
 
 def _explode_kml(df: DataFrame, col: str, decode) -> DataFrame:
@@ -231,10 +267,11 @@ def _explode_kml(df: DataFrame, col: str, decode) -> DataFrame:
                     rings = [[{'lon': float(x), 'lat': float(y)} for x, y in r]
                              for r in p['rings']]
                     rows.append((*base, p['kind'], rings, p['poly_sizes'],
-                                 p['properties'], p['dt_start'], p['dt_end'], i))
+                                 p['properties'], p['dt_start'], p['dt_end'],
+                                 i, p.get('zm')))
             yield pd.DataFrame(rows, columns=[
                 *cols, 'kind', 'rings', 'poly_sizes', 'properties',
-                'dt_start', 'dt_end', 'placemark_idx'])
+                'dt_start', 'dt_end', 'placemark_idx', 'zm'])
 
     return df.mapInPandas(run, schema=out_schema)
 
@@ -253,48 +290,74 @@ _KIND_KML = {'point': 'Point', 'linestring': 'LineString',
              'polygon': 'Polygon'}
 
 
-def _ring_coords(ring) -> str:
+def _ring_coords(ring, zring=None) -> str:
     def xy(c):
         try:
             return c['lon'], c['lat']
         except (KeyError, TypeError, IndexError):
             return c[0], c[1]
-    return ' '.join('{},{}'.format(*xy(c)) for c in ring)
+
+    def tok(ci, c):
+        x, y = xy(c)
+        z = None
+        if zring is not None:
+            try:
+                pair = zring[ci]
+                z = (pair or [None])[0] if isinstance(pair, list) else pair
+            except (IndexError, TypeError):
+                z = None
+        if z is not None and z == z:
+            return f'{x},{y},{z}'
+        return f'{x},{y}'
+
+    return ' '.join(tok(ci, c) for ci, c in enumerate(ring))
 
 
-def _shape_kml(kind, rings, poly_sizes, props) -> str:
+def _shape_kml(kind, rings, poly_sizes, props, zm=None) -> str:
     from geostructures_spark.operators.interchange import _ring_groups
 
-    def poly_xml(poly_rings):
+    def zr(i):
+        if zm is None:
+            return None
+        try:
+            return zm[i]
+        except (IndexError, TypeError):
+            return None
+
+    def poly_xml(poly_rings, base=0):
         parts = [f'<outerBoundaryIs><LinearRing><coordinates>'
-                 f'{_ring_coords(poly_rings[0])}</coordinates></LinearRing>'
+                 f'{_ring_coords(poly_rings[0], zr(base))}</coordinates></LinearRing>'
                  f'</outerBoundaryIs>']
-        for hole in poly_rings[1:]:
+        for hi, hole in enumerate(poly_rings[1:]):
             parts.append(f'<innerBoundaryIs><LinearRing><coordinates>'
-                         f'{_ring_coords(hole)}</coordinates></LinearRing>'
+                         f'{_ring_coords(hole, zr(base + 1 + hi))}</coordinates></LinearRing>'
                          f'</innerBoundaryIs>')
         return f'<Polygon>{"".join(parts)}</Polygon>'
 
     if kind == 'point':
-        geo = (f'<Point><coordinates>{_ring_coords(rings[0])}'
+        geo = (f'<Point><coordinates>{_ring_coords(rings[0], zr(0))}'
                f'</coordinates></Point>')
     elif kind == 'linestring':
-        geo = (f'<LineString><coordinates>{_ring_coords(rings[0])}'
+        geo = (f'<LineString><coordinates>{_ring_coords(rings[0], zr(0))}'
                f'</coordinates></LineString>')
     elif kind == 'polygon':
         geo = poly_xml(rings)
     elif kind == 'multipoint':
         geo = '<MultiGeometry>' + ''.join(
-            f'<Point><coordinates>{_ring_coords(r)}</coordinates></Point>'
-            for r in rings) + '</MultiGeometry>'
+            f'<Point><coordinates>{_ring_coords(r, zr(i))}</coordinates></Point>'
+            for i, r in enumerate(rings)) + '</MultiGeometry>'
     elif kind == 'multilinestring':
         geo = '<MultiGeometry>' + ''.join(
-            f'<LineString><coordinates>{_ring_coords(r)}</coordinates>'
-            f'</LineString>' for r in rings) + '</MultiGeometry>'
+            f'<LineString><coordinates>{_ring_coords(r, zr(i))}</coordinates>'
+            f'</LineString>' for i, r in enumerate(rings)) + '</MultiGeometry>'
     elif kind == 'multipolygon':
         groups = _ring_groups(rings, poly_sizes)
-        geo = '<MultiGeometry>' + ''.join(poly_xml(g) for g in groups) + \
-              '</MultiGeometry>'
+        geo_parts = []
+        base = 0
+        for g in groups:
+            geo_parts.append(poly_xml(g, base))
+            base += len(g)
+        geo = '<MultiGeometry>' + ''.join(geo_parts) + '</MultiGeometry>'
     else:
         raise ValueError(f'cannot emit KML for kind: {kind}')
     name = ''
@@ -316,6 +379,7 @@ def to_kml_df(shapes: DataFrame, out_col: str = 'kml') -> DataFrame:
         decode_rings_json, encode_rings_json)
     has_sizes = 'poly_sizes' in shapes.columns
     has_props = 'properties' in shapes.columns
+    has_zm = 'zm' in shapes.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -323,11 +387,18 @@ def to_kml_df(shapes: DataFrame, out_col: str = 'kml') -> DataFrame:
             rings = [decode_rings_json(s) for s in pdf['rings']]
             sizes = pdf['poly_sizes'] if has_sizes else [None] * len(pdf)
             props = pdf['properties'] if has_props else [None] * len(pdf)
+            zms = ([decode_rings_json(s) for s in pdf['zm']]
+                   if has_zm else [None] * len(pdf))
             pdf['rings'] = rings
-            pdf[out_col] = [_shape_kml(k, r, s, p) for k, r, s, p in
-                            zip(pdf['kind'], rings, sizes, props)]
+            if has_zm:
+                pdf['zm'] = zms
+            pdf[out_col] = [_shape_kml(k, r, s, p, z) for k, r, s, p, z in
+                            zip(pdf['kind'], rings, sizes, props, zms)]
             yield pdf
 
     out_schema = ', '.join(f'{f.name} {f.dataType.simpleString()}'
                            for f in shapes.schema.fields) + f', {out_col} string'
-    return encode_rings_json(shapes).mapInPandas(run, schema=out_schema)
+    enc = encode_rings_json(shapes)
+    if has_zm:
+        enc = encode_rings_json(enc, 'zm')
+    return enc.mapInPandas(run, schema=out_schema)

@@ -794,3 +794,55 @@ def test_shapefile_zm_spark_df(spark):
     blob2 = to_shapefile_zip(parsed.select('kind', 'rings', 'properties', 'zm'))
     from geostructures_spark.operators.shapefile import read_shapefile_zip
     assert read_shapefile_zip(blob2)[0]['zm'] == [[[7.5, None]]]
+
+
+def test_geojson_z_roundtrip(spark):
+    """GeoJSON positions carry Z only, never M (coordinates.py:278-292):
+    parse_geojson_df captures third elements into zm; to_geojson_df
+    re-emits them (and drops M values from WKT-sourced shapes)."""
+    import json
+    from geostructures_spark.operators.interchange import (
+        parse_geojson_df, to_geojson_df)
+    docs = [
+        (1, '{"type":"Point","coordinates":[1.5,2.5,30.0]}'),
+        (2, '{"type":"LineString","coordinates":[[0,0,5],[1,1],[2,0,7]]}'),
+        (3, '{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,0]]]}'),
+    ]
+    df = spark.createDataFrame(docs, 'id long, geojson string')
+    parsed = parse_geojson_df(df)
+    rows = {r.id: r for r in parsed.collect()}
+    assert rows[1].zm == [[[30.0, None]]]
+    assert rows[2].zm == [[[5.0, None], [None, None], [7.0, None]]]
+    assert rows[3].zm is None
+    out = to_geojson_df(parsed.select('id', 'kind', 'rings', 'poly_sizes', 'zm'))
+    got = {r.id: json.loads(r.geojson) for r in out.collect()}
+    assert got[1]['coordinates'] == [1.5, 2.5, 30.0]
+    assert got[2]['coordinates'] == [[0.0, 0.0, 5.0], [1.0, 1.0], [2.0, 0.0, 7.0]]
+    assert got[3]['coordinates'] == [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]]
+
+
+def test_kml_altitude_roundtrip(spark):
+    """KML lon,lat,alt tuples preserve altitude through
+    parse_kml_df -> to_kml_df (zm side channel, z-only like GeoJSON)."""
+    from geostructures_spark.operators.kml import parse_kml_df, to_kml_df
+    kml = ('<kml xmlns="http://www.opengis.net/kml/2.2"><Document>'
+           '<Placemark><name>p</name><Point>'
+           '<coordinates>1.5,2.5,30.0</coordinates></Point></Placemark>'
+           '<Placemark><name>l</name><LineString>'
+           '<coordinates>0.0,0.0,5.0 1.0,1.0 2.0,0.0,7.0</coordinates>'
+           '</LineString></Placemark>'
+           '<Placemark><name>q</name><Point>'
+           '<coordinates>3.0,4.0</coordinates></Point></Placemark>'
+           '</Document></kml>')
+    df = spark.createDataFrame([(1, kml)], 'id long, kml string')
+    parsed = parse_kml_df(df)
+    rows = sorted(parsed.collect(), key=lambda r: r.placemark_idx)
+    assert rows[0].zm == [[[30.0, None]]]
+    assert rows[1].zm == [[[5.0, None], [None, None], [7.0, None]]]
+    assert rows[2].zm is None
+    out = to_kml_df(parsed.select('kind', 'rings', 'poly_sizes',
+                                  'properties', 'placemark_idx', 'zm'))
+    frags = {r.placemark_idx: r.kml for r in out.collect()}
+    assert '<coordinates>1.5,2.5,30.0</coordinates>' in frags[0]
+    assert '<coordinates>0.0,0.0,5.0 1.0,1.0 2.0,0.0,7.0</coordinates>' in frags[1]
+    assert '<coordinates>3.0,4.0</coordinates>' in frags[2]
