@@ -846,3 +846,24 @@ def test_kml_altitude_roundtrip(spark):
     assert '<coordinates>1.5,2.5,30.0</coordinates>' in frags[0]
     assert '<coordinates>0.0,0.0,5.0 1.0,1.0 2.0,0.0,7.0</coordinates>' in frags[1]
     assert '<coordinates>3.0,4.0</coordinates>' in frags[2]
+
+
+def test_wkb_zm_roundtrip():
+    """ISO WKB Z/M dims (+1000/+2000 codes) round-trip through the zm
+    side channel; the 2D golden header stays byte-exact."""
+    from geostructures_spark.operators.wkb import (
+        shape_row_to_wkb, wkb_to_shape_row)
+    cases = [
+        ('point', [[{'lon': 2.0, 'lat': 4.0}]], None, [[[5.0, None]]]),
+        ('point', [[{'lon': 2.0, 'lat': 4.0}]], None, [[[None, 6.0]]]),
+        ('point', [[{'lon': 2.0, 'lat': 4.0}]], None, [[[5.0, 6.0]]]),
+        ('polygon', [[{'lon': 0.0, 'lat': 0.0}, {'lon': 1.0, 'lat': 0.0},
+                      {'lon': 1.0, 'lat': 1.0}, {'lon': 0.0, 'lat': 0.0}]],
+         None, [[[1.0, 2.0], [3.0, 4.0], [5.0, 6.0], [1.0, 2.0]]]),
+    ]
+    for kind, rings, sizes, zm in cases:
+        row = wkb_to_shape_row(shape_row_to_wkb(kind, rings, sizes, zm=zm))
+        assert row['kind'] == kind and row['rings'] == rings
+        assert row.get('zm') == zm
+    assert shape_row_to_wkb(
+        'point', [[{'lon': 2.0, 'lat': 4.0}]]).hex().startswith('0101000000')
