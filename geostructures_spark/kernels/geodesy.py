@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from geostructures_spark.kernels import ensure_malloc_tuned
+
 # WGS84 ellipsoid constants (reference: _const.py:6-11)
 WGS84_A = 6378137.0
 WGS84_F = 1 / 298.257223563
@@ -57,6 +59,7 @@ def round_half_up(value, precision: int):
 
 def haversine_distance(lon1, lat1, lon2, lat2):
     """Great-circle distance in meters (reference geodesic.py:27-39)."""
+    ensure_malloc_tuned()
     lon1 = np.radians(np.asarray(lon1, dtype=np.float64))
     lat1 = np.radians(np.asarray(lat1, dtype=np.float64))
     lon2 = np.radians(np.asarray(lon2, dtype=np.float64))
@@ -109,6 +112,7 @@ def vincenty_distance(lon1, lat1, lon2, lat2, max_iter: int = 200):
     haversine fallback for non-converged / coincident / antipodal inputs.
     Vectorized: the loop runs over the whole batch until all rows converge.
     """
+    ensure_malloc_tuned()
     lon1 = np.asarray(lon1, dtype=np.float64)
     lat1 = np.asarray(lat1, dtype=np.float64)
     lon2 = np.asarray(lon2, dtype=np.float64)

@@ -21,6 +21,8 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
+from geostructures_spark.kernels import ensure_malloc_tuned
+
 from geostructures_spark.kernels import h3_tables as T
 
 __all__ = [
@@ -680,6 +682,7 @@ def _calibrated_tables():
 
 def latlng_to_cell(lats_deg, lons_deg, res: int) -> np.ndarray:
     """Vectorized geo -> H3 index (uint64 array)."""
+    ensure_malloc_tuned()
     lats = np.radians(np.asarray(lats_deg, dtype=np.float64))
     lons = np.radians(np.asarray(lons_deg, dtype=np.float64))
     n = len(lats)

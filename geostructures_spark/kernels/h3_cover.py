@@ -24,6 +24,8 @@ from typing import Dict, List, Set, Tuple
 
 import numpy as np
 
+from geostructures_spark.kernels import ensure_malloc_tuned
+
 from geostructures_spark.kernels import geometry as geom
 from geostructures_spark.kernels import h3_core as H
 from geostructures_spark.kernels import shapes as shp
@@ -109,6 +111,7 @@ def _seed_cells(outline: np.ndarray, res: int, extra_lon=None, extra_lat=None) -
 
 def polygon_to_cells(rings: List[np.ndarray], res: int) -> Set[str]:
     """Centroid-containment polyfill of [outline, *holes] rings."""
+    ensure_malloc_tuned()
     outline = np.asarray(rings[0], dtype=np.float64)
     min_lon, min_lat, max_lon, max_lat = geom.ring_bounds(outline)
     pad = 2.2 * _HEX_RADIUS_KM[res] / 111.0
@@ -143,6 +146,7 @@ def linestring_cells(vertices: np.ndarray, res: int) -> Set[str]:
     path cells + 1-ring buffer, filtered by boundary-edge intersection with
     the segment (vectorized intersect_matrix, same arithmetic as
     find_line_intersection)."""
+    ensure_malloc_tuned()
     vertices = np.asarray(vertices, dtype=np.float64)
     idx = _CellIndex(res)
     out: Set[str] = set()
@@ -169,6 +173,7 @@ def linestring_cells(vertices: np.ndarray, res: int) -> Set[str]:
 
 def cover_shape_h3(shape: Dict, res: int) -> Set[str]:
     """H3Hasher.hash_shape dispatch (reference geohash.py:512-542)."""
+    ensure_malloc_tuned()
     kind = shape['kind']
     if kind in shp.MULTI_KINDS:
         out: Set[str] = set()

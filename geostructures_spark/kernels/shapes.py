@@ -29,6 +29,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from geostructures_spark.kernels import ensure_malloc_tuned
+
 from geostructures_spark.kernels import geometry as geom
 from geostructures_spark.kernels.geodesy import (
     bearing_degrees, destination_point, distance_meters, normalize_lonlat,
@@ -265,6 +267,7 @@ def _holes_contain(shape: Dict, lons, lats, inside) -> np.ndarray:
 def shape_contains_points(shape: Dict, lons, lats) -> np.ndarray:
     """Vectorized contains_coordinate dispatch (the spatial join's exact
     predicate). Mirrors the per-kind reference logic exactly."""
+    ensure_malloc_tuned()
     lons = np.asarray(lons, dtype=np.float64)
     lats = np.asarray(lats, dtype=np.float64)
     kind = shape['kind']

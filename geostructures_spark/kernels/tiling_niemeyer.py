@@ -22,6 +22,8 @@ from typing import Dict, Set
 
 import numpy as np
 
+from geostructures_spark.kernels import ensure_malloc_tuned
+
 from geostructures_spark.kernels import geometry as geom
 from geostructures_spark.kernels import niemeyer as nie
 from geostructures_spark.kernels import shapes as shp
@@ -228,6 +230,7 @@ def _enum_cover(shape: Dict, seed_lon: float, seed_lat: float,
 
 def cover_shape(shape: Dict, length: int, base: int) -> Set[str]:
     """NiemeyerHasher.hash_shape dispatch (reference geohash.py:746-764)."""
+    ensure_malloc_tuned()
     kind = shape['kind']
     if kind in shp.MULTI_KINDS:
         out: Set[str] = set()
@@ -249,6 +252,7 @@ def hash_coordinates(lons, lats, length: int, base: int) -> Dict[str, int]:
     """NiemeyerHasher.hash_coordinates (reference geohash.py:722-744) —
     {cell: count}. In the engine this is groupBy(cell).count(); this kernel
     exists for golden parity tests."""
+    ensure_malloc_tuned()
     cells = nie.encode(np.asarray(lons, dtype=np.float64),
                        np.asarray(lats, dtype=np.float64), length, base)
     out: Dict[str, int] = {}

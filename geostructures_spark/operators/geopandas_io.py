@@ -55,15 +55,22 @@ def from_pandas_features(spark: SparkSession, pdf: pd.DataFrame,
     columns, reference from_geopandas collections.py:236-311).
 
     NaN/None property values are dropped per row, matching the reference's
-    NaN-stripping of GeoDataFrame columns."""
+    NaN-stripping of GeoDataFrame columns. The NaN test applies only to
+    floating-point dtyped columns (like the reference's float-only
+    stripping) — a genuine string property whose value is "NaN" is
+    kept."""
     prop_cols = [c for c in pdf.columns if c != geometry_col]
+    float_cols = {c for c in prop_cols
+                  if pd.api.types.is_float_dtype(pdf[c])}
     sdf = spark.createDataFrame(pdf.rename(columns={geometry_col: 'wkt'}))
     parsed = parse_wkt_df(sdf, 'wkt')
     if prop_cols:
         entries = []
         for c in prop_cols:
             v = F.col(c).cast('string')
-            v = F.when(F.col(c).isNotNull() & (v != F.lit('NaN')), v)
+            not_nan = (~F.isnan(F.col(c)) if c in float_cols
+                       else F.lit(True))
+            v = F.when(F.col(c).isNotNull() & not_nan, v)
             entries += [F.lit(c), v]
         props = F.map_filter(F.create_map(*entries), lambda k, v: v.isNotNull())
         parsed = parsed.withColumn('properties', props).drop(*prop_cols)

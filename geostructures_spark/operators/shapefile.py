@@ -80,11 +80,20 @@ def _range_arr(vals, nodata):
 
 
 def _shape_record(kind: str, rings: List[List[Tuple[float, float]]],
-                  zm=None) -> bytes:
+                  zm=None, dims=None) -> bytes:
+    """``dims`` is the file-wide (has_z, has_m) decided by the writer: the
+    ESRI spec requires every record in a .shp to carry the header's shape
+    type, so per-record Z/M presence may not choose the type (a dataset
+    where only some rows carry Z would otherwise emit mixed record types,
+    which external readers reject). Absent values pad with 0.0 / the
+    -1e38 M no-data sentinel."""
     base = _KIND_TO_TYPE[kind]
     flat_zm = _flatten_zm(rings, zm)
-    has_z = any(z is not None for z, _ in flat_zm)
-    has_m = any(m is not None for _, m in flat_zm)
+    if dims is None:
+        has_z = any(z is not None for z, _ in flat_zm)
+        has_m = any(m is not None for _, m in flat_zm)
+    else:
+        has_z, has_m = dims
     stype = _Z_TYPE[base] if has_z else (_M_TYPE[base] if has_m else base)
 
     if base == 1:
@@ -96,7 +105,8 @@ def _shape_record(kind: str, rings: List[List[Tuple[float, float]]],
                 out += struct.pack('<d', m if m is not None else _M_NODATA)
             return out
         if has_m:
-            return struct.pack('<iddd', stype, x, y, m)
+            return struct.pack('<iddd', stype, x, y,
+                               m if m is not None else _M_NODATA)
         return struct.pack('<idd', 1, x, y)
 
     pts = [p for ring in rings for p in ring]
@@ -205,8 +215,16 @@ def _parse_record(content: bytes):
 def _write_shp_shx(shapes: List[Dict]) -> Tuple[bytes, bytes]:
     records = []
     header_stype = 0
+    # File-wide Z/M: the spec allows exactly one shape type per file, so
+    # decide dims across ALL records and pad rows that lack values.
+    file_z = file_m = False
+    for s in shapes:
+        for z, m in _flatten_zm(s['rings'], s.get('zm')):
+            file_z = file_z or z is not None
+            file_m = file_m or m is not None
     for i, s in enumerate(shapes):
-        content = _shape_record(s['kind'], s['rings'], s.get('zm'))
+        content = _shape_record(s['kind'], s['rings'], s.get('zm'),
+                                dims=(file_z, file_m))
         if i == 0:
             (header_stype,) = struct.unpack_from('<i', content, 0)
         records.append(struct.pack('>2i', i + 1, len(content) // 2) + content)

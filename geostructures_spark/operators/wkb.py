@@ -69,14 +69,18 @@ def _pts(ring, zring=None, has_z=False, has_m=False) -> bytes:
     return out
 
 
-def shape_row_to_wkb(kind: str, rings, poly_sizes=None, zm=None) -> Optional[bytes]:
+def shape_row_to_wkb(kind: str, rings, poly_sizes=None, zm=None,
+                     _dims=None) -> Optional[bytes]:
     """Canonical row (kind + materialized rings) -> little-endian ISO WKB.
     Z/M values from the ``zm`` side channel emit the +1000/+2000 type
     codes (uniform dims per geometry; absent values fill as 0.0 — WKB has
-    no per-value no-data convention)."""
+    no per-value no-data convention). ``_dims`` is internal: the parent
+    multi-geometry's (has_z, has_m), threaded into every child so an ISO
+    Z/M collection emits uniform dims even when only some members carry
+    Z/M values (ISO WKB forbids mixed-dim children)."""
     if kind not in _KIND_CODE or not rings:
         return None
-    has_z, has_m = _zm_flags(zm)
+    has_z, has_m = _zm_flags(zm) if _dims is None else _dims
     code = _KIND_CODE[kind] + 1000 * int(has_z) + 2000 * int(has_m)
     head = struct.pack('<BI', 1, code)
 
@@ -101,18 +105,21 @@ def shape_row_to_wkb(kind: str, rings, poly_sizes=None, zm=None) -> Optional[byt
             _pts(r, zr(i), has_z, has_m) for i, r in enumerate(rings))
     if kind == 'multipoint':
         return head + struct.pack('<I', len(rings)) + b''.join(
-            shape_row_to_wkb('point', [r], zm=[zr(i)] if zm else None)
+            shape_row_to_wkb('point', [r], zm=[zr(i)] if zm else None,
+                             _dims=(has_z, has_m))
             for i, r in enumerate(rings))
     if kind == 'multilinestring':
         return head + struct.pack('<I', len(rings)) + b''.join(
-            shape_row_to_wkb('linestring', [r], zm=[zr(i)] if zm else None)
+            shape_row_to_wkb('linestring', [r], zm=[zr(i)] if zm else None,
+                             _dims=(has_z, has_m))
             for i, r in enumerate(rings))
     groups = _ring_groups(rings, poly_sizes)
     out = head + struct.pack('<I', len(groups))
     base = 0
     for g in groups:
         g_zm = [zr(base + j) for j in range(len(g))] if zm else None
-        out += shape_row_to_wkb('polygon', g, zm=g_zm)
+        out += shape_row_to_wkb('polygon', g, zm=g_zm,
+                                _dims=(has_z, has_m))
         base += len(g)
     return out
 

@@ -1,0 +1,132 @@
+"""Round-3 regression tests: ADVICE fixes (uniform Z/M dims in WKB
+multi-geometries and shapefile records, lazy malloc tuning, float-only
+NaN property stripping) plus the round's scale-hardening work."""
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.test_spark_operators import spark  # shared session fixture
+
+
+# --- ISO WKB: uniform dims across multi-geometry children ------------------
+
+def test_wkb_multi_children_uniform_dims():
+    """A multi-geometry where only some members carry Z must emit every
+    child with the parent's Z/M code (ISO WKB forbids mixed-dim children;
+    ADVICE r2). Absent values fill as 0.0."""
+    from geostructures_spark.operators.wkb import (
+        shape_row_to_wkb, wkb_to_shape_row)
+    # multipoint: member 0 has z, member 1 has none
+    blob = shape_row_to_wkb(
+        'multipoint',
+        [[{'lon': 1.0, 'lat': 2.0}], [{'lon': 4.0, 'lat': 5.0}]],
+        zm=[[[3.0, None]], None])
+    # parent header: little-endian, code 1004 (multipoint + Z)
+    assert struct.unpack_from('<I', blob, 1)[0] == 1004
+    # child 0 at offset 9: code 1001, 3 doubles; child 1 must ALSO be 1001
+    pos = 9
+    for expect in ([1.0, 2.0, 3.0], [4.0, 5.0, 0.0]):
+        assert blob[pos] == 1
+        assert struct.unpack_from('<I', blob, pos + 1)[0] == 1001
+        vals = struct.unpack_from('<3d', blob, pos + 5)
+        assert list(vals) == expect
+        pos += 5 + 24
+    assert pos == len(blob)
+    back = wkb_to_shape_row(blob)
+    assert back['kind'] == 'multipoint'
+    assert back['zm'] == [[[3.0, None]], [[0.0, None]]]
+
+    # multilinestring + multipolygon mixed-Z: every child carries +1000
+    mls = shape_row_to_wkb(
+        'multilinestring',
+        [[{'lon': 0.0, 'lat': 0.0}, {'lon': 1.0, 'lat': 1.0}],
+         [{'lon': 2.0, 'lat': 2.0}, {'lon': 3.0, 'lat': 3.0}]],
+        zm=[[[7.0, None], [8.0, None]], None])
+    assert struct.unpack_from('<I', mls, 1)[0] == 1005
+    assert struct.unpack_from('<I', mls, 10)[0] == 1002
+    tri = [{'lon': 0.0, 'lat': 0.0}, {'lon': 1.0, 'lat': 0.0},
+           {'lon': 0.0, 'lat': 1.0}, {'lon': 0.0, 'lat': 0.0}]
+    tri2 = [{'lon': 5.0, 'lat': 5.0}, {'lon': 6.0, 'lat': 5.0},
+            {'lon': 5.0, 'lat': 6.0}, {'lon': 5.0, 'lat': 5.0}]
+    mp = shape_row_to_wkb('multipolygon', [tri, tri2], poly_sizes=[1, 1],
+                          zm=[[[1.0, None]] * 4, None])
+    assert struct.unpack_from('<I', mp, 1)[0] == 1006
+    assert struct.unpack_from('<I', mp, 10)[0] == 1003
+
+
+# --- shapefile: one shape type per file ------------------------------------
+
+def test_shapefile_uniform_record_types():
+    """Rows with and without Z in one dataset must all emit the header's
+    shape type (ESRI spec: exactly one type per .shp; ADVICE r2)."""
+    from geostructures_spark.operators.shapefile import (
+        read_shapefile_zip, write_shapefile_zip)
+    shapes = [
+        {'kind': 'point', 'rings': [[(1.0, 2.0)]], 'zm': [[[9.0, None]]]},
+        {'kind': 'point', 'rings': [[(3.0, 4.0)]]},  # no Z on this row
+    ]
+    blob = write_shapefile_zip(shapes)
+    import io
+    import zipfile
+    shp = zipfile.ZipFile(io.BytesIO(blob)).read(
+        [n for n in zipfile.ZipFile(io.BytesIO(blob)).namelist()
+         if n.endswith('.shp')][0])
+    (header_type,) = struct.unpack_from('<i', shp, 32)
+    assert header_type == 11  # PointZ
+    pos = 100
+    rec_types = []
+    while pos < len(shp):
+        (_, clen) = struct.unpack_from('>2i', shp, pos)
+        rec_types.append(struct.unpack_from('<i', shp, pos + 8)[0])
+        pos += 8 + 2 * clen
+    assert rec_types == [11, 11]
+    back = read_shapefile_zip(blob)
+    assert back[0]['zm'][0][0][0] == 9.0
+    assert back[1]['zm'][0][0][0] == 0.0  # padded, uniform type
+
+
+# --- malloc tuning is lazy, not an import side effect -----------------------
+
+def test_malloc_tune_is_lazy(monkeypatch):
+    """Importing the kernels package must not mutate allocator state; the
+    first hot-kernel call does (ADVICE r2). Re-import in a clean flag
+    state and check ordering."""
+    import geostructures_spark.kernels as K
+    monkeypatch.setattr(K, '_malloc_tuned', False)
+    assert K._malloc_tuned is False
+    from geostructures_spark.kernels.geodesy import haversine_distance
+    haversine_distance(np.array([0.0]), np.array([0.0]),
+                       np.array([1.0]), np.array([1.0]))
+    assert K._malloc_tuned is True
+
+
+def test_malloc_tune_env_optout(monkeypatch):
+    monkeypatch.setenv('GEOSTRUCTURES_SPARK_MALLOC_TUNE', '0')
+    import geostructures_spark.kernels as K
+    monkeypatch.setattr(K, '_malloc_tuned', False)
+    K.ensure_malloc_tuned()  # must be a no-op, not an error
+    assert K._malloc_tuned is True  # flag set; mallopt skipped
+
+
+# --- float-only NaN property stripping --------------------------------------
+
+def test_from_pandas_features_keeps_string_nan(spark):
+    """A string property whose VALUE is 'NaN' survives; float NaN is
+    stripped (reference strips only float NaN; ADVICE r2)."""
+    from geostructures_spark.operators.geopandas_io import (
+        from_pandas_features)
+    pdf = pd.DataFrame({
+        'geometry': ['POINT (0 0)', 'POINT (1 1)'],
+        'name': ['NaN', 'ok'],
+        'score': [float('nan'), 2.5],
+    })
+    rows = (from_pandas_features(spark, pdf)
+            .select('properties').collect())
+    props = [r['properties'] for r in rows]
+    by_name = {p.get('name'): p for p in props}
+    assert 'NaN' in by_name                      # string "NaN" kept
+    assert 'score' not in by_name['NaN']         # float NaN stripped
+    assert by_name['ok']['score'] == '2.5'
