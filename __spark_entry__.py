@@ -2182,13 +2182,16 @@ def _split_by_length_duckdb(meters: float = 1000.0, kmax: int = 5) -> str:
 
 def _q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF centroid TRAINING (Lloyd k-means, cosine assignment, k=8,
-    2 iterations) + final bucket assignment — the trained upgrade of
-    ivf_assign's fixed-sample centroids. Fully DataFrame-native; the oracle
-    unrolls both Lloyd iterations in SQL."""
+    1 iteration) + final bucket assignment — the trained upgrade of
+    ivf_assign's fixed-sample centroids. Fully DataFrame-native (the
+    centroid table never round-trips through the driver: checkpointed
+    DataFrame loop, r2-verdict task 7); one Lloyd iteration keeps the
+    sweep latency low (r2-verdict task 1) — the oracle unrolls it in
+    SQL; tests drive multi-iteration + large-k trains."""
     from geostructures_spark.operators.simsearch import ivf_assign, kmeans_train
     _load(spark, sf_dir, 'embeddings')
     vecs = spark.table('embeddings')
-    cents = kmeans_train(vecs, k=8, n_iter=2)
+    cents = kmeans_train(vecs, k=8, n_iter=1)
     inv = ivf_assign(vecs, cents)
     counts = inv.groupBy('centroid_id').agg(F.count('*').cast('long').alias('n_vectors'))
     return (cents.join(counts, 'centroid_id', 'left')
@@ -3144,7 +3147,7 @@ def oracle_sql() -> dict[str, str]:
         'raster_tile_assignment': _RASTER_TILES_DUCK,
         'knn_pruned_topk': _knn_duckdb(),
         'time_of_day_counts': _TIME_OF_DAY_DUCK,
-        'ivf_kmeans_train': _kmeans_duckdb(),
+        'ivf_kmeans_train': _kmeans_duckdb(n_iter=1),
         'streaming_sessionize': _SESSIONS_DUCK,
         'rotate_coordinates': _ROTATE_DUCK,
         'circle_bounding_coords': _circle_discretize_duckdb(),

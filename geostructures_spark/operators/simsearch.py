@@ -69,18 +69,25 @@ def kmeans_train(vectors: DataFrame, k: int, n_iter: int = 2,
     Deterministic init: the k lowest-id vectors. Each iteration: broadcast
     assign (ivf_assign) -> positional explode -> per-(centroid, position)
     mean -> rebuilt centroid arrays; empty clusters keep their previous
-    centroid. The k x dim centroid table round-trips through the driver
-    between iterations (tiny, legitimately driver-side); the vector side
-    never leaves the cluster. Returns (centroid_id, c_embedding)."""
-    from pyspark.sql import types as T
-    spark = vectors.sparkSession
-    init = (vectors.orderBy(id_col).limit(k)
-            .select(F.col(id_col), F.col(vec_col)))
-    rows = init.collect()
-    cent_rows = [(i, [float(x) for x in r[vec_col]])
-                 for i, r in enumerate(sorted(rows, key=lambda r: r[id_col]))]
-    schema = 'centroid_id int, c_embedding array<double>'
-    cents = spark.createDataFrame(cent_rows, schema)
+    centroid via a left join against the previous round's table.
+
+    The centroid table stays a DataFrame for the whole loop — no
+    per-iteration driver collect — so k can grow to ANN-realistic
+    10^4-10^5 without serializing Lloyd rounds through the driver.
+    ``localCheckpoint`` truncates the lineage each round (the plan would
+    otherwise double per iteration); a cluster deployment that needs
+    executor-loss resilience points ``spark.sparkContext.setCheckpointDir``
+    at durable storage and swaps in ``checkpoint()``.
+    Returns (centroid_id, c_embedding)."""
+    # constant partition key: the k init rows already sit in one partition
+    # after limit(k); this just silences the global-window warning
+    w_init = Window.partitionBy(F.lit(0)).orderBy(F.col(id_col).asc())
+    cents = (vectors.orderBy(id_col).limit(k)
+             .select((F.row_number().over(w_init) - 1).cast('int')
+                     .alias('centroid_id'),
+                     F.transform(vec_col, lambda x: x.cast('double'))
+                     .alias('c_embedding'))
+             .localCheckpoint(eager=True))
 
     for _ in range(n_iter):
         inv = ivf_assign(vectors, cents, id_col, vec_col)
@@ -91,11 +98,11 @@ def kmeans_train(vectors: DataFrame, k: int, n_iter: int = 2,
         new = (means.groupBy('centroid_id')
                .agg(F.array_sort(F.collect_list(F.struct('pos', 'm'))).alias('s'))
                .select('centroid_id',
-                       F.transform('s', lambda x: x.getField('m')).alias('c_embedding')))
-        got = {r['centroid_id']: [float(x) for x in r['c_embedding']]
-               for r in new.collect()}
-        cent_rows = [(cid, got.get(cid, emb)) for cid, emb in cent_rows]
-        cents = spark.createDataFrame(cent_rows, schema)
+                       F.transform('s', lambda x: x.getField('m')).alias('new_emb')))
+        cents = (cents.join(new, 'centroid_id', 'left')
+                 .select('centroid_id',
+                         F.coalesce('new_emb', 'c_embedding').alias('c_embedding'))
+                 .localCheckpoint(eager=True))
     return cents
 
 

@@ -130,3 +130,41 @@ def test_from_pandas_features_keeps_string_nan(spark):
     assert 'NaN' in by_name                      # string "NaN" kept
     assert 'score' not in by_name['NaN']         # float NaN stripped
     assert by_name['ok']['score'] == '2.5'
+
+
+# --- checkpointed k-means loop (no per-iteration driver collect) ------------
+
+def test_kmeans_train_dataframe_loop_large_k(spark):
+    """kmeans_train keeps the centroid table distributed: a k=256 train
+    over synthetic vectors completes with exactly k non-null centroids
+    through multiple iterations (r2-verdict task 7: the old driver-side
+    collect loop serialized at large k)."""
+    from pyspark.sql import functions as F
+    from geostructures_spark.operators.simsearch import kmeans_train
+    vecs = (spark.range(4000)
+            .select(F.col('id').alias('vec_id'),
+                    F.transform(F.sequence(F.lit(1), F.lit(8)),
+                                lambda i: (F.sin(F.col('id') * i) + 2.0)
+                                .cast('float'))
+                    .alias('embedding')))
+    cents = kmeans_train(vecs, k=256, n_iter=2)
+    rows = cents.collect()
+    assert len(rows) == 256
+    assert sorted(r['centroid_id'] for r in rows) == list(range(256))
+    for r in rows:
+        assert len(r['c_embedding']) == 8
+        assert all(v == v for v in r['c_embedding'])  # no NaNs
+
+
+def test_kmeans_train_matches_manual_lloyd(spark):
+    """One Lloyd round on a tiny input matches a hand-computed update."""
+    import numpy as np
+    from geostructures_spark.operators.simsearch import kmeans_train
+    data = [(0, [1.0, 0.0]), (1, [0.0, 1.0]),
+            (2, [0.9, 0.1]), (3, [0.1, 0.9])]
+    vecs = spark.createDataFrame(data, 'vec_id long, embedding array<float>')
+    cents = {r['centroid_id']: r['c_embedding']
+             for r in kmeans_train(vecs, k=2, n_iter=1).collect()}
+    # init c0=[1,0], c1=[0,1]; cosine assigns {0,2}->c0, {1,3}->c1
+    assert np.allclose(cents[0], [0.95, 0.05])
+    assert np.allclose(cents[1], [0.05, 0.95])
