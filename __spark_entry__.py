@@ -692,11 +692,14 @@ _EXACT_DEDUP_DUCK = """
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs (4 bands, 5-shingles)."""
+    """MinHash+LSH near-dup candidate pairs (4 bands, 5-shingles).
+    Buckets larger than max_bucket=512 are dropped (observed, not silent —
+    operators/dedup.py), so one boilerplate collision can't go quadratic
+    at corpus scale; the oracle applies the same cap."""
     from geostructures_spark.operators.dedup import minhash_lsh_pairs
     _load(spark, sf_dir, 'documents')
     docs = spark.table('documents')
-    return (minhash_lsh_pairs(docs, n_bands=4, shingle_k=5)
+    return (minhash_lsh_pairs(docs, n_bands=4, shingle_k=5, max_bucket=512)
             .select(F.col('doc_a').cast('long').alias('doc_a'),
                     F.col('doc_b').cast('long').alias('doc_b'),
                     F.col('n_shared_bands').cast('long').alias('n_shared_bands'))
@@ -715,10 +718,15 @@ _MINHASH_DUCK = """
   sig AS (
     SELECT doc_id, band, MIN(substr(md5(shingle), band * 8 + 1, 8)) AS minhash
     FROM sh, (SELECT unnest([0,1,2,3]) AS band)
-    GROUP BY doc_id, band)
+    GROUP BY doc_id, band),
+  bsz AS (
+    SELECT band, minhash, COUNT(*) AS n FROM sig GROUP BY 1, 2),
+  keep AS (
+    SELECT s.* FROM sig s JOIN bsz USING (band, minhash)
+    WHERE bsz.n BETWEEN 2 AND 512)
   SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
          CAST(COUNT(DISTINCT a.band) AS BIGINT) AS n_shared_bands
-  FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+  FROM keep a JOIN keep b ON a.band = b.band AND a.minhash = b.minhash
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
   ORDER BY doc_a, doc_b
@@ -1454,7 +1462,8 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geostructures_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
     _load(spark, sf_dir, 'documents')
     docs = spark.table('documents')
-    pairs = minhash_lsh_pairs(docs, n_bands=4, shingle_k=5).select('doc_a', 'doc_b')
+    pairs = (minhash_lsh_pairs(docs, n_bands=4, shingle_k=5, max_bucket=512)
+             .select('doc_a', 'doc_b'))
     jac = ngram_jaccard_pairs(docs, pairs, n=3)
     return (jac.select(F.col('doc_a').cast('long').alias('doc_a'),
                        F.col('doc_b').cast('long').alias('doc_b'),
@@ -1473,9 +1482,14 @@ _JACCARD_DUCK = """
   sig AS (
     SELECT doc_id, band, MIN(substr(md5(shingle), band * 8 + 1, 8)) AS minhash
     FROM sh5, (SELECT unnest([0,1,2,3]) AS band) GROUP BY doc_id, band),
+  bsz AS (
+    SELECT band, minhash, COUNT(*) AS n FROM sig GROUP BY 1, 2),
+  keep AS (
+    SELECT s.* FROM sig s JOIN bsz USING (band, minhash)
+    WHERE bsz.n BETWEEN 2 AND 512),
   pairs AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+    FROM keep a JOIN keep b ON a.band = b.band AND a.minhash = b.minhash
     WHERE a.doc_id < b.doc_id),
   g3 AS (
     SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3

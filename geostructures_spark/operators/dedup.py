@@ -111,7 +111,9 @@ def minhash_signature(docs: DataFrame, n_bands: int = 8, shingle_k: int = 5,
 
 
 def minhash_lsh_pairs(docs: DataFrame, n_bands: int = 8, shingle_k: int = 5,
-                      id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
+                      id_col: str = 'doc_id', text_col: str = 'text',
+                      max_bucket: int = 512,
+                      observation=None) -> DataFrame:
     """Near-dup candidate pairs: docs sharing any band minhash bucket.
 
     Returns (doc_a, doc_b, n_shared_bands), doc_a < doc_b.
@@ -119,13 +121,44 @@ def minhash_lsh_pairs(docs: DataFrame, n_bands: int = 8, shingle_k: int = 5,
     Single pass: groupBy (band, minhash) bucket -> in-bucket pair explode.
     The signature lineage is computed ONCE (the earlier self-join form
     computed it for both sides or needed a persist it could never
-    unpersist), and the bucket groupBy is the only extra shuffle. Bucket
-    pair expansion is quadratic in bucket size by LSH's nature — run
-    exact_dedup_groups first so identical-text mega-groups never reach it."""
+    unpersist), and the bucket groupBy is the only extra shuffle.
+
+    Bucket pair expansion is quadratic in bucket size by LSH's nature, so
+    buckets larger than ``max_bucket`` are DROPPED — at corpus scale one
+    boilerplate collision (cookie banners, templated pages) would
+    otherwise go quadratic; run exact_dedup_groups first so identical-text
+    mega-groups never reach this stage at all. The drop is observable, not
+    silent: the bucket stage carries observed metrics
+    (dropped_buckets / dropped_docs / max_bucket_size) named
+    ``minhash_lsh_buckets`` — pass a ``pyspark.sql.Observation`` as
+    ``observation`` to read them after an action, or read them from any
+    QueryExecutionListener / the SQL UI. ``max_bucket=None`` disables the
+    cap.
+
+    AQE caveat: when the capped result is COMPLETELY empty, AQE's
+    empty-relation propagation collapses the plan before the metrics node
+    executes and ``Observation.get`` raises — any surviving pair keeps
+    the metrics live (the realistic corpus case). For an exact audit of
+    an all-dropped run, re-run the bucket stage directly or disable
+    ``spark.sql.adaptive.enabled`` for the query."""
     sig = minhash_signature(docs, n_bands, shingle_k, id_col, text_col)
     buckets = (sig.groupBy('band', 'minhash')
                .agg(F.collect_list(id_col).alias('docs'))
                .filter(F.size('docs') > 1))
+    if max_bucket is not None:
+        over = F.size('docs') > max_bucket
+        metrics = [
+            F.sum(F.when(over, 1).otherwise(0)).alias('dropped_buckets'),
+            F.sum(F.when(over, F.size('docs')).otherwise(0)).alias('dropped_docs'),
+            F.max(F.size('docs')).alias('max_bucket_size'),
+        ]
+        if observation is None:
+            import uuid
+            buckets = buckets.observe(
+                f'minhash_lsh_buckets_{uuid.uuid4().hex[:8]}', *metrics)
+        else:
+            buckets = buckets.observe(observation, *metrics)
+        buckets = buckets.filter(~over)
     return (buckets
             .select('band', F.explode('docs').alias('doc_a'), 'docs')
             .select('band', 'doc_a', F.explode('docs').alias('doc_b'))

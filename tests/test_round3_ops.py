@@ -168,3 +168,58 @@ def test_kmeans_train_matches_manual_lloyd(spark):
     # init c0=[1,0], c1=[0,1]; cosine assigns {0,2}->c0, {1,3}->c1
     assert np.allclose(cents[0], [0.95, 0.05])
     assert np.allclose(cents[1], [0.05, 0.95])
+
+
+# --- LSH mega-bucket cap -----------------------------------------------------
+
+def test_minhash_mega_bucket_capped(spark):
+    """10k docs colliding into one band bucket must complete with bounded
+    pairs under the cap (r2-verdict task 3: unbounded bucket explode was
+    quadratic), and the drop is observable via the Observation metrics."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Observation
+    from geostructures_spark.operators.dedup import minhash_lsh_pairs
+    # near-identical boilerplate: same 6-token prefix -> identical
+    # 5-shingle minimum under min-hash with high probability; make it
+    # certain by using FULLY identical text across 10k ids (the
+    # exact-dedup-first advice deliberately not applied here).
+    docs = (spark.range(10_000)
+            .select(F.col('id').alias('doc_id'),
+                    F.lit('the same cookie banner text appears on '
+                          'every single page of this website')
+                    .alias('text')))
+    # bounded completion under AQE (the production config)
+    pairs = minhash_lsh_pairs(docs, n_bands=4, shingle_k=5, max_bucket=100)
+    assert pairs.count() == 0          # every bucket over the cap dropped
+    # exact drop audit: AQE's empty-relation propagation collapses the
+    # metrics node when the result is fully empty (documented caveat),
+    # so read the Observation with AQE off
+    spark.conf.set('spark.sql.adaptive.enabled', 'false')
+    try:
+        obs = Observation('minhash_lsh_buckets')
+        pairs = minhash_lsh_pairs(docs, n_bands=4, shingle_k=5,
+                                  max_bucket=100, observation=obs)
+        assert pairs.count() == 0
+        got = obs.get
+        assert got['dropped_buckets'] == 4      # one mega bucket per band
+        assert got['dropped_docs'] == 40_000
+        assert got['max_bucket_size'] == 10_000
+    finally:
+        spark.conf.set('spark.sql.adaptive.enabled', 'true')
+
+
+def test_minhash_cap_keeps_small_buckets(spark):
+    """Pairs below the cap are unaffected by the cap machinery."""
+    from pyspark.sql import functions as F
+    from geostructures_spark.operators.dedup import minhash_lsh_pairs
+    docs = spark.createDataFrame(
+        [(0, 'alpha beta gamma delta epsilon zeta'),
+         (1, 'alpha beta gamma delta epsilon zeta'),
+         (2, 'totally different words here none shared at all')],
+        'doc_id long, text string')
+    uncapped = minhash_lsh_pairs(docs, n_bands=4, shingle_k=5,
+                                 max_bucket=None).collect()
+    capped = minhash_lsh_pairs(docs, n_bands=4, shingle_k=5,
+                               max_bucket=100).collect()
+    assert sorted(map(tuple, uncapped)) == sorted(map(tuple, capped))
+    assert {(r['doc_a'], r['doc_b']) for r in capped} == {(0, 1)}
