@@ -223,3 +223,24 @@ def test_minhash_cap_keeps_small_buckets(spark):
                                max_bucket=100).collect()
     assert sorted(map(tuple, uncapped)) == sorted(map(tuple, capped))
     assert {(r['doc_a'], r['doc_b']) for r in capped} == {(0, 1)}
+
+
+# --- simhash: vectorized kernel == JVM explode path == legacy semantics -----
+
+def test_simhash_df_matches_kernel(spark):
+    """The zero-Python explode+agg simhash (simhash_df) and the Arrow
+    kernel (simhash_expr) are bit-identical over real docs, including
+    empty/whitespace edge cases."""
+    from pyspark.sql import functions as F
+    from geostructures_spark.operators.dedup import simhash_df, simhash_expr
+    docs = spark.createDataFrame(
+        [(0, 'alpha beta gamma alpha'), (1, '  leading and   runs  '),
+         (2, ''), (3, 'single'), (4, 'alpha beta gamma alpha')],
+        'doc_id long, text string')
+    jvm = {r['doc_id']: r['simhash'] for r in simhash_df(docs).collect()}
+    kern = {r['doc_id']: r['simhash'] for r in
+            docs.select('doc_id',
+                        simhash_expr(F.col('text')).alias('simhash'))
+            .collect()}
+    assert jvm == kern
+    assert jvm[0] == jvm[4]  # deterministic across rows
