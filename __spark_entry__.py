@@ -1298,6 +1298,67 @@ def _shapes_from_keys(spark, sql, radius_expr):
         F.lit(None).cast('map<string,string>').alias('properties'))
 
 
+def _q_shape_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """volume (reference _base.py:697-712: exact area x interval seconds;
+    zero without a time interval). The oracle checks the time leg exactly
+    by dividing the area back out — the area factor itself is
+    pyproj-golden-verified in tests (kernels/karney.py)."""
+    from geostructures_spark.operators.derive import with_shape_derived
+    _load(spark, sf_dir, 'supplier')
+    shapes = _shapes_from_keys(spark, _pts_supplier_sql(), '50000.0e0')
+    base_s = F.lit(1_600_000_000) + F.col('shape_id') * 60
+    has_dt = F.col('shape_id') % 5 != 0
+    shapes = (shapes
+              .withColumn('dt_start',
+                          F.when(has_dt, F.timestamp_seconds(base_s)))
+              .withColumn('dt_end',
+                          F.when(has_dt, F.timestamp_seconds(
+                              base_s + (F.col('shape_id') % 7 + 1) * 3600))))
+    d = with_shape_derived(shapes)
+    return (d.select(F.col('shape_id').cast('long').alias('shape_id'),
+                     F.round(F.col('volume_m2s') / F.col('area_m2'), 6)
+                     .alias('dt_seconds'),
+                     (F.col('volume_m2s') == 0.0).cast('int')
+                     .alias('zero_volume'))
+            .orderBy('shape_id'))
+
+
+_SHAPE_VOLUME_DUCK = f"""
+  WITH s AS (SELECT qid AS shape_id FROM ({_pts_supplier_sql()}))
+  SELECT CAST(shape_id AS BIGINT) AS shape_id,
+         CASE WHEN shape_id % 5 <> 0
+              THEN ROUND(((shape_id % 7) + 1) * 3600.0e0, 6)
+              ELSE 0.0e0 END AS dt_seconds,
+         CASE WHEN shape_id % 5 = 0 THEN 1 ELSE 0 END AS zero_volume
+  FROM s ORDER BY shape_id
+"""
+
+
+def _q_unit_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit conversions (reference conversion.py:7-70): the meters-per-unit
+    constants applied through convert_to_meters over the lineitem
+    quantities (summed first so both engines multiply the same double —
+    bit-exact, no float-association drift)."""
+    from geostructures_spark.operators.derive import (
+        METERS_PER, convert_to_meters)
+    _load(spark, sf_dir, 'lineitem')
+    li = spark.table('lineitem')
+    total = F.sum(F.col('l_quantity').cast('double'))
+    return li.agg(*[convert_to_meters(total, u).alias(f'meters_from_{u}')
+                    for u in sorted(METERS_PER)])
+
+
+_UNIT_CONV_DUCK = """
+  SELECT SUM(CAST(l_quantity AS DOUBLE)) * 0.3048e0   AS meters_from_ft,
+         SUM(CAST(l_quantity AS DOUBLE)) * 1000.0e0   AS meters_from_km,
+         SUM(CAST(l_quantity AS DOUBLE)) * 1.0e0      AS meters_from_m,
+         SUM(CAST(l_quantity AS DOUBLE)) * 1609.344e0 AS meters_from_mi,
+         SUM(CAST(l_quantity AS DOUBLE)) * 1852.0e0   AS meters_from_nmi,
+         SUM(CAST(l_quantity AS DOUBLE)) * 0.9144e0   AS meters_from_yd
+  FROM lineitem
+"""
+
+
 def _q_shape_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shape-vs-shape intersects join (filter_by_intersection semantics,
     collections.py:119-131): nation-derived circles x region-derived
@@ -3086,6 +3147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_fingerprints': _q_fingerprint,
         'ngram_jaccard_pairs': _q_ngram_jaccard,
         'shape_derived_bounds': _q_shape_bounds,
+        'shape_volume': _q_shape_volume,
+        'unit_conversions': _q_unit_conversions,
         'track_extremes': _q_track_extremes,
         'simhash_buckets': _q_simhash,
         'ivf_ann_topk': _q_ivf_ann,
@@ -3162,6 +3225,8 @@ def oracle_sql() -> dict[str, str]:
         'doc_fingerprints': _FINGERPRINT_DUCK,
         'ngram_jaccard_pairs': _JACCARD_DUCK,
         'shape_derived_bounds': _SHAPE_BOUNDS_DUCK,
+        'shape_volume': _SHAPE_VOLUME_DUCK,
+        'unit_conversions': _UNIT_CONV_DUCK,
         'track_extremes': _TRACK_EXTREMES_DUCK,
         'simhash_buckets': _simhash_duckdb(),
         # media_features_stub: decode stub, plumbing-only
