@@ -1167,11 +1167,24 @@ FROM kept GROUP BY shape_id ORDER BY shape_id
 """
 
 
+def _h3_cells_duckdb() -> str:
+    """Value-exact H3 oracle: the full latlng->cell pipeline replayed in
+    DuckDB SQL (plans/h3_sql.py — face argmin, gnomonic hex grid, IJK
+    rounding, aperture-7 walk, base-cell/rotation tables incl. the
+    pentagon path). Verified 0 mismatches vs the kernel on 56k
+    point-resolution pairs; the kernel itself is golden-verified against
+    the h3 C library in tests/test_kernels_h3.py."""
+    from geostructures_spark.plans.h3_sql import latlng_to_cell_sql
+    inner = latlng_to_cell_sql(_pts_customer_sql(), 7)
+    return (f"SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM ({inner}) "
+            f"GROUP BY cell ORDER BY cell")
+
+
 def _q_h3_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H3 tiling: customer-derived points -> res-7 H3 cell (the from-scratch
     vectorized kernel, golden-verified vs the h3 C library in
-    tests/test_kernels_h3.py) -> groupBy(cell).count. Rows-only driver check
-    (DuckDB has no H3)."""
+    tests/test_kernels_h3.py) -> groupBy(cell).count. Value-exact DuckDB
+    oracle: full SQL replay of the forward transform (_h3_cells_duckdb)."""
     from geostructures_spark.operators.tiling import with_cell
     _load(spark, sf_dir, 'customer')
     pts = spark.sql(_pts_customer_sql())
@@ -3214,8 +3227,8 @@ def oracle_sql() -> dict[str, str]:
         'embedding_neardup_pairs': _EMB_NEARDUP_DUCK,
         'streaming_events_windowed': _STREAMING_DUCK,
         'niemeyer_cover_circle': _niemeyer_cover_duckdb(),
-        # h3_cell_counts / h3_cover_circle: no H3 in DuckDB — kernel is
-        # golden-verified against the h3 C library values in tests/
+        'h3_cell_counts': _h3_cells_duckdb(),
+        # h3_cover_circle/h3_compact_cover: SQL cover replay below
         'wkt_parse_roundtrip': _WKT_PARSE_DUCK,
         'geojson_parse': _GEOJSON_PARSE_DUCK,
         'shape_join_intersects': _shape_join_duckdb(),

@@ -1,0 +1,330 @@
+"""DuckDB-SQL replay of the H3 forward transform (latlng -> cell).
+
+Purpose: convert the engine's H3 contract queries from rows-only checks
+into value-exact oracles (r2-verdict task 4). DuckDB has no H3 extension
+in this environment, so the oracle re-derives every cell id from pure
+SQL arithmetic: nearest icosahedron face (20-row VALUES + argmin),
+gnomonic projection to the face hex grid, the published hex2d->IJK
+rounding, the aperture-7 upward walk collecting one digit per
+resolution, the [face][i][j][k] base-cell/rotation lookup (540-row
+VALUES generated from the kernel's calibrated tables), and the full
+rotation assembly — including the pentagon path (leading-K cw/ccw offset
+adjustment and the conditional-double-ccw pentagon rotation, which is
+algebraically equal to the reference's digit-by-digit loop; see
+_pent_rotate_sql).
+
+The SQL mirrors kernels/h3_core.py (golden-verified against the h3 C
+library) operation-for-operation; constants are embedded as exact repr
+literals so both engines compute from identical doubles. The replay is
+an independent EXECUTION of the same published algorithm — the same
+standard the Niemeyer cover oracle uses (grid constants shared, every
+arithmetic step re-run by DuckDB).
+
+No exact-tie hazards: the only round() calls act on n/7 for integer n
+(never a .5), and the int casts are explicit trunc/floor of
+non-negative values.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List
+
+import numpy as np
+
+__all__ = ['latlng_to_cell_sql', 'h3_tables_sql']
+
+
+def _r(x) -> str:
+    """Exact round-trip double literal, DuckDB-typed."""
+    s = repr(float(x))
+    if 'e' not in s and '.' not in s:
+        s += '.0'
+    return s + 'e0' if 'e' not in s else s
+
+
+def _faces_values() -> str:
+    from geostructures_spark.kernels import h3_core as H
+    H._init_faces()
+    rows = []
+    for f in range(20):
+        x, y, z = H._FACE_XYZ[f]
+        rows.append(f'({f}, {_r(x)}, {_r(y)}, {_r(z)}, '
+                    f'{_r(H._FACE_LAT[f])}, {_r(H._FACE_LON[f])}, '
+                    f'{_r(H._FACE_AZ[f])})')
+    return ('faces(face, fx, fy, fz, flat, flon, faz) AS (VALUES\n  '
+            + ',\n  '.join(rows) + ')')
+
+
+def _bc_values() -> str:
+    """[face][i][j][k] -> (base cell, ccw rotations, pentagon flag,
+    cw-offset flag) from the kernel's calibrated tables."""
+    from geostructures_spark.kernels import h3_core as H
+    from geostructures_spark.kernels import h3_tables as T
+    bc_tab, rot_tab = H._calibrated_tables()
+    rows = []
+    for f in range(20):
+        for i in range(3):
+            for j in range(3):
+                for k in range(3):
+                    bc = int(bc_tab[f, i, j, k])
+                    if bc < 0:
+                        continue
+                    rot = int(rot_tab[f, i, j, k])
+                    pent = int(T.base_cell_is_pentagon(bc))
+                    cwoff = int(pent and T.base_cell_is_cw_offset(bc, f))
+                    rows.append(f'({f},{i},{j},{k},{bc},{rot},{pent},{cwoff})')
+    return ('bctab(face, bi, bj, bk, bc, rot, pent, cwoff) AS (VALUES\n  '
+            + ',\n  '.join(rows) + ')')
+
+
+_CCW = '[0, 5, 3, 1, 6, 4, 2]'   # digit -> ccw-rotated digit (1-indexed via d+1)
+_CW = '[0, 3, 6, 2, 5, 1, 4]'
+
+
+def _rotpow_literal() -> str:
+    from geostructures_spark.kernels import h3_core as H
+    return ('[' + ', '.join(
+        '[' + ', '.join(str(int(v)) for v in H._ROT60CCW_POW[r]) + ']'
+        for r in range(6)) + ']')
+
+
+def _norm_layers(pipe: '_Pipe', a: str, b: str, c: str, out: str) -> None:
+    """ijk normalization (kernels/h3_core.py _ijk_normalize): three signed
+    folds then min-subtraction, one CTE layer each."""
+    a0, b0, c0 = f'{out}_a0', f'{out}_b0', f'{out}_c0'
+    pipe.layer({a0: f'CASE WHEN {a} < 0 THEN 0 ELSE {a} END',
+                b0: f'CASE WHEN {a} < 0 THEN {b} - {a} ELSE {b} END',
+                c0: f'CASE WHEN {a} < 0 THEN {c} - {a} ELSE {c} END'})
+    a1, b1, c1 = f'{out}_a1', f'{out}_b1', f'{out}_c1'
+    pipe.layer({a1: f'CASE WHEN {b0} < 0 THEN {a0} - {b0} ELSE {a0} END',
+                b1: f'CASE WHEN {b0} < 0 THEN 0 ELSE {b0} END',
+                c1: f'CASE WHEN {b0} < 0 THEN {c0} - {b0} ELSE {c0} END'})
+    a2, b2, c2 = f'{out}_a2', f'{out}_b2', f'{out}_c2'
+    pipe.layer({a2: f'CASE WHEN {c1} < 0 THEN {a1} - {c1} ELSE {a1} END',
+                b2: f'CASE WHEN {c1} < 0 THEN {b1} - {c1} ELSE {b1} END',
+                c2: f'CASE WHEN {c1} < 0 THEN 0 ELSE {c1} END'})
+    m = f'LEAST({a2}, {b2}, {c2})'
+    pipe.layer({f'{out}_i': f'{a2} - {m}',
+                f'{out}_j': f'{b2} - {m}',
+                f'{out}_k': f'{c2} - {m}'})
+
+
+class _Pipe:
+    """Chained-CTE builder: each layer adds computed columns on top of the
+    previous CTE (SELECT *, <new> FROM prev)."""
+
+    def __init__(self, base_name: str):
+        self.prev = base_name
+        self.ctes: List[str] = []
+        self.n = 0
+
+    def layer(self, exprs: dict) -> str:
+        self.n += 1
+        name = f's{self.n}'
+        cols = ',\n    '.join(f'{e} AS {k}' for k, e in exprs.items())
+        self.ctes.append(f'{name} AS (\n  SELECT *,\n    {cols}\n'
+                         f'  FROM {self.prev})')
+        self.prev = name
+        return name
+
+
+def latlng_to_cell_sql(points_sql: str, res: int,
+                       id_col: str = 'pid') -> str:
+    """SQL producing ({id_col}, cell) — H3 cell hex strings at ``res`` for
+    every row of ``points_sql`` (must expose {id_col}, lon, lat).
+
+    Mirrors kernels/h3_core.py latlng_to_cell exactly; see module
+    docstring. Points whose base-cell walk lands outside the [0,2]^3
+    table range (the kernel's epsilon-retry path) would drop from the
+    join and surface as a row-count mismatch — an honest failure, never
+    a silently wrong cell."""
+    from geostructures_spark.kernels import h3_tables as T
+
+    class_iii = res % 2 == 1
+    sqrt7_pow = _r(T.M_SQRT7 ** res)
+    res0 = _r(T.RES0_U_GNOMONIC)
+    ap7rot = _r(T.M_AP7_ROT_RADS)
+    sin60 = _r(math.sqrt(3.0) / 2.0)
+    tau = _r(2 * math.pi)
+
+    pipe = _Pipe('pf')
+
+    # --- gnomonic projection onto the nearest face's res grid ---
+    pos_az = f'(CASE WHEN az < 0 THEN az + {tau} WHEN az >= {tau} THEN az - {tau} ELSE az END)'
+    pipe.layer({
+        'r_ang': 'acos(GREATEST(-1.0e0, LEAST(1.0e0, 1.0e0 - sqd / 2.0e0)))',
+        'az': ('atan2(cos(radians(lat)) * sin(radians(lon) - flon), '
+               'cos(flat) * sin(radians(lat)) - sin(flat) * '
+               'cos(radians(lat)) * cos(radians(lon) - flon))'),
+    })
+    pipe.layer({'th0': f'faz - {pos_az}'})
+    pipe.layer({'th1': f'(CASE WHEN th0 < 0 THEN th0 + {tau} WHEN th0 >= {tau} THEN th0 - {tau} ELSE th0 END)'})
+    if class_iii:
+        pipe.layer({'th2': f'th1 - {ap7rot}'})
+        pipe.layer({'theta': f'(CASE WHEN th2 < 0 THEN th2 + {tau} WHEN th2 >= {tau} THEN th2 - {tau} ELSE th2 END)'})
+    else:
+        pipe.layer({'theta': 'th1'})
+    pipe.layer({'rr': f'tan(r_ang) / {res0} * {sqrt7_pow}'})
+    pipe.layer({
+        'hx': 'CASE WHEN sqd < 1e-20 THEN 0.0e0 ELSE rr * cos(theta) END',
+        'hy': 'CASE WHEN sqd < 1e-20 THEN 0.0e0 ELSE rr * sin(theta) END',
+    })
+
+    # --- hex2d -> IJK (published rounding, branch-for-branch) ---
+    pipe.layer({
+        'a1': 'abs(hx)', 'a2': 'abs(hy)',
+    })
+    pipe.layer({'hx2': f'a2 / {sin60}'})
+    pipe.layer({'hx1': 'a1 + hx2 / 2.0e0'})
+    pipe.layer({
+        'm1': 'CAST(trunc(hx1) AS BIGINT)', 'm2': 'CAST(trunc(hx2) AS BIGINT)',
+    })
+    pipe.layer({'r1': 'hx1 - m1', 'r2': 'hx2 - m2'})
+    # i/j selection table from the reference rounding
+    i_expr = """CASE
+      WHEN r1 < 0.5e0 THEN CASE
+        WHEN r1 < (1.0e0/3.0e0) THEN m1
+        WHEN ((1.0e0 - r1) <= r2) AND (r2 < (2.0e0 * r1)) THEN m1 + 1
+        ELSE m1 END
+      ELSE CASE
+        WHEN r1 < (2.0e0/3.0e0) THEN
+          CASE WHEN ((2.0e0 * r1 - 1.0e0) < r2) AND (r2 < (1.0e0 - r1))
+               THEN m1 ELSE m1 + 1 END
+        ELSE m1 + 1 END
+      END"""
+    j_expr = """CASE
+      WHEN r1 < 0.5e0 THEN CASE
+        WHEN r1 < (1.0e0/3.0e0) THEN
+          CASE WHEN r2 < ((1.0e0 + r1) / 2.0e0) THEN m2 ELSE m2 + 1 END
+        ELSE CASE WHEN r2 < (1.0e0 - r1) THEN m2 ELSE m2 + 1 END END
+      ELSE CASE
+        WHEN r1 < (2.0e0/3.0e0) THEN
+          CASE WHEN r2 < (1.0e0 - r1) THEN m2 ELSE m2 + 1 END
+        ELSE CASE WHEN r2 < (r1 / 2.0e0) THEN m2 ELSE m2 + 1 END END
+      END"""
+    pipe.layer({'qi': i_expr, 'qj': j_expr})
+    # fold across axes (j >= 0 throughout, so // is plain floor)
+    pipe.layer({'fi': """CASE WHEN hx < 0.0e0 THEN
+        CASE WHEN qj % 2 = 0 THEN qi - 2 * (qi - qj // 2)
+             ELSE qi - (2 * (qi - (qj + 1) // 2) + 1) END
+        ELSE qi END"""})
+    pipe.layer({
+        'gi': 'CASE WHEN hy < 0.0e0 THEN fi - (2 * qj + 1) // 2 ELSE fi END',
+        'gj': 'CASE WHEN hy < 0.0e0 THEN -qj ELSE qj END',
+    })
+    _norm_layers(pipe, 'gi', 'gj', '0', f'w{res}')
+
+    # --- aperture-7 upward walk: digit per resolution ---
+    for r in range(res, 0, -1):
+        cur = f'w{r}'       # ijk at res r (normalized)
+        parent = f'w{r - 1}'
+        ci, cj, ck = f'{cur}_i', f'{cur}_j', f'{cur}_k'
+        pipe.layer({f'di{r}': f'CAST({ci} - {ck} AS DOUBLE)',
+                    f'dj{r}': f'CAST({cj} - {ck} AS DOUBLE)'})
+        if r % 2 == 1:  # class III child: _up_ap7
+            up_i = f'CAST(round((3.0e0 * di{r} - dj{r}) / 7.0e0) AS BIGINT)'
+            up_j = f'CAST(round((di{r} + 2.0e0 * dj{r}) / 7.0e0) AS BIGINT)'
+        else:           # class II child: _up_ap7r
+            up_i = f'CAST(round((2.0e0 * di{r} + dj{r}) / 7.0e0) AS BIGINT)'
+            up_j = f'CAST(round((3.0e0 * dj{r} - di{r}) / 7.0e0) AS BIGINT)'
+        pipe.layer({f'u{r}_i': up_i, f'u{r}_j': up_j})
+        _norm_layers(pipe, f'u{r}_i', f'u{r}_j', '0', parent)
+        pi, pj, pk = f'{parent}_i', f'{parent}_j', f'{parent}_k'
+        # center = down(parent), matching variant; non-negative combos so
+        # only the min-subtraction step of normalize applies
+        if r % 2 == 1:  # _down_ap7: i->(3,0,1), j->(1,3,0), k->(0,1,3)
+            c_i = f'(3 * {pi} + 1 * {pj} + 0 * {pk})'
+            c_j = f'(0 * {pi} + 3 * {pj} + 1 * {pk})'
+            c_k = f'(1 * {pi} + 0 * {pj} + 3 * {pk})'
+        else:           # _down_ap7r: i->(3,1,0), j->(0,3,1), k->(1,0,3)
+            c_i = f'(3 * {pi} + 0 * {pj} + 1 * {pk})'
+            c_j = f'(1 * {pi} + 3 * {pj} + 0 * {pk})'
+            c_k = f'(0 * {pi} + 1 * {pj} + 3 * {pk})'
+        pipe.layer({f'c{r}_i0': c_i, f'c{r}_j0': c_j, f'c{r}_k0': c_k})
+        cm = f'LEAST(c{r}_i0, c{r}_j0, c{r}_k0)'
+        pipe.layer({f'c{r}_i': f'c{r}_i0 - {cm}',
+                    f'c{r}_j': f'c{r}_j0 - {cm}',
+                    f'c{r}_k': f'c{r}_k0 - {cm}'})
+        # digit = unit-vector match of normalize(cur - center)
+        _norm_layers(pipe, f'({ci} - c{r}_i)', f'({cj} - c{r}_j)',
+                     f'({ck} - c{r}_k)', f'e{r}')
+        pipe.layer({f'd{r}': f"""CASE
+          WHEN e{r}_i = 0 AND e{r}_j = 0 AND e{r}_k = 0 THEN 0
+          WHEN e{r}_i = 0 AND e{r}_j = 0 AND e{r}_k = 1 THEN 1
+          WHEN e{r}_i = 0 AND e{r}_j = 1 AND e{r}_k = 0 THEN 2
+          WHEN e{r}_i = 0 AND e{r}_j = 1 AND e{r}_k = 1 THEN 3
+          WHEN e{r}_i = 1 AND e{r}_j = 0 AND e{r}_k = 0 THEN 4
+          WHEN e{r}_i = 1 AND e{r}_j = 0 AND e{r}_k = 1 THEN 5
+          WHEN e{r}_i = 1 AND e{r}_j = 1 AND e{r}_k = 0 THEN 6
+          ELSE -1 END"""})
+
+    # digits list (res entries, index 1 = res 1 digit)
+    ds_lit = ('[' + ', '.join(f'd{r}' for r in range(1, res + 1)) + ']'
+              if res >= 1 else 'CAST([] AS BIGINT[])')
+    pipe.layer({'ds': ds_lit})
+    walk = pipe.prev
+
+    # --- base cell lookup + rotation assembly ---
+    rotpow = _rotpow_literal()
+    lead = "coalesce(list_filter({0}, d -> d != 0)[1], 0)"
+    # pentagon leading-K adjustment (cw when cwoff, ccw otherwise)
+    pent_adj = f"""CASE
+      WHEN pent = 1 AND {lead.format('ds')} = 1 THEN
+        CASE WHEN cwoff = 1
+             THEN list_transform(ds, d -> {_CW}[d + 1])
+             ELSE list_transform(ds, d -> {_CCW}[d + 1]) END
+      ELSE ds END"""
+    # one pentagon ccw rotation == rotate all digits ccw, then once more
+    # if the leading nonzero digit became K (algebraic collapse of the
+    # reference's sequential loop; see kernels/h3_core.py _rotate_pent60ccw)
+    pent_step = (f"CASE WHEN {lead.format('list_transform({0}, d -> ' + _CCW + '[d + 1])')} = 1 "
+                 f"THEN list_transform(list_transform({{0}}, d -> {_CCW}[d + 1]), d -> {_CCW}[d + 1]) "
+                 f"ELSE list_transform({{0}}, d -> {_CCW}[d + 1]) END")
+
+    asm = [f"""lk AS (
+  SELECT w.*, b.bc, b.rot, b.pent, b.cwoff
+  FROM {walk} w
+  JOIN bctab b ON b.face = w.face AND b.bi = w.w0_i
+              AND b.bj = w.w0_j AND b.bk = w.w0_k)"""]
+    asm.append(f"""p0 AS (
+  SELECT *, {pent_adj} AS pd0 FROM lk)""")
+    prev = 'pd0'
+    for it in range(1, 6):
+        step = pent_step.format(prev)
+        asm.append(f"""p{it} AS (
+  SELECT *, CASE WHEN pent = 1 AND rot >= {it} THEN {step}
+                 ELSE {prev} END AS pd{it} FROM p{it - 1})""")
+        prev = f'pd{it}'
+    asm.append(f"""fin AS (
+  SELECT *, CASE WHEN pent = 1 THEN {prev}
+                 ELSE list_transform(ds, d -> {rotpow}[rot + 1][d + 1]) END
+            AS fd FROM p5)""")
+    # index assembly: mode 1, res, base cell, digits, trailing 7s
+    head = (1 << 59) | (res << 52)
+    trailing = sum(7 << (3 * (15 - rr)) for rr in range(res + 1, 16))
+    digit_terms = ' + '.join(
+        f'CAST(fd[{r}] AS BIGINT) * {1 << (3 * (15 - r))}'
+        for r in range(1, res + 1)) or '0'
+    asm.append(f"""idx AS (
+  SELECT {id_col}, {head + trailing} + CAST(bc AS BIGINT) * {1 << 45}
+         + {digit_terms} AS h FROM fin)""")
+
+    ctes = ',\n'.join(
+        [f'h3pts AS ({points_sql})',
+         _faces_values(),
+         _bc_values(),
+         """pf AS (
+  SELECT * FROM (
+    SELECT q.*, ROW_NUMBER() OVER (PARTITION BY q.""" + id_col + """
+                                   ORDER BY q.sqd ASC, q.face ASC) AS fr
+    FROM (
+      SELECT p.*, f.face, f.flat, f.flon, f.faz,
+             (cos(radians(p.lat)) * cos(radians(p.lon)) - f.fx) ^ 2
+             + (cos(radians(p.lat)) * sin(radians(p.lon)) - f.fy) ^ 2
+             + (sin(radians(p.lat)) - f.fz) ^ 2 AS sqd
+      FROM h3pts p CROSS JOIN faces f) q) z
+  WHERE fr = 1)"""]
+        + pipe.ctes + asm)
+    return (f'WITH {ctes}\n'
+            f'SELECT {id_col}, printf(\'%x\', h) AS cell FROM idx')
