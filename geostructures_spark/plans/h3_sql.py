@@ -128,6 +128,17 @@ class _Pipe:
         self.prev = name
         return name
 
+    def join(self, join_clause: str, exprs: dict) -> str:
+        """Layer with a JOIN: SELECT prev.*, <exprs> FROM prev <join>."""
+        self.n += 1
+        name = f's{self.n}'
+        cols = ',\n    '.join(f'{e} AS {k}' for k, e in exprs.items())
+        self.ctes.append(
+            f'{name} AS (\n  SELECT {self.prev}.*,\n    {cols}\n'
+            f'  FROM {self.prev} {join_clause})')
+        self.prev = name
+        return name
+
 
 def latlng_to_cell_sql(points_sql: str, res: int,
                        id_col: str = 'pid') -> str:
@@ -328,3 +339,236 @@ def latlng_to_cell_sql(points_sql: str, res: int,
         + pipe.ctes + asm)
     return (f'WITH {ctes}\n'
             f'SELECT {id_col}, printf(\'%x\', h) AS cell FROM idx')
+
+
+def _affine_fn_values(adj_res: int) -> str:
+    """face_neighbors overage transforms as a VALUES table with the
+    rot-ccw matrix composed in Python (rot is constant per entry) and the
+    translation pre-scaled by unitScaleByCIIres[adj_res]."""
+    from geostructures_spark.kernels import h3_core as H
+    fn = H.face_neighbors()
+    unit = H._UNIT_SCALE_BY_CII_RES[adj_res]
+    rows = []
+    for face, quads in fn.items():
+        for quad, (g, rot, trans) in quads.items():
+            m = np.eye(3, dtype=np.int64)
+            r_ccw = np.array([[1, 0, 1], [1, 1, 0], [0, 1, 1]],
+                             dtype=np.int64)  # raw ccw rotate60
+            for _ in range(rot):
+                m = r_ccw @ m
+            t = [int(v) * unit for v in trans]
+            rows.append(f"({face}, '{quad}', {g}, "
+                        + ', '.join(str(int(v)) for v in m.reshape(-1))
+                        + f', {t[0]}, {t[1]}, {t[2]})')
+    return ('fnt(face, quad, g, m00, m01, m02, m10, m11, m12, '
+            'm20, m21, m22, t0, t1, t2) AS (VALUES\n  '
+            + ',\n  '.join(rows) + ')')
+
+
+def _bchome_values() -> str:
+    from geostructures_spark.kernels import h3_tables as T
+    rows = []
+    for bc, (face, ijk, pent, _off) in enumerate(T.BASE_CELL_DATA):
+        rows.append(f'({bc}, {face}, {ijk[0]}, {ijk[1]}, {ijk[2]}, {int(pent == 1)})')
+    return ('bchome(bc, hface, hi, hj, hk, pent) AS (VALUES\n  '
+            + ',\n  '.join(rows) + ')')
+
+
+_POSMOD = '(CASE WHEN ({0} % {1}) < 0 THEN ({0} % {1}) + {1} ELSE ({0} % {1}) END)'
+
+
+def _overage_app(pipe: '_Pipe', tag: str, i: str, j: str, k: str,
+                 face: str, guard: str, max_dim: int,
+                 pent_l4: str = 'FALSE') -> tuple:
+    """One _adjust_overage_class_ii application (non-substrate), guarded.
+    Returns (i', j', k', face', applied') column names."""
+    s = f'({i} + {j} + {k})'
+    pipe.layer({f'{tag}_ov': f'({guard}) AND {s} > {max_dim}',
+                f'{tag}_q': f"""CASE WHEN {k} > 0 THEN
+                    CASE WHEN {j} > 0 THEN 'jk' ELSE 'ki' END
+                    ELSE 'ij' END"""})
+    # pentagon leading-4 rotation out of the missing-k subsequence
+    # (about the pentagon center (max_dim, 0, 0), raw cw)
+    pi_ = f"""CASE WHEN {pent_l4} AND {tag}_q = 'ki'
+              THEN (({i} - {max_dim}) + {j}) + {max_dim}
+              ELSE {i} END"""
+    pj_ = f"CASE WHEN {pent_l4} AND {tag}_q = 'ki' THEN {j} + {k} ELSE {j} END"
+    pk_ = f"""CASE WHEN {pent_l4} AND {tag}_q = 'ki'
+              THEN ({i} - {max_dim}) + {k} ELSE {k} END"""
+    pipe.layer({f'{tag}_pi': pi_, f'{tag}_pj': pj_, f'{tag}_pk': pk_})
+    pipe.join(f'LEFT JOIN fnt {tag}_f ON {tag}_f.face = {face} '
+              f'AND {tag}_f.quad = {tag}_q',
+              {f'{tag}_g': f'{tag}_f.g',
+               **{f'{tag}_m{a}{b}': f'{tag}_f.m{a}{b}'
+                  for a in range(3) for b in range(3)},
+               **{f'{tag}_t{a}': f'{tag}_f.t{a}' for a in range(3)}})
+    pipe.layer({
+        f'{tag}_ri': (f'CASE WHEN {tag}_ov THEN {tag}_m00 * {tag}_pi + '
+                      f'{tag}_m01 * {tag}_pj + {tag}_m02 * {tag}_pk + {tag}_t0 '
+                      f'ELSE {i} END'),
+        f'{tag}_rj': (f'CASE WHEN {tag}_ov THEN {tag}_m10 * {tag}_pi + '
+                      f'{tag}_m11 * {tag}_pj + {tag}_m12 * {tag}_pk + {tag}_t1 '
+                      f'ELSE {j} END'),
+        f'{tag}_rk': (f'CASE WHEN {tag}_ov THEN {tag}_m20 * {tag}_pi + '
+                      f'{tag}_m21 * {tag}_pj + {tag}_m22 * {tag}_pk + {tag}_t2 '
+                      f'ELSE {k} END'),
+        f'{tag}_gf': f'CASE WHEN {tag}_ov THEN {tag}_g ELSE {face} END',
+    })
+    _norm_layers(pipe, f'{tag}_ri', f'{tag}_rj', f'{tag}_rk', f'{tag}n')
+    return (f'{tag}n_i', f'{tag}n_j', f'{tag}n_k', f'{tag}_gf', f'{tag}_ov')
+
+
+def cell_to_latlng_sql(cells_sql: str, res: int,
+                       id_cols: str = 'cid', h_col: str = 'h') -> str:
+    """SQL producing ({id_cols}, clat, clng) — the H3 cell center in
+    degrees for every row of ``cells_sql`` (exposing {id_cols} and a
+    BIGINT index column {h_col}). Mirrors kernels/h3_core.py
+    cell_to_latlng: pentagon leading-5 adjustment, class-aware downward
+    descent, the overage face-crossing adjustment (pentagon cascade
+    unrolled 3 deep), and the spherical az/distance destination."""
+    from geostructures_spark.kernels import h3_core as H
+    from geostructures_spark.kernels import h3_tables as T
+
+    class_iii = res % 2 == 1
+    adj_res = res + 1 if class_iii else res
+    max_dim = H._MAX_DIM_BY_CII_RES[adj_res]
+    sqrt7_pow = _r(T.M_SQRT7 ** res)
+    res0 = _r(T.RES0_U_GNOMONIC)
+    ap7rot = _r(T.M_AP7_ROT_RADS)
+    sin60 = _r(math.sqrt(3.0) / 2.0)
+    tau = _r(2 * math.pi)
+    eps = '1e-10'
+    pi_lit = _r(math.pi)
+    halfpi = _r(math.pi / 2)
+
+    pipe = _Pipe('hcells')
+    pipe.layer({'hbc': f'CAST(({h_col} >> 45) & 127 AS INTEGER)',
+                'ds0': '[' + ', '.join(
+                    f'CAST(({h_col} >> {3 * (15 - r)}) & 7 AS BIGINT)'
+                    for r in range(1, res + 1)) + ']'})
+    pipe.join('JOIN bchome bh ON bh.bc = hbc',
+              {'hface': 'bh.hface', 'hi': 'bh.hi', 'hj': 'bh.hj',
+               'hk': 'bh.hk', 'pent': 'bh.pent'})
+    lead = "coalesce(list_filter({0}, d -> d != 0)[1], 0)"
+    pipe.layer({'ds': f"""CASE WHEN pent = 1 AND {lead.format('ds0')} = 5
+        THEN list_transform(ds0, d -> {_CW}[d + 1]) ELSE ds0 END"""})
+    pipe.layer({'pl4': f'pent = 1 AND {lead.format("ds")} = 4',
+                'no_ov': f'pent = 0 AND hi = 0 AND hj = 0 AND hk = 0'})
+
+    # descent from the base cell home ijk
+    ci, cj, ck = 'hi', 'hj', 'hk'
+    ui = '[0, 0, 0, 0, 1, 1, 1]'
+    uj = '[0, 0, 1, 1, 0, 0, 1]'
+    uk = '[0, 1, 0, 1, 0, 1, 0]'
+    for r in range(1, res + 1):
+        if r % 2 == 1:  # class III: _down_ap7
+            di = f'(3 * {ci} + 1 * {cj} + 0 * {ck}) + {ui}[ds[{r}] + 1]'
+            dj = f'(0 * {ci} + 3 * {cj} + 1 * {ck}) + {uj}[ds[{r}] + 1]'
+            dk = f'(1 * {ci} + 0 * {cj} + 3 * {ck}) + {uk}[ds[{r}] + 1]'
+        else:           # class II: _down_ap7r
+            di = f'(3 * {ci} + 0 * {cj} + 1 * {ck}) + {ui}[ds[{r}] + 1]'
+            dj = f'(1 * {ci} + 3 * {cj} + 0 * {ck}) + {uj}[ds[{r}] + 1]'
+            dk = f'(0 * {ci} + 1 * {cj} + 3 * {ck}) + {uk}[ds[{r}] + 1]'
+        pipe.layer({f'v{r}_i0': di, f'v{r}_j0': dj, f'v{r}_k0': dk})
+        m = f'LEAST(v{r}_i0, v{r}_j0, v{r}_k0)'
+        pipe.layer({f'v{r}_i': f'v{r}_i0 - {m}',
+                    f'v{r}_j': f'v{r}_j0 - {m}',
+                    f'v{r}_k': f'v{r}_k0 - {m}'})
+        ci, cj, ck = f'v{r}_i', f'v{r}_j', f'v{r}_k'
+
+    # overage adjustment on the (possibly finer) Class II grid
+    if class_iii:
+        pipe.layer({'a_i0': f'3 * {ci} + 0 * {cj} + 1 * {ck}',
+                    'a_j0': f'1 * {ci} + 3 * {cj} + 0 * {ck}',
+                    'a_k0': f'0 * {ci} + 1 * {cj} + 3 * {ck}'})
+        m = 'LEAST(a_i0, a_j0, a_k0)'
+        pipe.layer({'a_i': 'a_i0 - ' + m, 'a_j': 'a_j0 - ' + m,
+                    'a_k': 'a_k0 - ' + m})
+        ai, aj, ak = 'a_i', 'a_j', 'a_k'
+    else:
+        ai, aj, ak = ci, cj, ck
+
+    oi, oj, ok, oface, ov1 = _overage_app(
+        pipe, 'o1', ai, aj, ak, 'hface', 'NOT no_ov', max_dim, 'pl4')
+    applied = ov1
+    for it in (2, 3, 4):
+        oi, oj, ok, oface, ovn = _overage_app(
+            pipe, f'o{it}', oi, oj, ok, oface,
+            f'pent = 1 AND {applied}', max_dim)
+        pipe.layer({f'ap{it}': f'{applied} OR {ovn}'})
+        applied = f'ap{it}'
+
+    if class_iii:
+        # up_ap7r back to the odd res (round halves impossible: n/7)
+        pipe.layer({'b_di': f'CAST({oi} - {ok} AS DOUBLE)',
+                    'b_dj': f'CAST({oj} - {ok} AS DOUBLE)'})
+        pipe.layer({
+            'b_i0': 'CAST(round((2.0e0 * b_di + b_dj) / 7.0e0) AS BIGINT)',
+            'b_j0': 'CAST(round((3.0e0 * b_dj - b_di) / 7.0e0) AS BIGINT)'})
+        _norm_layers(pipe, 'b_i0', 'b_j0', '0', 'bn')
+        up_i, up_j, up_k = 'bn_i', 'bn_j', 'bn_k'
+    else:
+        up_i, up_j, up_k = oi, oj, ok
+
+    pipe.layer({
+        'f_i': f'CASE WHEN {applied} THEN {up_i} ELSE {ci} END',
+        'f_j': f'CASE WHEN {applied} THEN {up_j} ELSE {cj} END',
+        'f_k': f'CASE WHEN {applied} THEN {up_k} ELSE {ck} END',
+        'f_face': f'CASE WHEN {applied} THEN {oface} ELSE hface END',
+    })
+
+    # ijk -> hex2d -> geo (mirrors _hex2d_to_geo + _geo_az_distance)
+    pipe.join('JOIN faces ff ON ff.face = f_face',
+              {'gflat': 'ff.flat', 'gflon': 'ff.flon', 'gfaz': 'ff.faz'})
+    pipe.layer({'gx': 'CAST(f_i - f_k AS DOUBLE) - 0.5e0 * (f_j - f_k)',
+                'gy': f'CAST(f_j - f_k AS DOUBLE) * {sin60}'})
+    pipe.layer({'gr0': 'sqrt(gx * gx + gy * gy)'})
+    pipe.layer({'gth0': 'atan2(gy, gx)'})
+    pipe.layer({'gdist': f'atan(gr0 / {sqrt7_pow} * {res0})'})
+    if class_iii:
+        pipe.layer({'gth1': _POSMOD.format(f'(gth0 + {ap7rot})', tau)})
+    else:
+        pipe.layer({'gth1': 'gth0'})
+    pipe.layer({'gaz0': _POSMOD.format('(gfaz - gth1)', tau)})
+    pipe.layer({'gaz': _POSMOD.format('gaz0', tau)})
+    # destination point (spherical), with the kernel's edge handling
+    pipe.layer({'d_ns': f'gaz < {eps} OR abs(gaz - {pi_lit}) < {eps}'})
+    pipe.layer({'lat_ns': f"""CASE WHEN gaz < {eps} THEN gflat + gdist
+                              ELSE gflat - gdist END"""})
+    pipe.layer({'sinlat': f"""GREATEST(-1.0e0, LEAST(1.0e0,
+        sin(gflat) * cos(gdist) + cos(gflat) * sin(gdist) * cos(gaz)))"""})
+    pipe.layer({'lat_g': 'asin(sinlat)'})
+    pipe.layer({'lat2': f"""CASE
+        WHEN gr0 < {eps} OR gdist < {eps} THEN gflat
+        WHEN d_ns THEN CASE
+            WHEN abs(lat_ns - {halfpi}) < {eps} THEN {halfpi}
+            WHEN abs(lat_ns + {halfpi}) < {eps} THEN -{halfpi}
+            ELSE lat_ns END
+        WHEN abs(lat_g - {halfpi}) < {eps} THEN {halfpi}
+        WHEN abs(lat_g + {halfpi}) < {eps} THEN -{halfpi}
+        ELSE lat_g END"""})
+    pipe.layer({'at_pole': f"""(NOT (gr0 < {eps} OR gdist < {eps}))
+        AND ((d_ns AND (abs(lat_ns - {halfpi}) < {eps}
+                        OR abs(lat_ns + {halfpi}) < {eps}))
+             OR ((NOT d_ns) AND (abs(lat_g - {halfpi}) < {eps}
+                                 OR abs(lat_g + {halfpi}) < {eps})))"""})
+    pipe.layer({'sinlon': """GREATEST(-1.0e0, LEAST(1.0e0,
+        sin(gaz) * sin(gdist) / cos(lat2)))""",
+                'coslon': """GREATEST(-1.0e0, LEAST(1.0e0,
+        (cos(gdist) - sin(gflat) * sinlat)
+        / (cos(gflat) * cos(lat2))))"""})
+    pipe.layer({'lon_g0': 'gflon + atan2(sinlon, coslon)'})
+    pipe.layer({'lon_g': f"""CASE WHEN lon_g0 > {pi_lit} THEN lon_g0 - {tau}
+        WHEN lon_g0 < -{pi_lit} THEN lon_g0 + {tau} ELSE lon_g0 END"""})
+    pipe.layer({'lon2': f"""CASE
+        WHEN gr0 < {eps} OR gdist < {eps} THEN gflon
+        WHEN at_pole THEN 0.0e0
+        WHEN d_ns THEN gflon
+        ELSE lon_g END"""})
+
+    ctes = ',\n'.join([f'hcells AS ({cells_sql})',
+                       _faces_values(), _bchome_values(),
+                       _affine_fn_values(adj_res)] + pipe.ctes)
+    return (f'WITH {ctes}\n'
+            f'SELECT {id_cols}, degrees(lat2) AS clat, degrees(lon2) AS clng '
+            f'FROM {pipe.prev}')
