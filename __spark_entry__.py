@@ -1193,9 +1193,26 @@ def _q_h3_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy('cell'))
 
 
+def _h3_cover_duckdb() -> str:
+    from geostructures_spark.plans.h3_sql import circle_cover_counts_sql
+    return circle_cover_counts_sql(
+        f'SELECT qid AS shape_id, q_lon, q_lat FROM ({_pts_supplier_sql()})',
+        5, 100_000.0)
+
+
+def _h3_compact_duckdb() -> str:
+    from geostructures_spark.plans.h3_sql import compact_roundtrip_sql
+    return compact_roundtrip_sql(
+        f'SELECT qid AS shape_id, q_lon, q_lat FROM ({_pts_supplier_sql()}) '
+        f'WHERE qid <= 40', 6, 150_000.0)
+
+
 def _q_h3_cover_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H3 shape covers (H3Hasher.hash_shape polyfill semantics): supplier
-    100km circles -> res-5 cover cell counts per shape. Rows-only check."""
+    100km circles -> res-5 cover cell counts per shape. Value-exact
+    DuckDB oracle: full SQL replay of the polyfill (plans/h3_sql.py —
+    forward transform over a polar candidate grid at res-1, child
+    expansion, inverse transform for centers, even-odd PIP keep test)."""
     from geostructures_spark.operators.tiling import cover_shapes
     _load(spark, sf_dir, 'supplier')
     sup = spark.sql(_pts_supplier_sql())
@@ -1215,8 +1232,10 @@ def _q_h3_compact_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H3 compact/uncompact over shape covers (public compactCells
     semantics, kernels/h3_core.py hierarchy ops): res-6 circle covers are
     losslessly compacted per shape; the query certifies the round trip by
-    recomputing the full cover from the compacted one. Rows-only check
-    (DuckDB has no H3); the kernel invariants are golden-tested."""
+    recomputing the full cover from the compacted one. Value-exact DuckDB
+    oracle: SQL replay of cover + compact + uncompact (plans/h3_sql.py
+    compact_roundtrip_sql), so the hierarchy ops are derived
+    independently, not assumed."""
     from geostructures_spark.operators.tiling import (
         compact_cover, cover_shapes, uncompact_cover)
     _load(spark, sf_dir, 'supplier')
@@ -3228,7 +3247,8 @@ def oracle_sql() -> dict[str, str]:
         'streaming_events_windowed': _STREAMING_DUCK,
         'niemeyer_cover_circle': _niemeyer_cover_duckdb(),
         'h3_cell_counts': _h3_cells_duckdb(),
-        # h3_cover_circle/h3_compact_cover: SQL cover replay below
+        'h3_cover_circle': _h3_cover_duckdb(),
+        'h3_compact_cover': _h3_compact_duckdb(),
         'wkt_parse_roundtrip': _WKT_PARSE_DUCK,
         'geojson_parse': _GEOJSON_PARSE_DUCK,
         'shape_join_intersects': _shape_join_duckdb(),

@@ -106,13 +106,39 @@ def _seed_cells(outline: np.ndarray, res: int, extra_lon=None, extra_lat=None) -
         seeds_lat.append(np.atleast_1d(extra_lat))
     slon = np.concatenate(seeds_lon)
     slat = np.concatenate(seeds_lat)
+    # outline may be in an unwrapped (antimeridian-continuous) frame;
+    # wrap seeds back into [-180, 180) for the encoder
+    slon = np.mod(slon + 180.0, 360.0) - 180.0
     return {H.h3_to_str(int(c)) for c in H.latlng_to_cell(slat, slon, res)}
 
 
+def _unwrap_ring(ring: np.ndarray) -> np.ndarray:
+    """Make a wrapped (normalized-longitude) ring continuous: any edge
+    jumping more than 180 deg shifts the rest of the ring by ±360, so an
+    antimeridian-crossing outline becomes a plain polygon in an extended
+    frame. Identity for rings that don't wrap."""
+    ring = np.asarray(ring, dtype=np.float64)
+    lon = ring[:, 0]
+    d = np.diff(lon)
+    adj = np.where(d > 180.0, -360.0, np.where(d < -180.0, 360.0, 0.0))
+    out = ring.copy()
+    out[1:, 0] = lon[1:] + np.cumsum(adj)
+    return out
+
+
 def polygon_to_cells(rings: List[np.ndarray], res: int) -> Set[str]:
-    """Centroid-containment polyfill of [outline, *holes] rings."""
+    """Centroid-containment polyfill of [outline, *holes] rings.
+
+    Antimeridian-crossing outlines are handled correctly (unwrapped into
+    a continuous frame; candidate centers shifted into that frame before
+    the PIP keep test). The reference's own H3 dependency declares
+    transmeridian polygons unsupported (h3 polyfill produces the
+    lat-band complement there), so this is a deliberate
+    correctness-over-parity divergence — verified by the independent
+    SQL cover replay (plans/h3_sql.py, r3)."""
     ensure_malloc_tuned()
-    outline = np.asarray(rings[0], dtype=np.float64)
+    outline = _unwrap_ring(np.asarray(rings[0], dtype=np.float64))
+    frame = float(outline[0, 0])
     min_lon, min_lat, max_lon, max_lat = geom.ring_bounds(outline)
     pad = 2.2 * _HEX_RADIUS_KM[res] / 111.0
     b0, b1 = min_lon - pad, max_lon + pad
@@ -128,16 +154,20 @@ def polygon_to_cells(rings: List[np.ndarray], res: int) -> Set[str]:
         frontier = []
         for cell in new:
             la, ln = idx.center(cell)
+            ln = ln + 360.0 * round((frame - ln) / 360.0)
             if b0 <= ln <= b1 and b2 <= la <= b3:
                 frontier.append(cell)
 
     cells = sorted(checked)
     lons = np.array([idx.center(c)[1] for c in cells])
     lats = np.array([idx.center(c)[0] for c in cells])
+    lons = lons + 360.0 * np.round((frame - lons) / 360.0)
     inside = geom.points_in_polygon(lons, lats, outline)
     for hole in rings[1:]:
         if inside.any():
-            inside &= ~geom.points_in_polygon(lons, lats, np.asarray(hole))
+            hole_u = _unwrap_ring(np.asarray(hole))
+            hole_u[:, 0] += 360.0 * round((frame - hole_u[0, 0]) / 360.0)
+            inside &= ~geom.points_in_polygon(lons, lats, hole_u)
     return {c for c, ok in zip(cells, inside) if ok}
 
 

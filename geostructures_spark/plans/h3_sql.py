@@ -142,6 +142,7 @@ class _Pipe:
 
 def latlng_to_cell_sql(points_sql: str, res: int,
                        id_col: str = 'pid') -> str:
+    # id_col may be a comma-separated list of id columns
     """SQL producing ({id_col}, cell) — H3 cell hex strings at ``res`` for
     every row of ``points_sql`` (must expose {id_col}, lon, lat).
 
@@ -572,3 +573,299 @@ def cell_to_latlng_sql(cells_sql: str, res: int,
     return (f'WITH {ctes}\n'
             f'SELECT {id_cols}, degrees(lat2) AS clat, degrees(lon2) AS clng '
             f'FROM {pipe.prev}')
+
+
+def circle_cover_counts_sql(shapes_sql: str, res: int, radius_m: float,
+                            ring_k: int = 36) -> str:
+    """Per-shape H3 polyfill COUNTS for circles (see
+    circle_cover_cells_sql): (shape_id, n_cells)."""
+    inner = circle_cover_cells_sql(shapes_sql, res, radius_m, ring_k)
+    return (f"SELECT CAST(shape_id AS BIGINT) AS shape_id, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_cells FROM ({inner}) "
+            f"GROUP BY shape_id ORDER BY shape_id")
+
+
+def circle_cover_cells_sql(shapes_sql: str, res: int, radius_m: float,
+                           ring_k: int = 36) -> str:
+    """Per-shape H3 polyfill CELL SET for circles, fully replayed in
+    SQL: (shape_id, h) rows where h is the BIGINT index of each res cell
+    whose center lies inside the circle's discretized ring — the
+    centroid-containment polyfill of kernels/h3_cover.py
+    polygon_to_cells (antimeridian circles handled via the unwrapped
+    ring frame, matching the r3 kernel fix).
+
+    ``shapes_sql`` must expose (shape_id, q_lon, q_lat).
+
+    Replay structure:
+    1. ring vertices: the kernel's circle_ring (k haversine destination
+       points, CCW from angle 2*pi, normalize_lonlat wrap).
+    2. candidate cells: a POLAR sample grid around each center pushed
+       through the forward latlng->cell replay at res-1 (grid spacing
+       under the res-1 hex inradius even at worst-case gnomonic
+       distortion, radius padded by the res-1 circumradius so every
+       possible PARENT of a kept cell is sampled), then each parent
+       expands to its 7 children (6 for pentagons) by bit arithmetic.
+       The polar frame needs no antimeridian or pole special-casing.
+    3. centers: the inverse cell->center replay on the distinct cells.
+    4. keep: the reference's even-odd ray-cast PIP (edge antimeridian
+       unbounding, point shifted to the edge frame, 10-dp round-half-up
+       crossing compare, boundary excluded) of each center vs the ring.
+    """
+    import math as _m
+
+    from geostructures_spark.kernels import h3_cover as HC
+    from geostructures_spark.kernels import h3_tables as T
+
+    R = 6371000.0
+    tau = _r(2 * _m.pi)
+    pres = res - 1
+    # worst-case res-1 inradius ~ circum * cos30 * 0.75 gnomonic shrink;
+    # spacing below it guarantees every parent cell holds a sample
+    step = HC._HEX_RADIUS_KM[pres] * 0.7 * 1000.0
+    pad = HC._HEX_RADIUS_KM[pres] * 1.5 * 1000.0
+    n_rad = int(_m.ceil((radius_m + pad + step) / step))
+
+    # destination-point expression pieces (shared by ring + grid)
+    def dest(lat1, lon1, brad, ang):
+        sinlat2 = (f'(sin({lat1}) * cos({ang}) + cos({lat1}) * sin({ang})'
+                   f' * cos({brad}))')
+        lat2 = f'asin({sinlat2})'
+        lon2 = (f'({lon1} + atan2(sin({brad}) * sin({ang}) * cos({lat1}), '
+                f'cos({ang}) - sin({lat1}) * {sinlat2}))')
+        return lat2, lon2
+
+    lat2, lon2 = dest('radians(q_lat)', 'radians(q_lon)', 'brad', 'ang')
+
+    # 1. ring vertices (vertex vi=1..k maps to the kernel's i=k..1 CCW).
+    # RAW destination longitudes (no normalization): for a small circle
+    # the raw ring is already continuous around the center — exactly the
+    # kernel's unwrap(normalize(ring)) frame (normalize's +-360 vertex
+    # wraps are float-exact at these magnitudes, so unwrapping restores
+    # the raw values bit-for-bit).
+    ring_sql = f"""
+      SELECT shape_id, vi,
+             degrees({lon2}) AS vlon,
+             degrees({lat2}) AS vlat
+      FROM (
+        SELECT s.shape_id, s.q_lon, s.q_lat, t.vi,
+               radians(degrees({_r(2 * _m.pi / ring_k)} *
+                               ({ring_k} + 1 - t.vi))) AS brad,
+               {_r(radius_m / R)} AS ang
+        FROM ({shapes_sql}) s CROSS JOIN range(1, {ring_k + 1}) t(vi))"""
+
+    # 2. polar candidate grid: ring rk=1..n_rad at dist rk*step-step/2,
+    #    n_az = ceil(tau * dist / step) points; plus the center itself
+    grid_sql = f"""
+      SELECT shape_id, gidx, lon, lat FROM (
+        SELECT s.shape_id,
+               g.rk * 100000 + g.ai AS gidx,
+               degrees({lon2}) AS lon, degrees({lat2}) AS lat
+        FROM ({shapes_sql}) s
+        JOIN (
+          SELECT r.rk, a.ai,
+                 CAST(r.rk AS DOUBLE) * {_r(step)} - {_r(step / 2)} AS dist
+          FROM range(1, {n_rad + 1}) r(rk)
+          CROSS JOIN range(0, {int(_m.ceil(2 * _m.pi * (n_rad * step) / step)) + 1}) a(ai)
+          WHERE a.ai < CAST(ceil({tau} * (CAST(r.rk AS DOUBLE) * {_r(step)} - {_r(step / 2)}) / {_r(step)}) AS BIGINT)
+        ) g ON TRUE
+        CROSS JOIN LATERAL (SELECT radians(360.0e0 * g.ai /
+                 ceil({tau} * g.dist / {_r(step)})) AS brad,
+                 g.dist / {_r(R)} AS ang) x
+        UNION ALL
+        SELECT shape_id, 0 AS gidx, q_lon AS lon, q_lat AS lat
+        FROM ({shapes_sql}))"""
+
+    fwd = latlng_to_cell_sql(grid_sql, pres, id_col='shape_id, gidx')
+
+    # parent -> children expansion (one level, digit pres+1 = res):
+    # pentagon parents (pentagon base cell, digits 1..pres all zero)
+    # skip the K child
+    shift = 3 * (15 - res)
+    pent_bcs = [bc for bc in range(T.NUM_BASE_CELLS)
+                if T.base_cell_is_pentagon(bc)]
+    pent_list = '(' + ', '.join(map(str, pent_bcs)) + ')'
+    if pres > 0:
+        pmask = ((1 << (3 * pres)) - 1) << (3 * (15 - pres))
+        parent_pent = (f'(CAST((ph >> 45) & 127 AS INTEGER) IN {pent_list} '
+                       f'AND (ph & {pmask}) = 0)')
+    else:
+        parent_pent = f'(CAST((ph >> 45) & 127 AS INTEGER) IN {pent_list})'
+    expand_sql = f"""
+  SELECT shape_id,
+         (((ph & ~(15::BIGINT << 52)) | ({res}::BIGINT << 52))
+           & ~(7::BIGINT << {shift})) | (d.d::BIGINT << {shift}) AS h
+  FROM pcand CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS d) d
+  WHERE NOT ({parent_pent} AND d.d = 1)"""
+
+    inv = cell_to_latlng_sql('SELECT h AS cid, h FROM cells', res,
+                             id_cols='cid')
+
+    # 4. PIP of centers vs ring edges (kernels/geometry.py
+    #    points_in_polygon, include_boundary=False)
+    rhu = "round({0} + 1e-22, 10)"
+    return f"""
+WITH pcand AS MATERIALIZED (
+  SELECT DISTINCT shape_id,
+         CAST(('0x' || cell) AS UBIGINT)::BIGINT AS ph
+  FROM ({fwd})),
+cand AS MATERIALIZED ({expand_sql}),
+cells AS (SELECT DISTINCT h FROM cand),
+cent AS (SELECT cid AS h, clat, clng FROM ({inv})),
+shf AS (SELECT shape_id AS fs_id, q_lon AS frame FROM ({shapes_sql})),
+cc AS (
+  -- candidate centers shifted into the ring's longitudinal frame
+  -- (kernel polygon_to_cells frame-shift; frame ~ first ring vertex
+  -- = the due-north destination = the center longitude)
+  SELECT c.shape_id, c.h, ct.clat AS t_lat,
+         ct.clng + 360.0e0 * round((f.frame - ct.clng) / 360.0e0)
+           AS p_lon0
+  FROM cand c
+  JOIN cent ct ON ct.h = c.h
+  JOIN shf f ON f.fs_id = c.shape_id),
+redge AS (
+  SELECT a.shape_id, a.vi,
+         a.vlon AS ga0, a.vlat AS la,
+         b.vlon AS gb0, b.vlat AS lb
+  FROM ({ring_sql}) a
+  JOIN ({ring_sql}) b
+    ON b.shape_id = a.shape_id AND b.vi = (a.vi % {ring_k}) + 1),
+eb AS (
+  SELECT shape_id, vi, la, lb, ga0 AS ga,
+         CASE WHEN abs(ga0 - gb0) > 180.0e0 THEN
+           CASE WHEN ga0 < 0.0e0 THEN gb0 - 360.0e0 ELSE gb0 + 360.0e0 END
+         ELSE gb0 END AS gb
+  FROM redge),
+pe AS (
+  SELECT cc.shape_id, cc.h, cc.t_lat, e.la, e.lb, e.ga, e.gb,
+         CASE WHEN cc.p_lon0 - (e.ga + e.gb) / 2.0e0 > 180.0e0
+              THEN cc.p_lon0 - 360.0e0
+              WHEN (e.ga + e.gb) / 2.0e0 - cc.p_lon0 > 180.0e0
+              THEN cc.p_lon0 + 360.0e0
+              ELSE cc.p_lon0 END AS p_lon
+  FROM cc JOIN eb e ON e.shape_id = cc.shape_id),
+px AS (
+  SELECT *, la = lb AS horiz,
+         CASE WHEN la = lb THEN 1e308
+              ELSE {rhu.format('ga + (t_lat - la) * (gb - ga) / (lb - la)')}
+         END AS lon_cross
+  FROM pe),
+pv AS (
+  SELECT shape_id, h,
+         MAX(CASE WHEN (horiz AND la = t_lat
+                        AND LEAST(ga, gb) <= p_lon
+                        AND p_lon <= GREATEST(ga, gb))
+                  OR ((NOT horiz)
+                      AND LEAST(la, lb) <= t_lat
+                      AND t_lat <= GREATEST(la, lb)
+                      AND lon_cross = {rhu.format('p_lon')})
+                  THEN 1 ELSE 0 END) AS on_boundary,
+         SUM(CASE WHEN (NOT horiz)
+                       AND ((la > t_lat) <> (lb > t_lat))
+                       AND lon_cross > p_lon
+                  THEN 1 ELSE 0 END) AS crossings
+  FROM px GROUP BY shape_id, h)
+SELECT shape_id, h FROM pv
+WHERE on_boundary = 0 AND crossings % 2 = 1"""
+
+
+def compact_roundtrip_sql(shapes_sql: str, res: int, radius_m: float) -> str:
+    """Independent SQL replay of the compact/uncompact round trip over
+    circle covers: per shape (n_full, n_compact, rt_count_ok,
+    rt_cells_ok) — the h3_compact_cover contract columns.
+
+    compact: res..1 iterations merging any parent whose full sibling set
+    (7, or 6 for a pentagon parent — the K child does not exist) is
+    present, exactly kernels/h3_core.py compact_cells. uncompact: the
+    merged parents expand back to res via unrolled child joins (pentagon
+    K-child skip mirrored); the round-trip set compares against the
+    original cover with an anti-join, so rt_cells_ok is derived, not
+    assumed."""
+    from geostructures_spark.kernels import h3_tables as T
+
+    pent_bcs = [bc for bc in range(T.NUM_BASE_CELLS)
+                if T.base_cell_is_pentagon(bc)]
+    pent_list = '(' + ', '.join(map(str, pent_bcs)) + ')'
+
+    def is_pent(h, r):
+        """h is a res-r index: pentagon iff pentagon base cell and all
+        digits 1..r are 0 (center descent)."""
+        if r == 0:
+            return f'(CAST(({h} >> 45) & 127 AS INTEGER) IN {pent_list})'
+        mask = ((1 << (3 * r)) - 1) << (3 * (15 - r))
+        return (f'(CAST(({h} >> 45) & 127 AS INTEGER) IN {pent_list} '
+                f'AND ({h} & {mask}) = 0)')
+
+    cover = circle_cover_cells_sql(shapes_sql, res, radius_m)
+
+    # compact: iterate res -> 1; carry two pools: still-mergeable cells
+    # at the current res (curN) and emitted output (outN). MATERIALIZED
+    # keeps DuckDB from re-inlining the expensive cover replay at every
+    # one of the many references.
+    ctes = [f'cov AS MATERIALIZED ({cover})',
+            f'cur{res} AS MATERIALIZED (SELECT shape_id, h FROM cov)',
+            'out_base AS (SELECT shape_id, h FROM cov WHERE FALSE)']
+    out_parts = ['SELECT shape_id, h FROM out_base']
+    for r in range(res, 0, -1):
+        shift = 3 * (15 - r)
+        # parent at res r-1: clear res field, set r-1, set digit r to 7
+        parent = (f'((h & ~(15::BIGINT << 52)) | ({r - 1}::BIGINT << 52) '
+                  f'| (7::BIGINT << {shift}))')
+        ctes.append(f"""grp{r} AS MATERIALIZED (
+  SELECT shape_id, {parent} AS p, COUNT(*) AS nk
+  FROM cur{r} GROUP BY shape_id, {parent})""")
+        ctes.append(f"""merged{r} AS MATERIALIZED (
+  SELECT shape_id, p FROM grp{r}
+  WHERE nk = CASE WHEN {is_pent('p', r - 1)} THEN 6 ELSE 7 END)""")
+        ctes.append(f"""cur{r - 1} AS MATERIALIZED (
+  SELECT shape_id, p AS h FROM merged{r})""")
+        out_parts.append(f"""SELECT c.shape_id, c.h FROM cur{r} c
+  LEFT JOIN merged{r} m
+    ON m.shape_id = c.shape_id AND m.p = {parent.replace('h', 'c.h')}
+  WHERE m.p IS NULL""")
+    out_parts.append('SELECT shape_id, h FROM cur0')
+    ctes.append('comp AS (' + '\nUNION ALL\n'.join(out_parts) + ')')
+
+    # uncompact: expand each compacted cell back to res level by level;
+    # the pentagon test uses the cell's own res-dependent digit mask
+    # (all digits 1..hres zero on a pentagon base cell)
+    pent_dynamic = (f'(CAST((e.h >> 45) & 127 AS INTEGER) IN {pent_list} '
+                    f'AND (e.h & ((((1::BIGINT << (3 * e.hres)) - 1)'
+                    f' << (3 * (15 - e.hres))))) = 0)')
+    ctes.append(f"""ex{0} AS (
+  SELECT shape_id, h, CAST((h >> 52) & 15 AS INTEGER) AS hres FROM comp)""")
+    for step in range(res):
+        # cells below res gain one level: 7 children (6 for pentagons,
+        # K child skipped); cells already at res pass through
+        ctes.append(f"""ex{step + 1} AS MATERIALIZED (
+  SELECT shape_id, h, hres FROM ex{step} WHERE hres >= {res}
+  UNION ALL
+  SELECT e.shape_id,
+         (((e.h & ~(15::BIGINT << 52)) | ((e.hres + 1)::BIGINT << 52))
+           & ~(7::BIGINT << (3 * (15 - (e.hres + 1)))))
+           | (d.d::BIGINT << (3 * (15 - (e.hres + 1)))) AS h,
+         e.hres + 1 AS hres
+  FROM ex{step} e
+  CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS d) d
+  WHERE e.hres < {res}
+    AND NOT ({pent_dynamic} AND d.d = 1))""")
+    ctes.append(f"""rt AS (SELECT shape_id, h FROM ex{res})""")
+
+    full_sql = 'WITH ' + ',\n'.join(ctes)
+
+    return full_sql + f""",
+nf AS (SELECT shape_id, COUNT(*) AS n_full FROM cov GROUP BY shape_id),
+nc AS (SELECT shape_id, COUNT(*) AS n_compact FROM comp GROUP BY shape_id),
+nr AS (
+  SELECT r.shape_id, COUNT(*) AS n_rt,
+         SUM(CASE WHEN c.h IS NULL THEN 1 ELSE 0 END) AS n_extra
+  FROM rt r LEFT JOIN cov c
+    ON c.shape_id = r.shape_id AND c.h = r.h
+  GROUP BY r.shape_id)
+SELECT CAST(nf.shape_id AS BIGINT) AS shape_id,
+       CAST(n_full AS BIGINT) AS n_full,
+       CAST(n_compact AS BIGINT) AS n_compact,
+       (n_rt = n_full) AS rt_count_ok,
+       (n_extra = 0) AS rt_cells_ok
+FROM nf JOIN nc ON nc.shape_id = nf.shape_id
+JOIN nr ON nr.shape_id = nf.shape_id
+ORDER BY shape_id"""

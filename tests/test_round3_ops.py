@@ -278,3 +278,37 @@ def test_knn_auto_matches_exact_two_configs(spark):
                        max_ring=4, point_key='url').collect()}
     assert b == exact
     assert suggest_ring(pts, k=5, length=2, base=16) >= 1
+
+
+# --- H3 polyfill: antimeridian-crossing outlines ----------------------------
+
+def test_h3_polyfill_antimeridian_circle():
+    """A circle straddling the antimeridian must polyfill to cells near
+    the circle only — the r3 SQL cover replay exposed ~109 spurious
+    cells 1000+ km away from the wrapped ring (h3 C polyfill declares
+    transmeridian polygons unsupported; our kernel now handles them
+    correctly via ring unwrapping)."""
+    import numpy as np
+    from geostructures_spark.kernels import h3_core as H
+    from geostructures_spark.kernels.geodesy import haversine_distance
+    from geostructures_spark.kernels.h3_cover import cover_shape_h3
+    shape = {'kind': 'circle',
+             'params': {'center_lon': -179.999877,
+                        'center_lat': -84.999679,
+                        'radius': 100_000.0},
+             'rings': None}
+    cells = cover_shape_h3(shape, 5)
+    assert 80 < len(cells) < 200        # ~ area / res5 cell area
+    for c in cells:
+        la, ln = H.cell_to_latlng(c)
+        d = float(haversine_distance(
+            np.array([-179.999877]), np.array([-84.999679]),
+            np.array([ln]), np.array([la]))[0])
+        assert d < 110_000.0            # no far-side spurious cells
+    # non-wrapping circles are untouched by the unwrap (identity path)
+    plain = {'kind': 'circle',
+             'params': {'center_lon': 10.0, 'center_lat': 45.0,
+                        'radius': 100_000.0},
+             'rings': None}
+    cells2 = cover_shape_h3(plain, 5)
+    assert 90 < len(cells2) < 160
