@@ -114,9 +114,33 @@ def _stress_spatial(spark, sf_dir: str) -> dict:
     return out
 
 
+def _cpu_ticks():
+    """(steal, total) jiffies from /proc/stat — the co-tenant steal
+    evidence the r2 verdict asked the bench to carry (a single driver run
+    on this host can be 2-6x inflated during a steal burst; the emitted
+    record lets the reader attribute a regression to noise vs plan)."""
+    try:
+        with open('/proc/stat') as f:
+            parts = f.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        return vals[7] if len(vals) > 7 else 0, sum(vals)
+    except OSError:
+        return 0, 0
+
+
+def _loadavg():
+    try:
+        with open('/proc/loadavg') as f:
+            return [float(v) for v in f.read().split()[:3]]
+    except OSError:
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
     sf = sf_dir.rstrip('/').split('sf')[-1]
+    steal0, total0 = _cpu_ticks()
+    load0 = _loadavg()
 
     import __spark_entry__ as em
     from geostructures_spark.operators.miner import mine_points
@@ -127,6 +151,7 @@ def main() -> None:
     spark = get_session(app='bench')
     qs = em.queries()
     timings = {}
+    spread = {}
 
     # warm the JVM/Arrow path once (excluded from timings)
     qs['pip_triangle_counts'](spark, sf_dir).collect()
@@ -134,12 +159,14 @@ def main() -> None:
     for name in HEADLINE:
         # min of 3 runs: this sandbox shows bursty external CPU steal, and
         # min is the standard noise-robust point estimate
-        best = float('inf')
+        samples = []
         for _ in range(3):
             t0 = time.time()
             qs[name](spark, sf_dir).collect()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        timings[name] = round(min(samples), 3)
+        # best-of-N spread: a wide max/min ratio marks steal-burst noise
+        spread[name] = round(max(samples) / min(samples), 2)
 
     # web-scale pages pipeline: generate -> mine+tile (fused) -> aggregate;
     # min of 2 runs (bursty external CPU steal on this host)
@@ -157,6 +184,16 @@ def main() -> None:
     stress = _stress_spatial(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
+    steal1, total1 = _cpu_ticks()
+    dt_total = max(1, total1 - total0)
+    noise = {
+        'loadavg_start': load0,
+        'loadavg_end': _loadavg(),
+        'steal_ticks': steal1 - steal0,
+        'cpu_ticks': dt_total,
+        'steal_pct': round(100.0 * (steal1 - steal0) / dt_total, 2),
+        'spread_max_over_min': spread,
+    }
     print(json.dumps({
         'metric': 'headline_total',
         'value': total,
@@ -167,6 +204,7 @@ def main() -> None:
         'pages_pipeline_rows': PAGES_BENCH_ROWS,
         'pages_per_sec': round(PAGES_BENCH_ROWS / pages_sec, 1),
         'pages_cells': n_cells,
+        'noise': noise,
     }))
     spark.stop()
 

@@ -494,3 +494,31 @@ def points_in_ring_udf(ring: np.ndarray, include_boundary: bool = False):
         return pd.Series(res, index=lon.index)
 
     return _pip
+
+
+def tm_projection_udfs(lon0: float, k0: float = 1.0, x0: float = 0.0,
+                       y0: float = 0.0, lat0: float = 0.0):
+    """(forward_udf, inverse_udf) for a generic WGS84 Transverse Mercator
+    (arbitrary central meridian / scale / false offsets / latitude of
+    origin) — the proj-parameter form of the non-UTM TM EPSG family,
+    running the same Krüger kernel as the UTM/MGRS path
+    (kernels/mgrs.py; reference delegates to pyproj,
+    coordinates.py:210-234)."""
+    from geostructures_spark.kernels.mgrs import (
+        tm_forward_params, tm_inverse_params)
+
+    @F.pandas_udf('struct<x:double,y:double>')
+    def _fwd(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        xx, yy = tm_forward_params(lon.to_numpy(np.float64),
+                                   lat.to_numpy(np.float64),
+                                   lon0, k0, x0, y0, lat0)
+        return pd.DataFrame({'x': xx, 'y': yy}, index=lon.index)
+
+    @F.pandas_udf('struct<lon:double,lat:double>')
+    def _inv(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        lon, lat = tm_inverse_params(x.to_numpy(np.float64),
+                                     y.to_numpy(np.float64),
+                                     lon0, k0, x0, y0, lat0)
+        return pd.DataFrame({'lon': lon, 'lat': lat}, index=x.index)
+
+    return _fwd, _inv

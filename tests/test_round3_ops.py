@@ -312,3 +312,30 @@ def test_h3_polyfill_antimeridian_circle():
              'rings': None}
     cells2 = cover_shape_h3(plain, 5)
     assert 90 < len(cells2) < 160
+
+
+# --- generic Transverse Mercator --------------------------------------------
+
+def test_tm_params_utm_equivalence_and_lat0():
+    """tm_forward_params with UTM constants reproduces utm_forward
+    bit-for-bit; lat0 shifts the northing origin to the given parallel
+    (forward(lat0, lon0) == (x0, y0)); round trips close to ~1e-13 deg."""
+    from geostructures_spark.kernels.mgrs import (
+        K0, tm_forward_params, tm_inverse_params, utm_forward)
+    lon = np.array([9.5, 7.2, 11.9])
+    lat = np.array([48.0, -33.5, 62.1])
+    _, _, e, n = utm_forward(lon, lat)
+    x, y = tm_forward_params(lon, lat, 9.0, K0, 500_000.0, 0.0)
+    assert np.array_equal(e, x)
+    # UTM northing uses the south false offset; compare north rows only
+    assert np.array_equal(n[[0, 2]], y[[0, 2]])
+    x0, y0 = tm_forward_params(np.array([13.5]), np.array([45.0]),
+                               13.5, 1.0003, 250_000.0, -100_000.0,
+                               lat0=45.0)
+    assert abs(x0[0] - 250_000.0) < 1e-9
+    assert abs(y0[0] + 100_000.0) < 1e-6
+    lon2, lat2 = tm_inverse_params(
+        *tm_forward_params(lon, lat, 10.0, 1.0, 0.0, 0.0, lat0=30.0),
+        10.0, 1.0, 0.0, 0.0, lat0=30.0)
+    assert np.allclose(lon2, lon, atol=1e-11)
+    assert np.allclose(lat2, lat, atol=1e-11)
