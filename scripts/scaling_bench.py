@@ -84,6 +84,77 @@ def _sub(code: str, *args: str) -> str:
     return out.stdout
 
 
+
+
+INNER_SLICE = r'''
+import glob, json, os, sys, time
+sys.path.insert(0, {repo!r})
+from geostructures_spark.plans.session import get_session
+from geostructures_spark.operators.miner import mine_cell_counts
+
+cores = int(sys.argv[1]); nslices = int(sys.argv[2]); slice_i = int(sys.argv[3])
+reps = int(sys.argv[4]); path = sys.argv[5]; barrier_dir = sys.argv[6]
+os.makedirs('/dev/shm/spark-local', exist_ok=True)
+files = sorted(glob.glob(os.path.join(path, 'part-*')))
+mine = files[slice_i::nslices] if nslices > 1 else files
+spark = get_session(app=f'scale-q{{slice_i}}', cores=cores,
+                    shuffle_partitions=max(cores * 4, 32),
+                    extra_conf={{'spark.sql.files.maxPartitionBytes': str(8 * 1024 * 1024),
+                                'spark.local.dir': '/dev/shm/spark-local'}})
+read = lambda: spark.read.parquet(*mine)
+for _ in range(2):
+    mine_cell_counts(read()).count()
+walls = []
+for rep in range(reps):
+    # barrier: all JVMs start each timed pass together, like a cluster
+    # job dispatching a stage to every executor at once
+    open(os.path.join(barrier_dir, f'ready_{{slice_i}}_{{rep}}'), 'w').close()
+    while not os.path.exists(os.path.join(barrier_dir, f'go_{{rep}}')):
+        time.sleep(0.02)
+    t0 = time.time()
+    mine_cell_counts(read()).count()
+    walls.append(time.time() - t0)
+print(json.dumps({{'slice': slice_i, 'walls': [round(w, 3) for w in walls]}}))
+spark.stop()
+'''
+
+
+def _run_multijvm(path: str, rows: int, reps: int, cores: int, njvm: int):
+    """njvm concurrent local[cores] JVMs over disjoint part-file slices,
+    timed passes barrier-synced; wall per rep = max over JVMs (the
+    cluster-stage model: a stage finishes when its last executor does)."""
+    import shutil
+    import tempfile as _tf
+    import time as _t
+
+    barrier = _tf.mkdtemp(prefix='gs_barrier_')
+    procs = []
+    try:
+        for i in range(njvm):
+            procs.append(subprocess.Popen(
+                [sys.executable, '-c', INNER_SLICE.format(repo=REPO),
+                 str(cores), str(njvm), str(i), str(reps), path, barrier],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True))
+        for rep in range(reps):
+            while not all(os.path.exists(os.path.join(barrier, f'ready_{i}_{rep}'))
+                          for i in range(njvm)):
+                _t.sleep(0.05)
+            open(os.path.join(barrier, f'go_{rep}'), 'w').close()
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=1800)
+            if p.returncode != 0:
+                raise RuntimeError(f'slice JVM failed rc={p.returncode}')
+            line = [l for l in out.splitlines() if l.startswith('{')][-1]
+            outs.append(json.loads(line))
+        per_rep = [max(o['walls'][rep] for o in outs) for rep in range(reps)]
+        best = min(per_rep)
+        return {'cores': cores, 'njvm': njvm, 'wall_sec': round(best, 2),
+                'pages_per_sec': round(rows / best, 1)}
+    finally:
+        shutil.rmtree(barrier, ignore_errors=True)
+
+
 def _run_pair(path: str, rows: int, reps: int, n_lo: int, n_hi: int):
     res = {}
     for cores in (n_lo, n_hi):
@@ -104,15 +175,40 @@ def main() -> None:
     primary, eff_p = _run_pair(path, rows, reps, 2, 8)
     named, eff_n = _run_pair(path, rows, reps, 8, 32)
 
+    # multi-JVM high-end pair: N = 1 executor-like JVM, 4N = 4 concurrent
+    # JVMs on disjoint quarter slices (barrier-synced; wall = slowest JVM)
+    mj = {}
+    for c in (6, 8):
+        base = _run_multijvm(path, rows, reps, cores=c, njvm=1)
+        quad = _run_multijvm(path, rows, reps, cores=c, njvm=4)
+        mj[c] = {'N': base, '4N': quad,
+                 'efficiency': round(
+                     quad['pages_per_sec'] / base['pages_per_sec'] / 4.0, 3)}
+
     result = {
         'job': 'pages read -> mine+tile+partial-count (fused Arrow stage) -> agg',
         'rows': rows,
         'primary_pair': {'N': primary[2], '4N': primary[8], 'efficiency': eff_p},
         'named_pair_8_32': {'N': named[8], '4N': named[32], 'efficiency': eff_n},
+        'multijvm_1x6_to_4x6': mj[6],
+        'multijvm_1x8_to_4x8': mj[8],
         'gate': '>= 0.8 (north rule, N -> 4N)',
         'passes': eff_p >= 0.8,
     }
     print(json.dumps(result))
+
+    # preserve hand-maintained sections (anything from the marker on)
+    keep = ''
+    marker = '<!-- hand-maintained below -->'
+    try:
+        with open(os.path.join(REPO, 'BENCH.md')) as f:
+            old = f.read()
+        if marker in old:
+            keep = old[old.index(marker):]
+        elif '## Round 2 measured deltas' in old:
+            keep = marker + '\n\n' + old[old.index('## Round 2 measured deltas'):]
+    except OSError:
+        pass
     with open(os.path.join(REPO, 'BENCH.md'), 'w') as f:
         f.write(f"""# BENCH — two-parallelism scaling (N -> 4N proxy)
 
@@ -147,6 +243,18 @@ the 2->8 pair — both configs far from the host ceiling — is the faithful
 proxy for adding executors. Both pairs are reported so the judge sees the
 raw numbers either way.
 
+## Multi-JVM high-end pair: 1 JVM (N) vs 4 concurrent JVMs (4N)
+
+Each JVM is an executor stand-in: its own process, GC, shuffle manager
+and Arrow Python workers, reading a disjoint quarter of the part files;
+timed passes are barrier-synced and a pass's wall is the SLOWEST JVM
+(a cluster stage finishes when its last executor does).
+
+| pair | N pages/sec | 4N pages/sec | efficiency |
+|---|---|---|---|
+| 1x local[6] -> 4x local[6] (24 cores, inside the ~27 free) | {mj[6]['N']['pages_per_sec']:,} | {mj[6]['4N']['pages_per_sec']:,} | **{mj[6]['efficiency']:.3f}** |
+| 1x local[8] -> 4x local[8] (32 cores, brushes host ceiling) | {mj[8]['N']['pages_per_sec']:,} | {mj[8]['4N']['pages_per_sec']:,} | {mj[8]['efficiency']:.3f} |
+
 ## Why the plan scales
 
 The measured path is one embarrassingly-parallel scan+mine+tile stage
@@ -161,7 +269,8 @@ than cores, shuffle payload ~ distinct cells only.
   cold runs measure the hypervisor, hence the double warmup;
 - host disk writes ~140 MB/s: shuffle goes to tmpfs;
 - bursty co-tenant CPU steal: best-of-{reps} walls.
-""")
+
+""" + keep)
 
 
 if __name__ == '__main__':
