@@ -172,6 +172,27 @@ def main() -> None:
     path = os.path.join(tmp, 'pages.parquet')
     _sub(SETUP.format(repo=REPO), str(rows), path)
 
+    # multijvm-only mode: re-sample the high-end executor-model pairs
+    # (alternating N / 4N legs so a steal burst can't hit only one side)
+    only = os.environ.get('SPARK_GRAFT_SCALE_MULTIJVM_ONLY')
+    if only:
+        cores_list = [int(c) for c in only.split(',')]
+        out = {}
+        for c in cores_list:
+            legs = {'N': [], '4N': []}
+            for _ in range(int(os.environ.get('SPARK_GRAFT_SCALE_ROUNDS', '2'))):
+                legs['N'].append(_run_multijvm(path, rows, reps, c, 1))
+                legs['4N'].append(_run_multijvm(path, rows, reps, c, 4))
+            best_n = max(l['pages_per_sec'] for l in legs['N'])
+            best_q = max(l['pages_per_sec'] for l in legs['4N'])
+            out[f'1x{c}_to_4x{c}'] = {
+                'N_pages_per_sec': best_n, '4N_pages_per_sec': best_q,
+                'efficiency': round(best_q / best_n / 4.0, 3),
+                'all_N': [l['pages_per_sec'] for l in legs['N']],
+                'all_4N': [l['pages_per_sec'] for l in legs['4N']]}
+        print(json.dumps(out))
+        return
+
     primary, eff_p = _run_pair(path, rows, reps, 2, 8)
     named, eff_n = _run_pair(path, rows, reps, 8, 32)
 
