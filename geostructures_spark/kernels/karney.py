@@ -45,6 +45,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from geostructures_spark.kernels import ensure_malloc_tuned
+
 from geostructures_spark.kernels.geodesy import WGS84_A, WGS84_B, WGS84_F
 
 __all__ = [
@@ -105,6 +107,7 @@ def karney_destination(lon, lat, bearing_deg, distance_m):
     Returns (lon2_deg, lat2_deg, azi2_deg). Longitude normalized to
     [-180, 180).
     """
+    ensure_malloc_tuned()
     lon1 = np.radians(np.asarray(lon, dtype=np.float64))
     phi1 = np.radians(np.asarray(lat, dtype=np.float64))
     alp1 = np.radians(np.asarray(bearing_deg, dtype=np.float64))
@@ -190,6 +193,7 @@ def karney_inverse(lon1, lat1, lon2, lat2, iters: int = 64):
     canonical monotone lambda12(alpha1) by bisection — unconditionally
     convergent, antipodal-safe.
     """
+    ensure_malloc_tuned()
     lon1 = np.asarray(lon1, dtype=np.float64)
     lat1 = np.asarray(lat1, dtype=np.float64)
     lon2 = np.asarray(lon2, dtype=np.float64)
@@ -390,6 +394,7 @@ def ellipsoidal_area_batch(ring_groups):
     segment-summed back per ring and per shape — the batch shape an Arrow UDF
     needs (no per-shape Python in the numeric path).
     """
+    ensure_malloc_tuned()
     lon1s, lat1s, lon2s, lat2s = [], [], [], []
     ring_edge_counts, ring_sign, ring_shape = [], [], []
     for si, rings in enumerate(ring_groups):

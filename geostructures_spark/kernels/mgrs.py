@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from geostructures_spark.kernels import ensure_malloc_tuned
+
 from geostructures_spark.kernels.geodesy import WGS84_A, WGS84_F
 
 __all__ = ['utm_zone', 'utm_forward', 'utm_inverse', 'mgrs_encode',
@@ -103,6 +105,7 @@ def _tm_forward(lon, lat, lon0):
 
 def utm_forward(lon, lat):
     """(lon, lat) -> (zone, is_south, easting, northing) on WGS84 UTM."""
+    ensure_malloc_tuned()
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
     zone = utm_zone(lon, lat)
@@ -116,6 +119,7 @@ def utm_forward(lon, lat):
 
 def utm_inverse(zone, south, easting, northing):
     """(zone, is_south, easting, northing) -> (lon, lat)."""
+    ensure_malloc_tuned()
     zone = np.asarray(zone, dtype=np.int64)
     south = np.asarray(south, dtype=bool)
     x = (np.asarray(easting, dtype=np.float64) - E0) / (K0 * _A1)
@@ -150,6 +154,7 @@ def _lat_band(lat):
 def mgrs_encode(lon, lat, precision: int = 5):
     """(lon, lat) -> MGRS strings at the given digit precision (5 = 1 m).
     Valid for -80 <= lat < 84 (UPS out of scope)."""
+    ensure_malloc_tuned()
     lon = np.atleast_1d(np.asarray(lon, dtype=np.float64))
     lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
     zone, south, easting, northing = utm_forward(lon, lat)
@@ -176,6 +181,7 @@ def mgrs_encode(lon, lat, precision: int = 5):
 
 def mgrs_decode(mgrs_strs):
     """MGRS strings -> (lon, lat) of the cell's SW corner."""
+    ensure_malloc_tuned()
     import re
     pat = re.compile(r'^(\d{1,2})([C-HJ-NP-X])([A-HJ-NP-Z])([A-HJ-NP-V])(\d*)$')
     lons, lats = [], []
@@ -224,6 +230,7 @@ def tm_forward_params(lon, lat, lon0: float, k0: float = 1.0,
     central meridian/scale/false offsets/latitude of origin — the
     non-UTM TM family the r2 verdict listed as the remaining EPSG
     partial. (lon, lat) -> (x, y)."""
+    ensure_malloc_tuned()
     ex, ny = _tm_forward(lon, lat, lon0)
     # _tm_forward scales by the UTM K0; rescale to the requested k0
     ex = ex * (k0 / K0)
@@ -238,6 +245,7 @@ def tm_forward_params(lon, lat, lon0: float, k0: float = 1.0,
 def tm_inverse_params(x, y, lon0: float, k0: float = 1.0,
                       x0: float = 0.0, y0: float = 0.0, lat0: float = 0.0):
     """Inverse of tm_forward_params: (x, y) -> (lon, lat)."""
+    ensure_malloc_tuned()
     ex = np.asarray(x, dtype=np.float64) - x0
     ny = np.asarray(y, dtype=np.float64) - y0
     if lat0 != 0.0:

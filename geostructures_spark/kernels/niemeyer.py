@@ -16,6 +16,8 @@ from typing import Dict, List, Set, Tuple
 
 import numpy as np
 
+from geostructures_spark.kernels import ensure_malloc_tuned
+
 __all__ = [
     'CHARSETS', 'encode', 'encode_scalar', 'decode', 'decode_scalar',
     'subhashes', 'surrounding', 'cell_to_box',
@@ -42,6 +44,7 @@ def encode(lons, lats, length: int, base: int) -> np.ndarray:
     active interval; `value > mid` (strict) sets the bit. Returns an array
     of fixed-length strings (dtype '<U{length}').
     """
+    ensure_malloc_tuned()
     _check_base(base)
     lons = np.asarray(lons, dtype=np.float64)
     lats = np.asarray(lats, dtype=np.float64)
@@ -91,6 +94,7 @@ def decode(cells: np.ndarray, base: int) -> Tuple[np.ndarray, np.ndarray, np.nda
     Returns (lon, lat, lon_error, lat_error) center/half-width arrays.
     All cells must share one length.
     """
+    ensure_malloc_tuned()
     _check_base(base)
     cells = np.asarray(cells)
     if cells.size == 0:
