@@ -1568,6 +1568,59 @@ _FINGERPRINT_DUCK = """
 """
 
 
+def _q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: MinHash-LSH near-dup pairs -> connected
+    components (iterative min-label propagation, operators/dedup.py) ->
+    per-component size. The canonical-survivor step after pair
+    generation. Oracle: recursive-CTE transitive closure in DuckDB."""
+    from geostructures_spark.operators.dedup import (
+        connected_components, minhash_lsh_pairs)
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    pairs = (minhash_lsh_pairs(docs, n_bands=4, shingle_k=5, max_bucket=512)
+             .select('doc_a', 'doc_b'))
+    comp = connected_components(pairs, n_partitions=8)
+    return (comp.groupBy('component')
+            .agg(F.count('*').cast('long').alias('n_docs'))
+            .select(F.col('component').cast('long').alias('component'),
+                    'n_docs')
+            .orderBy('component'))
+
+
+_NEARDUP_COMPONENTS_DUCK = """
+  WITH RECURSIVE toks AS (
+    SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents),
+  sh AS (
+    SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+      THEN list_transform(range(1, len(w) - 3),
+                          j -> array_to_string(w[j:j+4], ' '))
+      ELSE [array_to_string(w, ' ')] END) AS shingle
+    FROM toks),
+  sig AS (
+    SELECT doc_id, band, MIN(substr(md5(shingle), band * 8 + 1, 8)) AS minhash
+    FROM sh, (SELECT unnest([0,1,2,3]) AS band)
+    GROUP BY doc_id, band),
+  bsz AS (
+    SELECT band, minhash, COUNT(*) AS n FROM sig GROUP BY 1, 2),
+  keep AS (
+    SELECT s.* FROM sig s JOIN bsz USING (band, minhash)
+    WHERE bsz.n BETWEEN 2 AND 512),
+  edges AS (
+    SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+    FROM keep a JOIN keep b ON a.band = b.band AND a.minhash = b.minhash
+    WHERE a.doc_id <> b.doc_id),
+  nodes AS (SELECT DISTINCT src AS node FROM edges),
+  reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+  comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+  SELECT CAST(component AS BIGINT) AS component,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM comp GROUP BY component ORDER BY component
+"""
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard for the MinHash-LSH candidate pairs (the
     verify stage of near-dup dedup)."""
@@ -3238,6 +3291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'quality_score_buckets': _q_quality_score,
         'doc_fingerprints': _q_fingerprint,
         'ngram_jaccard_pairs': _q_ngram_jaccard,
+        'neardup_components': _q_neardup_components,
         'shape_derived_bounds': _q_shape_bounds,
         'shape_volume': _q_shape_volume,
         'unit_conversions': _q_unit_conversions,
@@ -3318,6 +3372,7 @@ def oracle_sql() -> dict[str, str]:
         'quality_score_buckets': _QUALITY_DUCK,
         'doc_fingerprints': _FINGERPRINT_DUCK,
         'ngram_jaccard_pairs': _JACCARD_DUCK,
+        'neardup_components': _NEARDUP_COMPONENTS_DUCK,
         'shape_derived_bounds': _SHAPE_BOUNDS_DUCK,
         'shape_volume': _SHAPE_VOLUME_DUCK,
         'unit_conversions': _UNIT_CONV_DUCK,

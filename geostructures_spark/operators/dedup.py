@@ -31,6 +31,7 @@ __all__ = [
     'tokens_expr', 'shingles_expr', 'shingles_from_tokens',
     'exact_dedup_groups', 'minhash_signature', 'minhash_lsh_pairs',
     'simhash_expr', 'simhash_df', 'simhash_buckets', 'ngram_jaccard_pairs',
+    'connected_components',
 ]
 
 
@@ -297,3 +298,61 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, n: int = 3,
             .withColumn('jaccard',
                         F.col('n_inter') /
                         (F.col('grams_a') + F.col('grams_b') - F.col('n_inter'))))
+
+
+def connected_components(pairs: DataFrame, id_a: str = 'doc_a',
+                         id_b: str = 'doc_b', max_iter: int = 25,
+                         n_partitions: int = None) -> DataFrame:
+    """(node, component) for the undirected graph given as pair rows —
+    the dedup-clustering step after near-dup pair generation (each
+    component keeps one canonical document; component = min node id).
+
+    Iterative min-label propagation, fully DataFrame-native: every round
+    each node takes the min of its own label and its neighbors' labels
+    (one equi-join + one groupBy over the symmetrized edge list), with
+    localCheckpoint truncating lineage. Rounds needed = graph diameter —
+    near-dup clusters are shallow (boilerplate stars,
+    chain-of-revisions paths), so this converges in a handful of rounds
+    at any corpus size; the edge list shuffles on the node key each
+    round and nothing reaches the driver but the per-round
+    changed-count, which rides the SAME action as the checkpoint via an
+    observed metric (no extra job for the convergence test).
+
+    ``n_partitions`` bounds the loop's shuffle width — size it to the
+    edge count (catalog-scale graphs want a few, corpus-scale graphs
+    the session default)."""
+    from pyspark.sql import Observation
+
+    edges = (pairs.select(F.col(id_a).alias('src'), F.col(id_b).alias('dst'))
+             .union(pairs.select(F.col(id_b).alias('src'),
+                                 F.col(id_a).alias('dst')))
+             .distinct())
+    if n_partitions:
+        edges = edges.repartition(n_partitions, 'src')
+    edges = edges.localCheckpoint(eager=True)
+    labels = (edges.select(F.col('src').alias('node'))
+              .distinct()
+              .withColumn('label', F.col('node'))
+              .localCheckpoint(eager=True))
+    for it in range(max_iter):
+        neighbor_min = (edges
+                        .join(labels.withColumnRenamed('node', 'dst')
+                              .withColumnRenamed('label', 'dst_label'), 'dst')
+                        .groupBy('src')
+                        .agg(F.min('dst_label').alias('nbr_label')))
+        obs = Observation(f'cc_round_{it}')
+        new_labels = (labels
+                      .join(neighbor_min.withColumnRenamed('src', 'node'),
+                            'node', 'left')
+                      .select('node', F.col('label').alias('old'),
+                              F.least('label', F.coalesce('nbr_label',
+                                                          'label'))
+                              .alias('label'))
+                      .observe(obs, F.sum((F.col('label') != F.col('old'))
+                                          .cast('long')).alias('changed'))
+                      .drop('old')
+                      .localCheckpoint(eager=True))
+        labels = new_labels
+        if not obs.get['changed']:
+            break
+    return labels.select('node', F.col('label').alias('component'))

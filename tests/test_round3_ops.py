@@ -339,3 +339,21 @@ def test_tm_params_utm_equivalence_and_lat0():
         10.0, 1.0, 0.0, 0.0, lat0=30.0)
     assert np.allclose(lon2, lon, atol=1e-11)
     assert np.allclose(lat2, lat, atol=1e-11)
+
+
+# --- connected components (dedup clustering) --------------------------------
+
+def test_connected_components_chain_star_isolated(spark):
+    """Min-label propagation: a 4-chain, a star, and a separate pair
+    resolve to min-id components; convergence needs diameter rounds."""
+    from geostructures_spark.operators.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain 1-2-3-4
+         (10, 11), (10, 12), (10, 13),    # star at 10
+         (20, 21)],                       # pair
+        'doc_a long, doc_b long')
+    got = {r['node']: r['component']
+           for r in connected_components(pairs, n_partitions=4).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20}
