@@ -1207,6 +1207,26 @@ def _h3_compact_duckdb() -> str:
         f'WHERE qid <= 40', 6, 150_000.0)
 
 
+def _s2_cells_duckdb() -> str:
+    from geostructures_spark.plans.s2_sql import s2_latlng_to_token_sql
+    inner = s2_latlng_to_token_sql(_pts_customer_sql(), 12)
+    return (f"SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM ({inner}) "
+            f"GROUP BY cell ORDER BY cell")
+
+
+def _q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 tiling (the north rule's second index family): customer points
+    -> level-12 S2 cell tokens (from-scratch cube-face + quadratic-st +
+    Hilbert-curve kernel, kernels/s2.py) -> counts per cell. Value-exact
+    DuckDB oracle: full SQL replay of the transform (plans/s2_sql.py)."""
+    from geostructures_spark.operators.tiling import with_cell
+    _load(spark, sf_dir, 'customer')
+    pts = spark.sql(_pts_customer_sql())
+    return (with_cell(pts, scheme='s2', resolution=12)
+            .groupBy('cell').agg(F.count('*').cast('long').alias('n'))
+            .orderBy('cell'))
+
+
 def _q_h3_cover_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H3 shape covers (H3Hasher.hash_shape polyfill semantics): supplier
     100km circles -> res-5 cover cell counts per shape. Value-exact
@@ -3276,6 +3296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_events_windowed': _q_streaming_events,
         'niemeyer_cover_circle': _q_niemeyer_cover_circle,
         'h3_cell_counts': _q_h3_cells,
+        's2_cell_counts': _q_s2_cells,
         'h3_cover_circle': _q_h3_cover_circle,
         'h3_compact_cover': _q_h3_compact_cover,
         'media_real_decode': _q_media_real_decode,
@@ -3362,6 +3383,7 @@ def oracle_sql() -> dict[str, str]:
         'streaming_events_windowed': _STREAMING_DUCK,
         'niemeyer_cover_circle': _niemeyer_cover_duckdb(),
         'h3_cell_counts': _h3_cells_duckdb(),
+        's2_cell_counts': _s2_cells_duckdb(),
         'h3_cover_circle': _h3_cover_duckdb(),
         'h3_compact_cover': _h3_compact_duckdb(),
         'wkt_parse_roundtrip': _WKT_PARSE_DUCK,

@@ -522,3 +522,21 @@ def tm_projection_udfs(lon0: float, k0: float = 1.0, x0: float = 0.0,
         return pd.DataFrame({'lon': lon, 'lat': lat}, index=x.index)
 
     return _fwd, _inv
+
+
+def s2_encode_udf(level: int):
+    """Arrow-batched S2 encoder: (lon, lat) -> canonical cell token, via
+    the from-scratch Hilbert-curve kernel (kernels/s2.py — the second
+    index family of the north rule's 'H3/S2 index')."""
+    from geostructures_spark.kernels import s2 as s2k
+
+    @F.pandas_udf(T.StringType())
+    def _encode_s2(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        if len(lon) == 0:
+            return pd.Series([], dtype=object)
+        cells = s2k.latlng_to_cell(lat.to_numpy(np.float64),
+                                   lon.to_numpy(np.float64), level)
+        return pd.Series(s2k.cell_token(cells), index=lon.index,
+                         dtype=object)
+
+    return _encode_s2

@@ -95,10 +95,15 @@ def with_cell(df: DataFrame, length: int = 8, base: int = 16,
               cell_col: str = 'cell', scheme: str = 'niemeyer',
               resolution: int = 9) -> DataFrame:
     """Assign the tiling/partition cell key: Niemeyer (reference
-    geohash.py:129-183) or H3 (from-scratch kernel, geohash.py:420-444)."""
+    geohash.py:129-183), H3 (from-scratch kernel, geohash.py:420-444) or
+    S2 (from-scratch Hilbert kernel, kernels/s2.py; ``resolution`` is
+    the S2 level)."""
     if scheme == 'h3':
         from geostructures_spark.functions.geo import h3_encode_udf
         enc = h3_encode_udf(resolution)
+    elif scheme == 's2':
+        from geostructures_spark.functions.geo import s2_encode_udf
+        enc = s2_encode_udf(resolution)
     else:
         enc = niemeyer_encode_udf(length, base)
     return df.withColumn(cell_col, enc(F.col(lon), F.col(lat)))

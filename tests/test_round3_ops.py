@@ -357,3 +357,53 @@ def test_connected_components_chain_star_isolated(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1,
                    10: 10, 11: 10, 12: 10, 13: 10,
                    20: 20, 21: 20}
+
+
+# --- S2 cells (from-scratch Hilbert kernel) ---------------------------------
+
+def test_s2_kernel_invariants():
+    """Face-cell tokens match the published scheme; encode/decode round
+    trips at every level; parent/children containment; Hilbert
+    continuity (consecutive curve positions are adjacent cells)."""
+    from geostructures_spark.kernels import s2
+    face_centers = [(0.0, 0.0), (0.0, 90.0), (90.0, 0.0),
+                    (0.0, 180.0), (0.0, -90.0), (-90.0, 0.0)]
+    cells = s2.latlng_to_cell(np.array([c[0] for c in face_centers]),
+                              np.array([c[1] for c in face_centers]), 0)
+    assert s2.cell_token(cells) == ['1', '3', '5', '7', '9', 'b']
+
+    lat = (np.arange(1, 1501) * 48271 % 2147483647) / 2147483647.0 * 178 - 89
+    lon = (np.arange(1, 1501) * 16807 % 2147483647) / 2147483647.0 * 360 - 180
+    for level in (0, 4, 12, 21, 30):
+        c = s2.latlng_to_cell(lat, lon, level)
+        assert (s2.cell_level(c) == level).all()
+        la, ln = s2.cell_to_latlng(c)
+        assert (s2.latlng_to_cell(la, ln, level) == c).all()
+    c10 = s2.latlng_to_cell(lat[:200], lon[:200], 10)
+    kids = s2.cell_children(c10)
+    for k in range(4):
+        assert (s2.cell_parent(kids[:, k], 10) == c10).all()
+    assert (s2.token_to_cell(s2.cell_token(c10)) == c10).all()
+    # Hilbert continuity: walk 40 consecutive positions at level 8
+    import math
+    base = int(s2.latlng_to_cell(np.array([10.0]), np.array([10.0]), 8)[0])
+    lsb = base & (-base)
+    ids = np.array([base + 2 * k * lsb for k in range(40)], dtype=np.uint64)
+    la, ln = s2.cell_to_latlng(ids)
+    cell_deg = 90.0 / (1 << 8)
+    for i in range(39):
+        step = math.hypot(la[i + 1] - la[i],
+                          (ln[i + 1] - ln[i]) * math.cos(math.radians(la[i])))
+        assert step < 1.6 * cell_deg  # adjacent, never a jump
+
+
+def test_s2_with_cell_spark(spark):
+    from pyspark.sql import functions as F
+    from geostructures_spark.operators.tiling import with_cell
+    pts = spark.createDataFrame(
+        [(1, -0.1, 51.5), (2, -0.1001, 51.5001), (3, 139.7, 35.7)],
+        'id long, lon double, lat double')
+    rows = with_cell(pts, scheme='s2', resolution=10).collect()
+    cells = {r['id']: r['cell'] for r in rows}
+    assert cells[1] == cells[2]      # near-identical points share a cell
+    assert cells[1] != cells[3]
