@@ -1248,6 +1248,33 @@ def _q_h3_cover_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy('shape_id'))
 
 
+def _s2_cover_duckdb() -> str:
+    from geostructures_spark.plans.s2_sql import s2_circle_cover_counts_sql
+    return s2_circle_cover_counts_sql(
+        f'SELECT qid AS shape_id, q_lon, q_lat FROM ({_pts_supplier_sql()})',
+        9, 100_000.0)
+
+
+def _q_s2_cover_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 shape covers: supplier 100km circles -> level-9 polyfill cell
+    counts per shape (centroid-containment, same keep rule as the H3
+    cover — kernels/s2.py polygon_to_cells_s2). Value-exact DuckDB
+    oracle: full SQL replay (plans/s2_sql.py)."""
+    from geostructures_spark.operators.tiling import cover_shapes
+    _load(spark, sf_dir, 'supplier')
+    sup = spark.sql(_pts_supplier_sql())
+    shapes = sup.select(
+        F.col('qid').cast('long').alias('shape_id'),
+        F.lit('circle').alias('kind'),
+        F.struct(F.col('q_lon').alias('center_lon'),
+                 F.col('q_lat').alias('center_lat'),
+                 F.lit(100_000.0).alias('radius')).alias('params'),
+        F.lit(None).cast('array<array<struct<lon:double,lat:double>>>').alias('rings'))
+    return (cover_shapes(shapes, scheme='s2', resolution=9, n_partitions=16)
+            .groupBy('shape_id').agg(F.count('*').cast('long').alias('n_cells'))
+            .orderBy('shape_id'))
+
+
 def _q_h3_compact_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H3 compact/uncompact over shape covers (public compactCells
     semantics, kernels/h3_core.py hierarchy ops): res-6 circle covers are
@@ -3298,6 +3325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'h3_cell_counts': _q_h3_cells,
         's2_cell_counts': _q_s2_cells,
         'h3_cover_circle': _q_h3_cover_circle,
+        's2_cover_circle': _q_s2_cover_circle,
         'h3_compact_cover': _q_h3_compact_cover,
         'media_real_decode': _q_media_real_decode,
         'wkb_roundtrip': _q_wkb_roundtrip,
@@ -3385,6 +3413,7 @@ def oracle_sql() -> dict[str, str]:
         'h3_cell_counts': _h3_cells_duckdb(),
         's2_cell_counts': _s2_cells_duckdb(),
         'h3_cover_circle': _h3_cover_duckdb(),
+        's2_cover_circle': _s2_cover_duckdb(),
         'h3_compact_cover': _h3_compact_duckdb(),
         'wkt_parse_roundtrip': _WKT_PARSE_DUCK,
         'geojson_parse': _GEOJSON_PARSE_DUCK,

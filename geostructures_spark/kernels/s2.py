@@ -30,7 +30,8 @@ import numpy as np
 from geostructures_spark.kernels import ensure_malloc_tuned
 
 __all__ = ['latlng_to_cell', 'cell_to_latlng', 'cell_level',
-           'cell_parent', 'cell_children', 'cell_token', 'token_to_cell']
+           'cell_parent', 'cell_children', 'cell_token', 'token_to_cell',
+           'polygon_to_cells_s2', 'min_cell_width_deg']
 
 MAX_LEVEL = 30
 
@@ -201,3 +202,49 @@ def cell_token(cell) -> list:
 def token_to_cell(tokens) -> np.ndarray:
     return np.array([np.uint64(int(t.ljust(16, '0'), 16))
                      for t in tokens], dtype=np.uint64)
+
+
+# --- region covering (polyfill analog: cells whose center is inside) --------
+
+# published S2 metric: minimum cell width at level k is
+# (2*sqrt(2)/3) * 2^-k radians — the sampling-safety bound for covers
+_MIN_WIDTH_RAD0 = 2.0 * np.sqrt(2.0) / 3.0
+
+
+def min_cell_width_deg(level: int) -> float:
+    return float(np.degrees(_MIN_WIDTH_RAD0 * (0.5 ** level)))
+
+
+def polygon_to_cells_s2(rings, level: int) -> set:
+    """Centroid-containment polyfill: level-``level`` cells whose CENTER
+    lies inside rings[0] and outside any hole — the same keep rule as
+    the H3 polyfill (kernels/h3_cover.py), so S2 slots into the same
+    spatial-join shape. Candidates come from a lat/lon sample grid at
+    half the published minimum cell width (every cell whose center can
+    be inside holds >= 1 sample), in the antimeridian-unwrapped frame."""
+    ensure_malloc_tuned()
+    from geostructures_spark.kernels import geometry as geom
+    from geostructures_spark.kernels.h3_cover import _unwrap_ring
+
+    outline = _unwrap_ring(np.asarray(rings[0], dtype=np.float64))
+    frame = float(outline[0, 0])
+    min_lon, min_lat, max_lon, max_lat = geom.ring_bounds(outline)
+    # uniform DEGREE spacing at half the min cell width is conservative:
+    # longitude degrees shrink in meters toward the poles, so the grid
+    # only gets denser (in meters) where cells get narrower
+    step = 0.45 * min_cell_width_deg(level)
+    pad = 2.0 * min_cell_width_deg(level)
+    lats = np.arange(min_lat - pad, max_lat + pad + step, step)
+    lons = np.arange(min_lon - pad, max_lon + pad + step, step)
+    glat, glon = np.meshgrid(lats, lons)
+    glon_w = np.mod(glon.ravel() + 180.0, 360.0) - 180.0
+    cand = np.unique(latlng_to_cell(glat.ravel(), glon_w, level))
+    cla, cln = cell_to_latlng(cand)
+    cln = cln + 360.0 * np.round((frame - cln) / 360.0)
+    inside = geom.points_in_polygon(cln, cla, outline)
+    for hole in rings[1:]:
+        if inside.any():
+            hole_u = _unwrap_ring(np.asarray(hole, dtype=np.float64))
+            hole_u[:, 0] += 360.0 * round((frame - hole_u[0, 0]) / 360.0)
+            inside &= ~geom.points_in_polygon(cln, cla, hole_u)
+    return set(cell_token(cand[inside]))

@@ -137,12 +137,33 @@ def cover_shapes(shapes: DataFrame, length: int = 8, base: int = 16,
         ['poly_sizes'] if 'poly_sizes' in shapes.columns else [])
 
     def per_batch(batches):
+        from geostructures_spark.kernels import s2 as s2k
+        from geostructures_spark.kernels import shapes as shp
+
+        def s2_cover(shape):
+            kind = shape['kind']
+            if kind in shp.MULTI_KINDS:
+                out = set()
+                for child in shape['children']:
+                    out |= s2_cover(child)
+                return out
+            if kind == 'point':
+                p = shape['params']
+                import numpy as _np
+                c = s2k.latlng_to_cell(_np.array([p['center_lat']]),
+                                       _np.array([p['center_lon']]),
+                                       resolution)
+                return set(s2k.cell_token(c))
+            rings = shp.shape_linear_rings(shape)
+            return s2k.polygon_to_cells_s2(rings, resolution)
+
         for pdf in batches:
             out_ids, out_cells = [], []
             for row in pdf.to_dict('records'):
                 row['rings'] = decode_rings_json(row.get('rings'))
                 shape = shape_row_to_kernel(row)
                 cells = (hc.cover_shape_h3(shape, resolution) if scheme == 'h3'
+                         else s2_cover(shape) if scheme == 's2'
                          else tn.cover_shape(shape, length, base))
                 for cell in cells:
                     out_ids.append(row['shape_id'])

@@ -10,9 +10,10 @@ plans/h3_sql.py.
 
 from __future__ import annotations
 
-from geostructures_spark.plans.h3_sql import _Pipe
+from geostructures_spark.plans.h3_sql import _Pipe, _r
 
-__all__ = ['s2_latlng_to_token_sql']
+__all__ = ['s2_latlng_to_token_sql', 's2_cell_center_sql',
+           's2_circle_cover_counts_sql']
 
 _IJ_TO_POS = '[[1, 2, 4, 3], [1, 4, 2, 3], [3, 2, 4, 1], [3, 4, 2, 1]]'
 # NOTE: entries above are pos+1 (DuckDB lists are 1-indexed); see below.
@@ -88,3 +89,192 @@ def s2_latlng_to_token_sql(points_sql: str, level: int,
     pipe.layer({'cell': "rtrim(lpad(lower(to_hex(cid)), 16, '0'), '0')"})
     ctes = ',\n'.join([f's2pts AS ({points_sql})'] + pipe.ctes)
     return f'WITH {ctes}\nSELECT {id_col}, cell FROM {pipe.prev}'
+
+
+def s2_cell_center_sql(cells_sql: str, level: int,
+                       id_cols: str = 'cid') -> str:
+    """SQL producing ({id_cols}, clat, clng) — the S2 cell-center
+    geodetic coordinates for every row of ``cells_sql`` (exposing
+    {id_cols} and a UBIGINT id column ``h`` at the given fixed level).
+    Mirrors kernels/s2.py cell_to_latlng: reverse Hilbert walk (level
+    steps), center (i + 0.5) leaf coordinates, quadratic st->uv, face
+    frame to xyz, xyz to lat/lng."""
+    from geostructures_spark.kernels import s2 as S
+
+    pos_to_ij = ('[' + ', '.join(
+        '[' + ', '.join(str(int(S._POS_TO_IJ[o, p]) + 1) for p in range(4)) + ']'
+        for o in range(4)) + ']')
+    pos_to_orient = ('[' + ', '.join(str(int(v)) for v in S._POS_TO_ORIENT)
+                     + ']')
+
+    pipe = _Pipe('s2cells')
+    two61 = 1 << 61
+    pipe.layer({'cface': f'CAST(h // {two61} AS BIGINT)',
+                'cpos': f'(h % {two61}) // CAST(2 AS UBIGINT)'})
+    pipe.layer({'io0': 'cface % 2', 'ii0': 'CAST(0 AS BIGINT)',
+                'ij0': 'CAST(0 AS BIGINT)'})
+    for lvl in range(level):
+        shift = 60 - 2 * (lvl + 1)
+        prev = f'{lvl}'
+        pipe.layer({f'q{lvl}': (f'CAST((cpos // {1 << shift}) '
+                                f'% CAST(4 AS UBIGINT) AS BIGINT)')})
+        pipe.layer({f'ijv{lvl}': f'{pos_to_ij}[io{prev} + 1][q{lvl} + 1] - 1'})
+        pipe.layer({
+            f'ii{lvl + 1}': f'ii{prev} * 2 + (ijv{lvl} // 2)',
+            f'ij{lvl + 1}': f'ij{prev} * 2 + (ijv{lvl} % 2)',
+            f'io{lvl + 1}': f'xor(io{prev}, {pos_to_orient}[q{lvl} + 1])',
+        })
+    size = float(1 << (S.MAX_LEVEL - level))
+    inv_max = 1.0 / (1 << S.MAX_LEVEL)
+    st = ('(CAST({0} AS DOUBLE) * {1} + {2}) * {3}'
+          .format('{0}', repr(size), repr(size * 0.5), repr(inv_max)))
+    uv = ("""CASE WHEN {0} >= 0.5e0
+             THEN (4.0e0 * {0} * {0} - 1.0e0) / 3.0e0
+             ELSE (1.0e0 - 4.0e0 * (1.0e0 - {0}) * (1.0e0 - {0})) / 3.0e0
+             END""")
+    pipe.layer({'cs': st.format(f'ii{level}'), 'ct': st.format(f'ij{level}')})
+    pipe.layer({'cu': uv.format('cs'), 'cv': uv.format('ct')})
+    pipe.layer({
+        'gx': """CASE cface WHEN 0 THEN 1.0e0 WHEN 1 THEN -cu
+                 WHEN 2 THEN -cu WHEN 3 THEN -1.0e0 WHEN 4 THEN cv
+                 ELSE cv END""",
+        'gy': """CASE cface WHEN 0 THEN cu WHEN 1 THEN 1.0e0
+                 WHEN 2 THEN -cv WHEN 3 THEN -cv WHEN 4 THEN -1.0e0
+                 ELSE cu END""",
+        'gz': """CASE cface WHEN 0 THEN cv WHEN 1 THEN cv
+                 WHEN 2 THEN 1.0e0 WHEN 3 THEN -cu WHEN 4 THEN -cu
+                 ELSE -1.0e0 END""",
+    })
+    pipe.layer({'clat': 'degrees(atan2(gz, sqrt(gx * gx + gy * gy)))',
+                'clng': 'degrees(atan2(gy, gx))'})
+    ctes = ',\n'.join([f's2cells AS ({cells_sql})'] + pipe.ctes)
+    return f'WITH {ctes}\nSELECT {id_cols}, clat, clng FROM {pipe.prev}'
+
+
+def s2_circle_cover_counts_sql(shapes_sql: str, level: int,
+                               radius_m: float, ring_k: int = 36) -> str:
+    """Per-shape S2 polyfill counts for circles, fully replayed in SQL —
+    the same structure as the H3 cover oracle (plans/h3_sql.py): polar
+    candidate grid -> forward transform -> distinct cells -> inverse for
+    centers -> even-odd PIP of centers vs the circle's discretized ring
+    in the antimeridian-unwrapped frame. Candidate grid spacing is 0.4x
+    the published minimum cell width at ``level``, so every cell whose
+    center can be inside holds a sample."""
+    import math as _m
+
+    from geostructures_spark.kernels import s2 as S
+
+    R = 6371000.0
+    tau = _r(2 * _m.pi)
+    step = S.min_cell_width_deg(level) * 111194.92664455873 * 0.4
+    pad = S.min_cell_width_deg(level) * 111194.92664455873 * 2.0
+    n_rad = int(_m.ceil((radius_m + pad + step) / step))
+
+    def dest(lat1, lon1, brad, ang):
+        sinlat2 = (f'(sin({lat1}) * cos({ang}) + cos({lat1}) * sin({ang})'
+                   f' * cos({brad}))')
+        return (f'asin({sinlat2})',
+                f'({lon1} + atan2(sin({brad}) * sin({ang}) * cos({lat1}), '
+                f'cos({ang}) - sin({lat1}) * {sinlat2}))')
+
+    lat2, lon2 = dest('radians(q_lat)', 'radians(q_lon)', 'brad', 'ang')
+    ring_sql = f"""
+      SELECT shape_id, vi,
+             degrees({lon2}) AS vlon, degrees({lat2}) AS vlat
+      FROM (
+        SELECT s.shape_id, s.q_lon, s.q_lat, t.vi,
+               radians(degrees({_r(2 * _m.pi / ring_k)} *
+                               ({ring_k} + 1 - t.vi))) AS brad,
+               {_r(radius_m / R)} AS ang
+        FROM ({shapes_sql}) s CROSS JOIN range(1, {ring_k + 1}) t(vi))"""
+
+    grid_sql = f"""
+      SELECT shape_id, gidx,
+             CASE WHEN lon0 > 180.0e0 THEN lon0 - 360.0e0
+                  WHEN lon0 < -180.0e0 THEN lon0 + 360.0e0
+                  ELSE lon0 END AS lon, lat FROM (
+        SELECT s.shape_id,
+               g.rk * 100000 + g.ai AS gidx,
+               degrees({lon2}) AS lon0, degrees({lat2}) AS lat
+        FROM ({shapes_sql}) s
+        JOIN (
+          SELECT r.rk, a.ai,
+                 CAST(r.rk AS DOUBLE) * {_r(step)} - {_r(step / 2)} AS dist
+          FROM range(1, {n_rad + 1}) r(rk)
+          CROSS JOIN range(0, {int(_m.ceil(2 * _m.pi * (n_rad + 1))) + 1}) a(ai)
+          WHERE a.ai < CAST(ceil({tau} * (CAST(r.rk AS DOUBLE) * {_r(step)} - {_r(step / 2)}) / {_r(step)}) AS BIGINT)
+        ) g ON TRUE
+        CROSS JOIN LATERAL (SELECT radians(360.0e0 * g.ai /
+                 ceil({tau} * g.dist / {_r(step)})) AS brad,
+                 g.dist / {_r(R)} AS ang) x
+        UNION ALL
+        SELECT shape_id, 0 AS gidx, q_lon AS lon0, q_lat AS lat
+        FROM ({shapes_sql}))"""
+
+    fwd = s2_latlng_to_token_sql(grid_sql, level, id_col='shape_id, gidx')
+    # keep the raw UBIGINT id alongside the token for the inverse
+    fwd = fwd.replace('SELECT shape_id, gidx, cell FROM',
+                      'SELECT shape_id, gidx, cell, cid FROM')
+
+    inv = s2_cell_center_sql('SELECT h AS cid, h FROM cells', level,
+                             id_cols='cid')
+
+    rhu = "round({0} + 1e-22, 10)"
+    return f"""
+WITH cand AS MATERIALIZED (
+  SELECT DISTINCT shape_id, cid AS h FROM ({fwd})),
+cells AS (SELECT DISTINCT h FROM cand),
+cent AS (SELECT cid AS h, clat, clng FROM ({inv})),
+shf AS (SELECT shape_id AS fs_id, q_lon AS frame FROM ({shapes_sql})),
+cc AS (
+  SELECT c.shape_id, c.h, ct.clat AS t_lat,
+         ct.clng + 360.0e0 * round((f.frame - ct.clng) / 360.0e0)
+           AS p_lon0
+  FROM cand c
+  JOIN cent ct ON ct.h = c.h
+  JOIN shf f ON f.fs_id = c.shape_id),
+redge AS (
+  SELECT a.shape_id, a.vi,
+         a.vlon AS ga0, a.vlat AS la, b.vlon AS gb0, b.vlat AS lb
+  FROM ({ring_sql}) a
+  JOIN ({ring_sql}) b
+    ON b.shape_id = a.shape_id AND b.vi = (a.vi % {ring_k}) + 1),
+eb AS (
+  SELECT shape_id, vi, la, lb, ga0 AS ga,
+         CASE WHEN abs(ga0 - gb0) > 180.0e0 THEN
+           CASE WHEN ga0 < 0.0e0 THEN gb0 - 360.0e0 ELSE gb0 + 360.0e0 END
+         ELSE gb0 END AS gb
+  FROM redge),
+pe AS (
+  SELECT cc.shape_id, cc.h, cc.t_lat, e.la, e.lb, e.ga, e.gb,
+         CASE WHEN cc.p_lon0 - (e.ga + e.gb) / 2.0e0 > 180.0e0
+              THEN cc.p_lon0 - 360.0e0
+              WHEN (e.ga + e.gb) / 2.0e0 - cc.p_lon0 > 180.0e0
+              THEN cc.p_lon0 + 360.0e0
+              ELSE cc.p_lon0 END AS p_lon
+  FROM cc JOIN eb e ON e.shape_id = cc.shape_id),
+px AS (
+  SELECT *, la = lb AS horiz,
+         CASE WHEN la = lb THEN 1e308
+              ELSE {rhu.format('ga + (t_lat - la) * (gb - ga) / (lb - la)')}
+         END AS lon_cross
+  FROM pe),
+pv AS (
+  SELECT shape_id, h,
+         MAX(CASE WHEN (horiz AND la = t_lat
+                        AND LEAST(ga, gb) <= p_lon
+                        AND p_lon <= GREATEST(ga, gb))
+                  OR ((NOT horiz)
+                      AND LEAST(la, lb) <= t_lat
+                      AND t_lat <= GREATEST(la, lb)
+                      AND lon_cross = {rhu.format('p_lon')})
+                  THEN 1 ELSE 0 END) AS on_boundary,
+         SUM(CASE WHEN (NOT horiz)
+                       AND ((la > t_lat) <> (lb > t_lat))
+                       AND lon_cross > p_lon
+                  THEN 1 ELSE 0 END) AS crossings
+  FROM px GROUP BY shape_id, h)
+SELECT CAST(shape_id AS BIGINT) AS shape_id,
+       CAST(SUM(CASE WHEN on_boundary = 0 AND crossings % 2 = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cells
+FROM pv GROUP BY shape_id ORDER BY shape_id"""

@@ -407,3 +407,21 @@ def test_s2_with_cell_spark(spark):
     cells = {r['id']: r['cell'] for r in rows}
     assert cells[1] == cells[2]      # near-identical points share a cell
     assert cells[1] != cells[3]
+
+
+def test_s2_cover_antimeridian_and_plain():
+    """S2 polyfill: plausible counts, no far-side spurious cells for an
+    antimeridian circle (shares the unwrapped-frame fix with H3)."""
+    import math
+    from geostructures_spark.kernels import s2
+    from geostructures_spark.kernels.shapes import circle_ring
+    for lon, lat in ((10.0, 45.0), (-179.9999, -84.9997)):
+        ring = circle_ring(lon, lat, 100_000.0)
+        cells = s2.polygon_to_cells_s2([ring], 9)
+        assert 60 < len(cells) < 250
+        ids = s2.token_to_cell(sorted(cells))
+        la, ln = s2.cell_to_latlng(ids)
+        from geostructures_spark.kernels.geodesy import haversine_distance
+        d = haversine_distance(np.full(len(ids), lon), np.full(len(ids), lat),
+                               ln, la)
+        assert float(d.max()) < 115_000.0
