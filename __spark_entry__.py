@@ -21,6 +21,7 @@ import os
 import sys
 from collections.abc import Callable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -986,13 +987,19 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_NEARDUP_DUCK = """
   WITH cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
                  FROM embeddings WHERE vec_id < 8),
-  assign AS (
+  assign0 AS (
     SELECT vec_id, embedding, centroid_id FROM (
       SELECT v.vec_id, v.embedding, c.centroid_id,
              ROW_NUMBER() OVER (PARTITION BY v.vec_id
                                 ORDER BY list_cosine_similarity(v.embedding, c.c_emb) DESC,
                                          c.centroid_id ASC) AS r
-      FROM embeddings v, cents c) WHERE r <= 2)
+      FROM embeddings v, cents c) WHERE r <= 2),
+  -- mirror the engine's max_bucket cap (default 8192): buckets whose
+  -- assignment count exceeds the cap are dropped before pairing
+  assign AS (
+    SELECT * FROM assign0 WHERE centroid_id IN (
+      SELECT centroid_id FROM assign0 GROUP BY centroid_id
+      HAVING COUNT(*) <= 8192))
   SELECT DISTINCT CAST(a.vec_id AS BIGINT) AS doc_a,
                   CAST(b.vec_id AS BIGINT) AS doc_b
   FROM assign a JOIN assign b
@@ -2903,6 +2910,121 @@ def _tm_custom_duckdb() -> str:
     """
 
 
+def _q_osgb_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WGS84 -> EPSG:27700 (British National Grid): 7-parameter Helmert
+    datum shift to OSGB36 + Airy-1830 Transverse Mercator — the national-
+    grid EPSG family the reference reaches through pyproj
+    (coordinates.py:210-234), rebuilt from the published EPSG parameters
+    (kernels/datum.py). The oracle replays the ENTIRE chain in SQL:
+    geodetic->ECEF, position-vector Helmert, 8-round fixed-point
+    ECEF->geodetic on Airy, then the Airy Krüger forward series. The
+    inverse closure is checked in-query at 1e-5 deg (~1 m): a 2D datum
+    transform DROPS the Helmert-induced ellipsoidal height (pyproj's 2D
+    path does the same), which re-enters the horizontal by ~e2*dh on the
+    way back — measured max 4.6e-6 deg over these points, not a kernel
+    error."""
+    from geostructures_spark.functions.geo import (
+        from_projection_udf, to_projection_udf)
+    _load(spark, sf_dir, 'customer')
+    # TM series converges near the central meridian (lon0 = -2)
+    pts = (spark.sql(_pts_customer_sql())
+           .filter((F.col('lat') >= -83.9) & (F.col('lat') < 83.9) &
+                   (F.abs(F.col('lon') + 2.0) <= 40.0)))
+    # remap every point into a realistic national-grid domain (lat 42-62,
+    # lon -17..13): a TM national grid is only used near its origin, and
+    # the far-field magnitudes (northing ~ -1.3e7 at lat -84) put mm
+    # rounding at cross-engine double-divergence scale. fmod on
+    # non-negative operands is IEEE-identical in Spark and DuckDB.
+    pts = pts.select('pid',
+                     ((F.col('lon') + 180.0) % 30.0 - 17.0).alias('lon'),
+                     ((F.col('lat') + 90.0) % 20.0 + 42.0).alias('lat'))
+    fwd = to_projection_udf('EPSG:27700')
+    inv = from_projection_udf('EPSG:27700')
+    d = (pts.withColumn('p', fwd(F.col('lon'), F.col('lat')))
+         .withColumn('b', inv(F.col('p.x'), F.col('p.y'))))
+    # integer-metre contract: the 8-round iteration + trig chain diverges
+    # ~1e-6 m between numpy and DuckDB libm, so mm rounding flips a
+    # boundary row once per few hundred points. Metre quantization makes
+    # the hash stable; mm-level series parity is already proven by
+    # utm_project/tm_custom_project, and sub-metre closure by closure_ok.
+    return (d.select(F.col('pid').cast('long').alias('pid'),
+                     F.round('p.x', 0).cast('long').alias('easting_m'),
+                     F.round('p.y', 0).cast('long').alias('northing_m'),
+                     ((F.abs(F.col('b.lon') - F.col('lon')) < 1e-5) &
+                      (F.abs(F.col('b.lat') - F.col('lat')) < 1e-5))
+                     .alias('closure_ok'))
+            .orderBy('pid'))
+
+
+def _osgb_project_duckdb() -> str:
+    """SQL replay of grid_forward('EPSG:27700'): every constant comes from
+    kernels/datum.py's published-parameter tables; the chain itself is
+    re-derived in SQL (same oracle standard as the H3/S2 replays)."""
+    from geostructures_spark.kernels import datum as D
+    g = D.GRID_CRS['EPSG:27700']
+    a1, alpha, _ = D.kruger_coefficients(g.ell)
+    h = g.wgs84_to_datum
+    rx, ry, rz = (h.rx * D._AS2RAD, h.ry * D._AS2RAD, h.rz * D._AS2RAD)
+    m = 1.0 + h.s_ppm * 1e-6
+    wa, we2 = D.WGS84.a, D.WGS84.e2
+    aa, ae2 = g.ell.a, g.ell.e2
+    ae = float(np.sqrt(ae2))
+    m0 = D._meridian_arc(g.ell, g.tm.lat0)
+    atanh = lambda x: f'(0.5e0 * ln((1.0e0 + {x}) / (1.0e0 - {x})))'
+    sinh = lambda x: f'((exp({x}) - exp(-({x}))) / 2.0e0)'
+    cosh = lambda x: f'((exp({x}) + exp(-({x}))) / 2.0e0)'
+    asinh = lambda x: f'ln(({x}) + sqrt(({x})*({x}) + 1.0e0))'
+    # 8 unrolled rounds of phi <- atan2(Z + e2*nu(phi)*sin(phi), p);
+    # the OUTERMOST open computes phi8 from phi7, so opens count down
+    iters = ''.join(
+        f"""(SELECT *, atan2(Z2 + {aa!r} * {ae2!r} * sin(phi{k}) /
+              sqrt(1.0e0 - {ae2!r} * sin(phi{k}) * sin(phi{k})), pp)
+              AS phi{k + 1} FROM """ for k in range(7, -1, -1))
+    iter_close = ' '.join(f') i{k + 1}' for k in range(8))
+    xi_terms = ' + '.join(
+        f'({alpha[j]!r} * sin({2*(j+1)}.0e0 * xi_p) * '
+        f'{cosh(f"{2*(j+1)}.0e0 * eta_p")})' for j in range(6))
+    eta_terms = ' + '.join(
+        f'({alpha[j]!r} * cos({2*(j+1)}.0e0 * xi_p) * '
+        f'{sinh(f"{2*(j+1)}.0e0 * eta_p")})' for j in range(6))
+    return f"""
+      WITH pts AS (SELECT pid,
+                          (lon + 180.0e0) % 30.0e0 - 17.0e0 AS lon,
+                          (lat + 90.0e0) % 20.0e0 + 42.0e0 AS lat
+                   FROM ({_pts_customer_sql()}) p
+                   WHERE lat >= -83.9e0 AND lat < 83.9e0
+                     AND abs(lon + 2.0e0) <= 40.0e0)
+      SELECT CAST(pid AS BIGINT) AS pid,
+             CAST(ROUND({g.tm.x0!r} + {g.tm.k0!r} * {a1!r} * eta, 0)
+                  AS BIGINT) AS easting_m,
+             CAST(ROUND({g.tm.y0!r} + {g.tm.k0!r} * ({a1!r} * xi - {m0!r}), 0)
+                  AS BIGINT) AS northing_m,
+             TRUE AS closure_ok
+      FROM (SELECT *, xi_p + {xi_terms} AS xi, eta_p + {eta_terms} AS eta
+        FROM (SELECT *, atan2(tt, cos(lam)) AS xi_p,
+                     {asinh('sin(lam) / sqrt(tt*tt + cos(lam)*cos(lam))')} AS eta_p
+          FROM (SELECT *, {sinh(f'{atanh("sin(phi8)")} - {ae!r} * {atanh(f"{ae!r} * sin(phi8)")}')} AS tt
+            FROM (SELECT *, atan2(Y2, X2) - radians({g.tm.lon0!r}) AS lam
+              FROM {iters}
+                (SELECT *, atan2(Z2, pp * (1.0e0 - {ae2!r})) AS phi0
+                  FROM (SELECT *, sqrt(X2 * X2 + Y2 * Y2) AS pp
+                    FROM (SELECT *,
+                        ({h.tx!r}) + ({m!r}) * (X1 + ({-rz!r}) * Y1 + ({ry!r}) * Z1) AS X2,
+                        ({h.ty!r}) + ({m!r}) * (({rz!r}) * X1 + Y1 + ({-rx!r}) * Z1) AS Y2,
+                        ({h.tz!r}) + ({m!r}) * (({-ry!r}) * X1 + ({rx!r}) * Y1 + Z1) AS Z2
+                      FROM (SELECT *, nu * cos(wphi) * cos(wlam) AS X1,
+                                   nu * cos(wphi) * sin(wlam) AS Y1,
+                                   nu * (1.0e0 - {we2!r}) * sin(wphi) AS Z1
+                        FROM (SELECT *, {wa!r} / sqrt(1.0e0 - {we2!r} *
+                                     sin(wphi) * sin(wphi)) AS nu
+                          FROM (SELECT *, radians(lat) AS wphi,
+                                       radians(lon) AS wlam
+                            FROM pts) e0) e1) e2) h0) p0) p1
+              {iter_close}) lamq) ttq) xq) sq
+      ORDER BY pid
+    """
+
+
 def _q_mgrs_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MGRS strings (zone + band + 100km square letters + 1 m digits) from
     the from-scratch kernel; full string value-checked by the SQL oracle."""
@@ -3294,57 +3416,14 @@ _WKB_ROUNDTRIP_DUCK = f"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the round driver certifies exactly the FIRST 50
+    # entries (CORRECTNESS_r{N}.json == registry[0:50]). Round-4 rotation
+    # (r3-verdict task 1): the 27 queries the driver had never certified
+    # come first, then this round's new/changed queries, then flagships;
+    # the most-settled driver-green rows moved to the back. Names and
+    # semantics are frozen — only the order changed.
     return {
-        'q1_pricing_summary': _q1_pricing_summary,
-        'q3_top_revenue': _q3_top_revenue,
-        'events_windowed_agg': _q_events_windowed,
-        'niemeyer_cell_counts': _q_niemeyer_cells,
-        'pip_triangle_counts': _q_pip_triangle,
-        'circle_contains_counts': _q_circle_contains,
-        'spatial_join_circles': _q_spatial_join_circles,
-        'knn_topk': _q_knn,
-        'knn_auto_topk': _q_knn_auto,
-        'track_speed_stats': _q_track_speeds,
-        'interval_intersects_counts': _q_interval_intersects,
-        'interval_set_ops': _q_interval_set_ops,
-        'collection_bounds': _q_bounds,
-        'convolve_duplicate_timestamps': _q_convolve_dups,
-        'impossible_journeys': _q_impossible_journeys,
-        'streaming_impossible_journeys': _q_streaming_impossible,
-        'exact_dedup_groups': _q_exact_dedup,
-        'minhash_lsh_pairs': _q_minhash_pairs,
-        'text_stats': _q_text_stats,
-        'token_counts': _q_token_counts,
-        'scrub_pii': _q_scrub_pii,
-        'lang_id_agreement': _q_lang_markers,
-        'cosine_topk': _q_cosine_topk,
-        'ivf_assign_counts': _q_ivf_counts,
-        'embedding_neardup_pairs': _q_embedding_neardup,
-        'streaming_events_windowed': _q_streaming_events,
-        'niemeyer_cover_circle': _q_niemeyer_cover_circle,
-        'h3_cell_counts': _q_h3_cells,
-        's2_cell_counts': _q_s2_cells,
-        'h3_cover_circle': _q_h3_cover_circle,
-        's2_cover_circle': _q_s2_cover_circle,
-        'h3_compact_cover': _q_h3_compact_cover,
-        'media_real_decode': _q_media_real_decode,
-        'wkb_roundtrip': _q_wkb_roundtrip,
-        'geojson_featurecollection': _q_geojson_fc,
-        'split_multishapes': _q_split_multishapes,
-        'raster_tile_assignment': _q_raster_tiles,
-        'wkt_parse_roundtrip': _q_wkt_parse,
-        'geojson_parse': _q_geojson_parse,
-        'shape_join_intersects': _q_shape_join,
-        'filter_by_property': _q_filter_by_property,
-        'convex_hull_by_segment': _q_convex_hull,
-        'quality_score_buckets': _q_quality_score,
-        'doc_fingerprints': _q_fingerprint,
-        'ngram_jaccard_pairs': _q_ngram_jaccard,
-        'neardup_components': _q_neardup_components,
-        'shape_derived_bounds': _q_shape_bounds,
-        'shape_volume': _q_shape_volume,
-        'unit_conversions': _q_unit_conversions,
-        'track_extremes': _q_track_extremes,
+        # -- never driver-certified before r4 (registry[50:77] in r1-r3) --
         'simhash_buckets': _q_simhash,
         'ivf_ann_topk': _q_ivf_ann,
         'media_features_stub': _q_media_features,
@@ -3372,6 +3451,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'mgrs_encode_strings': _q_mgrs_encode,
         'shapefile_roundtrip': _q_shapefile_roundtrip,
         'dms_convert': _q_dms_convert,
+        # -- new in r4 --
+        'osgb_project': _q_osgb_project,
+        # -- implementation changed in r4 (GEMM kernel / cap / guards) --
+        'cosine_topk': _q_cosine_topk,
+        'ivf_assign_counts': _q_ivf_counts,
+        'embedding_neardup_pairs': _q_embedding_neardup,
+        'neardup_components': _q_neardup_components,
+        'minhash_lsh_pairs': _q_minhash_pairs,
+        's2_cover_circle': _q_s2_cover_circle,
+        's2_cell_counts': _q_s2_cells,
+        # -- flagships kept inside the certified window --
+        'q1_pricing_summary': _q1_pricing_summary,
+        'spatial_join_circles': _q_spatial_join_circles,
+        'h3_cell_counts': _q_h3_cells,
+        'h3_cover_circle': _q_h3_cover_circle,
+        'h3_compact_cover': _q_h3_compact_cover,
+        'knn_topk': _q_knn,
+        'knn_auto_topk': _q_knn_auto,
+        'niemeyer_cell_counts': _q_niemeyer_cells,
+        'niemeyer_cover_circle': _q_niemeyer_cover_circle,
+        'pip_triangle_counts': _q_pip_triangle,
+        'events_windowed_agg': _q_events_windowed,
+        'streaming_events_windowed': _q_streaming_events,
+        'track_speed_stats': _q_track_speeds,
+        'impossible_journeys': _q_impossible_journeys,
+        'exact_dedup_groups': _q_exact_dedup,
+        # ---- registry[50:] — driver-certified green in r3, settled ----
+        'q3_top_revenue': _q3_top_revenue,
+        'circle_contains_counts': _q_circle_contains,
+        'interval_intersects_counts': _q_interval_intersects,
+        'interval_set_ops': _q_interval_set_ops,
+        'collection_bounds': _q_bounds,
+        'convolve_duplicate_timestamps': _q_convolve_dups,
+        'streaming_impossible_journeys': _q_streaming_impossible,
+        'text_stats': _q_text_stats,
+        'token_counts': _q_token_counts,
+        'scrub_pii': _q_scrub_pii,
+        'lang_id_agreement': _q_lang_markers,
+        'wkb_roundtrip': _q_wkb_roundtrip,
+        'geojson_featurecollection': _q_geojson_fc,
+        'split_multishapes': _q_split_multishapes,
+        'raster_tile_assignment': _q_raster_tiles,
+        'wkt_parse_roundtrip': _q_wkt_parse,
+        'geojson_parse': _q_geojson_parse,
+        'shape_join_intersects': _q_shape_join,
+        'filter_by_property': _q_filter_by_property,
+        'convex_hull_by_segment': _q_convex_hull,
+        'quality_score_buckets': _q_quality_score,
+        'doc_fingerprints': _q_fingerprint,
+        'ngram_jaccard_pairs': _q_ngram_jaccard,
+        'shape_derived_bounds': _q_shape_bounds,
+        'shape_volume': _q_shape_volume,
+        'unit_conversions': _q_unit_conversions,
+        'track_extremes': _q_track_extremes,
+        'media_real_decode': _q_media_real_decode,
     }
 
 
@@ -3457,6 +3591,7 @@ def oracle_sql() -> dict[str, str]:
         'kml_parse_roundtrip': _KML_ROUNDTRIP_DUCK,
         'utm_project': _utm_project_duckdb(),
         'tm_custom_project': _tm_custom_duckdb(),
+        'osgb_project': _osgb_project_duckdb(),
         'mgrs_encode_strings': _mgrs_encode_duckdb(),
         'shapefile_roundtrip': _SHAPEFILE_ROUNDTRIP_DUCK,
         'dms_convert': _dms_duckdb(),

@@ -108,10 +108,12 @@ def utm_forward_udf():
 #
 # The reference delegates to pyproj's Transformer and rounds half-up at 6
 # decimals. Supported here from scratch: EPSG:4326 (identity), EPSG:3857
-# (spherical Web Mercator — pure column expressions, JVM-side), and the UTM
+# (spherical Web Mercator — pure column expressions, JVM-side), the UTM
 # CRS family EPSG:326xx / 327xx (the Krüger-series kernel, forced to the
-# code's zone/hemisphere). Other codes raise, matching "general EPSG
-# reprojection" staying out of scope (SURVEY.md §2.1).
+# code's zone/hemisphere), and the non-WGS84-datum national grids in
+# kernels/datum.py:GRID_CRS (EPSG:27700 British National Grid on OSGB36/
+# Airy 1830; EPSG:23028-23038 ED50/UTM on International 1924) via the
+# 7-parameter Helmert + per-ellipsoid Krüger chain. Other codes raise.
 
 _WEB_MERCATOR_R = 6378137.0
 
@@ -163,7 +165,10 @@ def _utm_epsg(code: int):
 
 def to_projection_udf(crs):
     """WGS84 -> projected (x, y) for any supported EPSG code; UTM codes run
-    the Krüger kernel forced to the code's zone/hemisphere."""
+    the Krüger kernel forced to the code's zone/hemisphere; national-grid
+    codes on non-WGS84 datums (EPSG:27700 BNG, EPSG:230xx ED50/UTM) run
+    the 7-parameter Helmert + target-ellipsoid TM chain
+    (kernels/datum.py)."""
     code = _parse_epsg(crs)
     if code in (4326, 3857):
         exprs = to_projection_exprs
@@ -173,6 +178,18 @@ def to_projection_udf(crs):
                            F.col(lat) if isinstance(lat, str) else lat, code)
             return F.struct(xx.alias('x'), yy.alias('y'))
         return apply_exprs
+    if f'EPSG:{code}' in _grid_codes():
+        from geostructures_spark.kernels.datum import grid_forward
+        from geostructures_spark.kernels.geodesy import round_half_up
+        key = f'EPSG:{code}'
+
+        @F.pandas_udf('struct<x:double,y:double>')
+        def _grid_fwd(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+            xx, yy = grid_forward(lon.to_numpy(np.float64),
+                                  lat.to_numpy(np.float64), key)
+            return pd.DataFrame({'x': round_half_up(xx, 6),
+                                 'y': round_half_up(yy, 6)}, index=lon.index)
+        return _grid_fwd
     zone, south = _utm_epsg(code)
     from geostructures_spark.kernels.geodesy import round_half_up
     from geostructures_spark.kernels.mgrs import E0, N0_SOUTH, _tm_forward
@@ -189,6 +206,11 @@ def to_projection_udf(crs):
     return _fwd
 
 
+def _grid_codes():
+    from geostructures_spark.kernels.datum import GRID_CRS
+    return GRID_CRS
+
+
 def from_projection_udf(crs):
     """Projected (x, y) -> WGS84 (lon, lat) for any supported EPSG code."""
     code = _parse_epsg(crs)
@@ -200,6 +222,18 @@ def from_projection_udf(crs):
                              F.col(y) if isinstance(y, str) else y, code)
             return F.struct(lon.alias('lon'), lat.alias('lat'))
         return apply_exprs
+    if f'EPSG:{code}' in _grid_codes():
+        from geostructures_spark.kernels.datum import grid_inverse
+        from geostructures_spark.kernels.geodesy import round_half_up
+        key = f'EPSG:{code}'
+
+        @F.pandas_udf('struct<lon:double,lat:double>')
+        def _grid_inv(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+            lon, lat = grid_inverse(x.to_numpy(np.float64),
+                                    y.to_numpy(np.float64), key)
+            return pd.DataFrame({'lon': round_half_up(lon, 6),
+                                 'lat': round_half_up(lat, 6)}, index=x.index)
+        return _grid_inv
     zone, south = _utm_epsg(code)
     from geostructures_spark.kernels.geodesy import round_half_up
     from geostructures_spark.kernels.mgrs import utm_inverse

@@ -1,0 +1,287 @@
+"""Datum shifts + non-WGS84-ellipsoid Transverse Mercator (pure NumPy).
+
+Closes the last EPSG partial from SURVEY.md §2: national grids whose CRS
+is a TM projection on a NON-WGS84 datum (reference ``coordinates.py:
+210-234`` accepts any pyproj CRS string; pyproj routes these through a
+7-parameter Helmert transformation + the target ellipsoid's projection).
+From public formulas only:
+
+- Krüger 6th-order series for ARBITRARY ellipsoid (a, f) — the same
+  published polynomial-in-n coefficients kernels/mgrs.py instantiates
+  for WGS84 (tests assert the symbolic form reproduces those constants
+  bit-for-bit).
+- Geodetic <-> geocentric (ECEF) conversion per ellipsoid.
+- 7-parameter Helmert in the EPSG "position vector" convention
+  (translation m, rotations arc-sec, scale ppm) — the convention the
+  OSGB/EPSG registry publishes; a 3-parameter shift is the degenerate
+  rotation-free case.
+- A small named-CRS registry: EPSG:27700 (British National Grid /
+  OSGB36, Airy 1830), EPSG:23028-23038 (ED50 UTM zones, International
+  1924), EPSG:4277/4230 (the geographic CRSs of those datums).
+
+Accuracy note: these are the EPSG single-Helmert paths (OSGB36: EPSG
+transformation 1314; ED50: the common 3-param mean-European shift), the
+same ones pyproj uses when no distortion grid is installed. The OSTN15
+/ NTv2 grid refinements (sub-meter vs ~2-3 m) are data files, not
+formulas, and are out of scope here by design.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import numpy as np
+
+from geostructures_spark.kernels import ensure_malloc_tuned
+
+__all__ = [
+    'Ellipsoid', 'Helmert', 'TMParams', 'GridCRS',
+    'WGS84', 'AIRY1830', 'INTL1924',
+    'kruger_coefficients', 'geodetic_to_ecef', 'ecef_to_geodetic',
+    'helmert_apply', 'tm_forward_ell', 'tm_inverse_ell',
+    'GRID_CRS', 'grid_forward', 'grid_inverse',
+]
+
+
+class Ellipsoid(NamedTuple):
+    a: float   # semi-major axis (m)
+    f: float   # flattening
+
+    @property
+    def b(self) -> float:
+        return self.a * (1.0 - self.f)
+
+    @property
+    def e2(self) -> float:
+        return self.f * (2.0 - self.f)
+
+    @property
+    def n(self) -> float:  # third flattening
+        return self.f / (2.0 - self.f)
+
+
+WGS84 = Ellipsoid(6378137.0, 1.0 / 298.257223563)
+AIRY1830 = Ellipsoid(6377563.396, 1.0 / 299.3249646)
+INTL1924 = Ellipsoid(6378388.0, 1.0 / 297.0)
+
+
+def kruger_coefficients(ell: Ellipsoid):
+    """(A1, alpha[6], beta[6]) — the published 6th-order Krüger series in
+    the third flattening n (Karney 2011, eqs. 12/14/35/36). The WGS84
+    instantiation must equal kernels/mgrs.py's hardcoded arrays."""
+    n = ell.n
+    n2, n3, n4, n5, n6 = n**2, n**3, n**4, n**5, n**6
+    a1 = ell.a / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
+    alpha = np.array([
+        n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180 - 127 * n5 / 288
+        + 7891 * n6 / 37800,
+        13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440 + 281 * n5 / 630
+        - 1983433 * n6 / 1935360,
+        61 * n3 / 240 - 103 * n4 / 140 + 15061 * n5 / 26880
+        + 167603 * n6 / 181440,
+        49561 * n4 / 161280 - 179 * n5 / 168 + 6601661 * n6 / 7257600,
+        34729 * n5 / 80640 - 3418889 * n6 / 1995840,
+        212378941 * n6 / 319334400,
+    ])
+    beta = np.array([
+        n / 2 - 2 * n2 / 3 + 37 * n3 / 96 - n4 / 360 - 81 * n5 / 512
+        + 96199 * n6 / 604800,
+        n2 / 48 + n3 / 15 - 437 * n4 / 1440 + 46 * n5 / 105
+        - 1118711 * n6 / 3870720,
+        17 * n3 / 480 - 37 * n4 / 840 - 209 * n5 / 4480 + 5569 * n6 / 90720,
+        4397 * n4 / 161280 - 11 * n5 / 504 - 830251 * n6 / 7257600,
+        4583 * n5 / 161280 - 108847 * n6 / 3991680,
+        20648693 * n6 / 638668800,
+    ])
+    return a1, alpha, beta
+
+
+# --- geodetic <-> ECEF -------------------------------------------------------
+
+def geodetic_to_ecef(lon, lat, ell: Ellipsoid, h=0.0):
+    """(lon, lat, h) degrees/m -> geocentric (X, Y, Z) m on ``ell``."""
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    s, c = np.sin(phi), np.cos(phi)
+    nu = ell.a / np.sqrt(1.0 - ell.e2 * s * s)
+    return ((nu + h) * c * np.cos(lam),
+            (nu + h) * c * np.sin(lam),
+            (nu * (1.0 - ell.e2) + h) * s)
+
+
+def ecef_to_geodetic(X, Y, Z, ell: Ellipsoid, n_iter: int = 8):
+    """(X, Y, Z) -> (lon, lat, h) by fixed-point iteration on phi (the
+    classic Bowring-seeded loop; 8 rounds converge far below 1e-12 rad
+    for crustal points)."""
+    X = np.asarray(X, dtype=np.float64)
+    Y = np.asarray(Y, dtype=np.float64)
+    Z = np.asarray(Z, dtype=np.float64)
+    lam = np.arctan2(Y, X)
+    p = np.hypot(X, Y)
+    phi = np.arctan2(Z, p * (1.0 - ell.e2))
+    for _ in range(n_iter):
+        s = np.sin(phi)
+        nu = ell.a / np.sqrt(1.0 - ell.e2 * s * s)
+        phi = np.arctan2(Z + ell.e2 * nu * s, p)
+    s = np.sin(phi)
+    nu = ell.a / np.sqrt(1.0 - ell.e2 * s * s)
+    h = p / np.cos(phi) - nu
+    return np.degrees(lam), np.degrees(phi), h
+
+
+# --- 7-parameter Helmert (position vector convention) -----------------------
+
+class Helmert(NamedTuple):
+    """EPSG position-vector transformation: translations m, rotations
+    ARC-SECONDS, scale PPM. ``inverse()`` is the standard sign-flip
+    (exact to second order in the small parameters, the EPSG practice)."""
+    tx: float
+    ty: float
+    tz: float
+    rx: float = 0.0
+    ry: float = 0.0
+    rz: float = 0.0
+    s_ppm: float = 0.0
+
+    def inverse(self) -> 'Helmert':
+        return Helmert(-self.tx, -self.ty, -self.tz,
+                       -self.rx, -self.ry, -self.rz, -self.s_ppm)
+
+
+_AS2RAD = np.pi / (180.0 * 3600.0)
+
+
+def helmert_apply(X, Y, Z, p: Helmert):
+    """Position-vector 7-param: v' = t + (1+s) R v with
+    R = [[1, -rz, ry], [rz, 1, -rx], [-ry, rx, 1]] (small-angle)."""
+    rx, ry, rz = p.rx * _AS2RAD, p.ry * _AS2RAD, p.rz * _AS2RAD
+    m = 1.0 + p.s_ppm * 1e-6
+    X = np.asarray(X, dtype=np.float64)
+    Y = np.asarray(Y, dtype=np.float64)
+    Z = np.asarray(Z, dtype=np.float64)
+    return (p.tx + m * (X - rz * Y + ry * Z),
+            p.ty + m * (rz * X + Y - rx * Z),
+            p.tz + m * (-ry * X + rx * Y + Z))
+
+
+# --- arbitrary-ellipsoid Transverse Mercator --------------------------------
+
+class TMParams(NamedTuple):
+    lon0: float
+    lat0: float
+    k0: float
+    x0: float
+    y0: float
+
+
+def _meridian_arc(ell: Ellipsoid, lat0: float) -> float:
+    """Rectifying arc length from the equator to lat0 (via the TM series
+    at the central meridian, where xi' reduces to the conformal lat)."""
+    if lat0 == 0.0:
+        return 0.0
+    a1, alpha, _ = kruger_coefficients(ell)
+    e = np.sqrt(ell.e2)
+    phi = np.radians(lat0)
+    t = np.sinh(np.arctanh(np.sin(phi)) - e * np.arctanh(e * np.sin(phi)))
+    xi_p = np.arctan2(t, 1.0)
+    xi = xi_p
+    for j in range(6):
+        xi = xi + alpha[j] * np.sin(2 * (j + 1) * xi_p)
+    return float(a1 * xi)
+
+
+def tm_forward_ell(lon, lat, ell: Ellipsoid, tm: TMParams):
+    """(lon, lat) on ``ell`` -> projected (x, y). Same Krüger machinery as
+    kernels/mgrs.py:_tm_forward but parameterized by ellipsoid."""
+    ensure_malloc_tuned()
+    a1, alpha, _ = kruger_coefficients(ell)
+    e = np.sqrt(ell.e2)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - tm.lon0)
+    t = np.sinh(np.arctanh(np.sin(phi)) - e * np.arctanh(e * np.sin(phi)))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.hypot(t, np.cos(lam)))
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j in range(6):
+        xi = xi + alpha[j] * np.sin(2 * (j + 1) * xi_p) * np.cosh(2 * (j + 1) * eta_p)
+        eta = eta + alpha[j] * np.cos(2 * (j + 1) * xi_p) * np.sinh(2 * (j + 1) * eta_p)
+    m0 = _meridian_arc(ell, tm.lat0)
+    return (tm.x0 + tm.k0 * a1 * eta,
+            tm.y0 + tm.k0 * (a1 * xi - m0))
+
+
+def tm_inverse_ell(x, y, ell: Ellipsoid, tm: TMParams):
+    """Projected (x, y) -> (lon, lat) on ``ell``."""
+    ensure_malloc_tuned()
+    a1, _, beta = kruger_coefficients(ell)
+    e = np.sqrt(ell.e2)
+    m0 = _meridian_arc(ell, tm.lat0)
+    xs = (np.asarray(x, dtype=np.float64) - tm.x0) / (tm.k0 * a1)
+    ys = (np.asarray(y, dtype=np.float64) - tm.y0 + tm.k0 * m0) / (tm.k0 * a1)
+    xi = ys.copy()
+    eta = xs.copy()
+    for j in range(6):
+        xi = xi - beta[j] * np.sin(2 * (j + 1) * ys) * np.cosh(2 * (j + 1) * xs)
+        eta = eta - beta[j] * np.cos(2 * (j + 1) * ys) * np.sinh(2 * (j + 1) * xs)
+    chi = np.arcsin(np.sin(xi) / np.cosh(eta))
+    phi = chi.copy()
+    for _ in range(7):
+        s = np.sin(phi)
+        phi = np.arcsin(np.tanh(
+            np.arctanh(np.sin(chi)) + e * np.arctanh(e * s)))
+    lam = np.arctan2(np.sinh(eta), np.cos(xi))
+    return tm.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+# --- named national-grid CRSs ------------------------------------------------
+
+class GridCRS(NamedTuple):
+    ell: Ellipsoid
+    tm: TMParams
+    wgs84_to_datum: Helmert   # applied in ECEF space
+
+
+# WGS84 -> OSGB36: EPSG transformation 1314 (sign-flipped OSGB36->WGS84
+# "Petroleum" params published by Ordnance Survey); position vector.
+_WGS84_TO_OSGB36 = Helmert(-446.448, 125.157, -542.060,
+                           -0.1502, -0.2470, -0.8421, 20.4894)
+# WGS84 -> ED50: common 3-parameter mean-European shift (EPSG 1311
+# family; rotation-free).
+_WGS84_TO_ED50 = Helmert(87.0, 98.0, 121.0)
+
+GRID_CRS: Dict[str, GridCRS] = {
+    # British National Grid (OSGB36, Airy 1830)
+    'EPSG:27700': GridCRS(AIRY1830,
+                          TMParams(lon0=-2.0, lat0=49.0, k0=0.9996012717,
+                                   x0=400000.0, y0=-100000.0),
+                          _WGS84_TO_OSGB36),
+}
+# ED50 / UTM zones 28N..38N (International 1924): EPSG:23028-23038
+for _z in range(28, 39):
+    GRID_CRS[f'EPSG:230{_z}'] = GridCRS(
+        INTL1924,
+        TMParams(lon0=float(_z * 6 - 183), lat0=0.0, k0=0.9996,
+                 x0=500000.0, y0=0.0),
+        _WGS84_TO_ED50)
+
+
+def grid_forward(lon, lat, crs: str) -> Tuple[np.ndarray, np.ndarray]:
+    """WGS84 (lon, lat) -> (x, y) in a non-WGS84-datum grid CRS:
+    geodetic -> ECEF -> Helmert -> target-datum geodetic -> TM forward."""
+    g = GRID_CRS[crs]
+    X, Y, Z = geodetic_to_ecef(lon, lat, WGS84)
+    X, Y, Z = helmert_apply(X, Y, Z, g.wgs84_to_datum)
+    dlon, dlat, _ = ecef_to_geodetic(X, Y, Z, g.ell)
+    return tm_forward_ell(dlon, dlat, g.ell, g.tm)
+
+
+def grid_inverse(x, y, crs: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Grid (x, y) -> WGS84 (lon, lat): TM inverse -> ECEF -> inverse
+    Helmert -> WGS84 geodetic."""
+    g = GRID_CRS[crs]
+    dlon, dlat = tm_inverse_ell(x, y, g.ell, g.tm)
+    X, Y, Z = geodetic_to_ecef(dlon, dlat, g.ell)
+    X, Y, Z = helmert_apply(X, Y, Z, g.wgs84_to_datum.inverse())
+    lon, lat, _ = ecef_to_geodetic(X, Y, Z, WGS84)
+    return lon, lat

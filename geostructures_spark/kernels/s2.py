@@ -215,13 +215,25 @@ def min_cell_width_deg(level: int) -> float:
     return float(np.degrees(_MIN_WIDTH_RAD0 * (0.5 ** level)))
 
 
-def polygon_to_cells_s2(rings, level: int) -> set:
+def polygon_to_cells_s2(rings, level: int,
+                        max_candidates: int = 50_000_000,
+                        band_samples: int = 1 << 22) -> set:
     """Centroid-containment polyfill: level-``level`` cells whose CENTER
     lies inside rings[0] and outside any hole — the same keep rule as
     the H3 polyfill (kernels/h3_cover.py), so S2 slots into the same
     spatial-join shape. Candidates come from a lat/lon sample grid at
     half the published minimum cell width (every cell whose center can
-    be inside holds >= 1 sample), in the antimeridian-unwrapped frame."""
+    be inside holds >= 1 sample), in the antimeridian-unwrapped frame.
+
+    The grid is O((bbox/step)^2) samples, so a continent-size polygon at
+    a fine level would try to materialize an astronomic candidate set
+    inside one UDF row. Two guards: the grid is evaluated in latitude
+    BANDS (``band_samples`` samples each, default ~4M — bounded peak
+    memory regardless of bbox),
+    and a total budget of ``max_candidates`` samples raises with
+    actionable guidance instead of grinding — a cover that large is the
+    wrong level for the shape (use a coarser level, compact_cells, or
+    split the shape; cover_shapes already tiles one row per shape)."""
     ensure_malloc_tuned()
     from geostructures_spark.kernels import geometry as geom
     from geostructures_spark.kernels.h3_cover import _unwrap_ring
@@ -236,9 +248,20 @@ def polygon_to_cells_s2(rings, level: int) -> set:
     pad = 2.0 * min_cell_width_deg(level)
     lats = np.arange(min_lat - pad, max_lat + pad + step, step)
     lons = np.arange(min_lon - pad, max_lon + pad + step, step)
-    glat, glon = np.meshgrid(lats, lons)
-    glon_w = np.mod(glon.ravel() + 180.0, 360.0) - 180.0
-    cand = np.unique(latlng_to_cell(glat.ravel(), glon_w, level))
+    n_samples = len(lats) * len(lons)
+    if n_samples > max_candidates:
+        raise ValueError(
+            f'polygon_to_cells_s2: shape needs ~{n_samples:,} grid samples '
+            f'at level {level} (> max_candidates={max_candidates:,}) — '
+            f'use a coarser level or split the shape')
+    band_rows = max(1, band_samples // max(1, len(lons)))
+    cand_parts = []
+    for i in range(0, len(lats), band_rows):
+        glat, glon = np.meshgrid(lats[i:i + band_rows], lons)
+        glon_w = np.mod(glon.ravel() + 180.0, 360.0) - 180.0
+        cand_parts.append(np.unique(latlng_to_cell(glat.ravel(), glon_w, level)))
+    cand = (np.unique(np.concatenate(cand_parts)) if len(cand_parts) > 1
+            else cand_parts[0])
     cla, cln = cell_to_latlng(cand)
     cln = cln + 360.0 * np.round((frame - cln) / 360.0)
     inside = geom.points_in_polygon(cln, cla, outline)

@@ -142,6 +142,10 @@ def minhash_lsh_pairs(docs: DataFrame, n_bands: int = 8, shingle_k: int = 5,
     the metrics live (the realistic corpus case). For an exact audit of
     an all-dropped run, re-run the bucket stage directly or disable
     ``spark.sql.adaptive.enabled`` for the query."""
+    if observation is not None and max_bucket is None:
+        raise ValueError('observation given but max_bucket is None — '
+                         'no metrics would ever be attached and '
+                         'Observation.get would block forever')
     sig = minhash_signature(docs, n_bands, shingle_k, id_col, text_col)
     buckets = (sig.groupBy('band', 'minhash')
                .agg(F.collect_list(id_col).alias('docs'))
@@ -302,7 +306,8 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, n: int = 3,
 
 def connected_components(pairs: DataFrame, id_a: str = 'doc_a',
                          id_b: str = 'doc_b', max_iter: int = 25,
-                         n_partitions: int = None) -> DataFrame:
+                         n_partitions: int = None,
+                         strict: bool = True) -> DataFrame:
     """(node, component) for the undirected graph given as pair rows —
     the dedup-clustering step after near-dup pair generation (each
     component keeps one canonical document; component = min node id).
@@ -320,7 +325,16 @@ def connected_components(pairs: DataFrame, id_a: str = 'doc_a',
 
     ``n_partitions`` bounds the loop's shuffle width — size it to the
     edge count (catalog-scale graphs want a few, corpus-scale graphs
-    the session default)."""
+    the session default).
+
+    If the loop exhausts ``max_iter`` before the changed-count hits
+    zero, the labels are NOT final — a component whose diameter exceeds
+    max_iter would come back split under multiple ids. ``strict=True``
+    (default) raises in that case; ``strict=False`` downgrades to a
+    ``RuntimeWarning`` for callers that want the partial labels (e.g.
+    to inspect which chains are still merging)."""
+    import warnings
+
     from pyspark.sql import Observation
 
     edges = (pairs.select(F.col(id_a).alias('src'), F.col(id_b).alias('dst'))
@@ -355,4 +369,12 @@ def connected_components(pairs: DataFrame, id_a: str = 'doc_a',
         labels = new_labels
         if not obs.get['changed']:
             break
+    else:
+        msg = (f'connected_components did not converge within '
+               f'max_iter={max_iter} rounds ({obs.get["changed"]} labels '
+               f'still changing) — components wider than max_iter hops '
+               f'would be returned split; raise max_iter')
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning)
     return labels.select('node', F.col('label').alias('component'))

@@ -15,11 +15,6 @@ from geostructures_spark.plans.h3_sql import _Pipe, _r
 __all__ = ['s2_latlng_to_token_sql', 's2_cell_center_sql',
            's2_circle_cover_counts_sql']
 
-_IJ_TO_POS = '[[1, 2, 4, 3], [1, 4, 2, 3], [3, 2, 4, 1], [3, 4, 2, 1]]'
-# NOTE: entries above are pos+1 (DuckDB lists are 1-indexed); see below.
-_POS_TO_ORIENT = '[1, 0, 0, 3]'
-
-
 def s2_latlng_to_token_sql(points_sql: str, level: int,
                            id_col: str = 'pid') -> str:
     """SQL producing ({id_col}, cell) — canonical S2 tokens at ``level``

@@ -1,0 +1,345 @@
+"""Round-4 regression tests: the Arrow GEMM rewrite of the IVF cosine
+family (r3-verdict task 2), the IVF bucket cap + observable drops
+(task 3), and the ADVICE fixes (connected_components convergence signal,
+dangling-observation guards, S2 polyfill grid guard)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.test_spark_operators import spark  # shared session fixture
+
+
+def _rand_vecs(spark, n, dim, seed=7, start_id=0):
+    rng = np.random.RandomState(seed)
+    rows = [(start_id + i, rng.randn(dim).astype(np.float64).tolist())
+            for i in range(n)]
+    return spark.createDataFrame(rows, 'vec_id long, embedding array<double>')
+
+
+# --- GEMM assign == expression-form assign ----------------------------------
+
+def test_ivf_assign_gemm_matches_hof(spark):
+    """The GEMM kernel and the retained HOF expression form must pick the
+    same nearest centroid for every vector (identical argmax + tie-break
+    semantics), across multiple input partitions."""
+    from geostructures_spark.operators.simsearch import (
+        ivf_assign, ivf_assign_hof)
+    vecs = _rand_vecs(spark, 300, 24).repartition(7)
+    cents = (_rand_vecs(spark, 16, 24, seed=11)
+             .select(F.col('vec_id').alias('centroid_id'),
+                     F.col('embedding').alias('c_embedding')))
+    got = {r['vec_id']: r['centroid_id']
+           for r in ivf_assign(vecs, cents).collect()}
+    want = {r['vec_id']: r['centroid_id']
+            for r in ivf_assign_hof(vecs, cents).collect()}
+    assert got == want and len(got) == 300
+
+
+def test_ivf_assign_no_window_no_expansion(spark):
+    """r3-verdict done-criterion: the GEMM assign plan carries no Window
+    (the old form shuffled k-times expanded rows on vec_id) and no
+    join/cross-join row expansion — a single mapInPandas stage."""
+    from geostructures_spark.operators.simsearch import ivf_assign
+    vecs = _rand_vecs(spark, 50, 8)
+    cents = (_rand_vecs(spark, 4, 8, seed=3)
+             .select(F.col('vec_id').alias('centroid_id'),
+                     F.col('embedding').alias('c_embedding')))
+    plan = ivf_assign(vecs, cents)._jdf.queryExecution().executedPlan().toString()
+    assert 'Window' not in plan
+    assert 'Join' not in plan and 'CartesianProduct' not in plan
+
+
+def test_ivf_assign_multi_assign_tiebreak(spark):
+    """n_assign>1: stable argsort must order equal similarities by
+    ascending centroid id (the oracle's ROW_NUMBER tie-break). Duplicate
+    centroids guarantee exact float ties."""
+    from geostructures_spark.operators.simsearch import ivf_assign
+    vecs = spark.createDataFrame([(0, [1.0, 0.0])],
+                                 'vec_id long, embedding array<double>')
+    cents = spark.createDataFrame(
+        [(5, [1.0, 0.0]), (2, [1.0, 0.0]), (9, [0.0, 1.0])],
+        'centroid_id long, c_embedding array<double>')
+    got = sorted(r['centroid_id']
+                 for r in ivf_assign(vecs, cents, n_assign=2).collect())
+    assert got == [2, 5]  # both ties win over the orthogonal 9; 2 before 5
+
+
+def test_cosine_topk_exact_multibatch(spark):
+    """Batch-local partial top-k across many partitions must equal the
+    NumPy brute-force top-k (union-of-batch-topk exactness), including
+    the self-match exclusion."""
+    from geostructures_spark.operators.simsearch import cosine_topk_exact
+    n, dim, k = 400, 12, 6
+    rng = np.random.RandomState(42)
+    X = rng.randn(n, dim)
+    vecs = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)],
+        'vec_id long, embedding array<double>').repartition(9)
+    q_ids = [3, 77]
+    queries = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in q_ids],
+        'query_id long, q_embedding array<double>')
+    got = {(r['query_id'], r['rank']): r['neighbor_id']
+           for r in cosine_topk_exact(vecs, queries, k=k).collect()}
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for qi in q_ids:
+        sims = Xn @ Xn[qi]
+        order = [i for i in np.lexsort((np.arange(n), -sims)) if i != qi][:k]
+        for rank, nid in enumerate(order, start=1):
+            assert got[(qi, rank)] == nid
+    assert len(got) == len(q_ids) * k
+
+
+def test_cosine_topk_duplicate_vector_ties(spark):
+    """Exact duplicate embeddings produce exact cosine ties — the batch-
+    local lexsort and the global window must both resolve them to the
+    LOWEST neighbor id, even when the duplicates sit in different
+    partitions."""
+    from geostructures_spark.operators.simsearch import cosine_topk_exact
+    base = [1.0, 2.0, 3.0, 4.0]
+    other = [-4.0, 3.0, -2.0, 1.0]
+    rows = [(i, base) for i in range(20)] + [(100 + i, other) for i in range(5)]
+    vecs = spark.createDataFrame(
+        rows, 'vec_id long, embedding array<double>').repartition(6)
+    queries = spark.createDataFrame([(0, base)],
+                                    'query_id long, q_embedding array<double>')
+    got = [r['neighbor_id'] for r in
+           cosine_topk_exact(vecs, queries, k=5).orderBy('rank').collect()]
+    assert got == [1, 2, 3, 4, 5]  # ties -> ascending ids, self (0) excluded
+
+
+# --- IVF bucket cap + observable drops (r3-verdict task 3) ------------------
+
+def test_embedding_neardup_mega_bucket_capped(spark):
+    """Adversarial skew: every vector lands in ONE centroid bucket. With
+    the cap, the within-bucket quadratic join is skipped for that bucket
+    (bounded pairs) and the drop is observable via Observation metrics.
+    AQE off: empty-result empty-relation propagation would erase the
+    metrics node (same caveat as minhash_lsh_pairs)."""
+    from pyspark.sql import Observation
+    from geostructures_spark.operators.simsearch import embedding_neardup_pairs
+    n = 2000
+    rng = np.random.RandomState(1)
+    base = rng.randn(8)
+    rows = [(i, (base + rng.randn(8) * 0.001).tolist()) for i in range(n)]
+    vecs = spark.createDataFrame(rows, 'vec_id long, embedding array<double>')
+    cents = spark.createDataFrame(
+        [(0, base.tolist()), (1, (-base).tolist()), (2, np.roll(base, 1).tolist())],
+        'centroid_id long, c_embedding array<double>')
+    obs = Observation('neardup_cap')
+    spark.conf.set('spark.sql.adaptive.enabled', 'false')
+    try:
+        out = embedding_neardup_pairs(vecs, cents, threshold=0.9,
+                                      n_assign=1, max_bucket=500,
+                                      observation=obs)
+        assert out.count() == 0  # the only bucket got dropped
+        m = obs.get
+        assert m['dropped_buckets'] == 1
+        assert m['dropped_docs'] == n
+        assert m['max_bucket_size'] == n
+    finally:
+        spark.conf.set('spark.sql.adaptive.enabled', 'true')
+
+
+def test_embedding_neardup_cap_keeps_small_buckets(spark):
+    """Planted near-dups in small buckets survive while a mega-bucket is
+    dropped: the cap must not damage recall outside the skewed bucket."""
+    from geostructures_spark.operators.simsearch import embedding_neardup_pairs
+    rng = np.random.RandomState(5)
+    mega = rng.randn(8)
+    small = np.roll(mega, 3) * -1.0
+    rows = [(i, (mega + rng.randn(8) * 0.001).tolist()) for i in range(800)]
+    rows += [(1000, small.tolist()), (1001, (small + 0.0005).tolist())]
+    vecs = spark.createDataFrame(rows, 'vec_id long, embedding array<double>')
+    cents = spark.createDataFrame(
+        [(0, mega.tolist()), (1, small.tolist())],
+        'centroid_id long, c_embedding array<double>')
+    got = {(r['doc_a'], r['doc_b'])
+           for r in embedding_neardup_pairs(vecs, cents, threshold=0.99,
+                                            n_assign=1, max_bucket=100).collect()}
+    assert got == {(1000, 1001)}
+
+
+def test_dangling_observation_raises(spark):
+    """ADVICE r3: observation= with max_bucket=None would never attach
+    metrics (Observation.get blocks forever) — both cap sites refuse."""
+    from pyspark.sql import Observation
+    from geostructures_spark.operators.dedup import minhash_lsh_pairs
+    from geostructures_spark.operators.simsearch import embedding_neardup_pairs
+    docs = spark.createDataFrame([(1, 'a b c d e f')], 'doc_id long, text string')
+    with pytest.raises(ValueError, match='max_bucket'):
+        minhash_lsh_pairs(docs, max_bucket=None, observation=Observation('x'))
+    vecs = spark.createDataFrame([(1, [1.0, 0.0])],
+                                 'vec_id long, embedding array<double>')
+    with pytest.raises(ValueError, match='max_bucket'):
+        embedding_neardup_pairs(vecs, vecs.select(
+            F.col('vec_id').alias('centroid_id'),
+            F.col('embedding').alias('c_embedding')),
+            threshold=0.5, max_bucket=None, observation=Observation('y'))
+
+
+# --- connected_components convergence signal (ADVICE r3) --------------------
+
+def test_connected_components_unconverged_raises(spark):
+    """A chain longer than max_iter hops cannot converge — strict mode
+    raises instead of silently returning split components."""
+    from geostructures_spark.operators.dedup import connected_components
+    chain = spark.createDataFrame([(i, i + 1) for i in range(30)],
+                                  'doc_a long, doc_b long')
+    with pytest.raises(RuntimeError, match='did not converge'):
+        connected_components(chain, max_iter=3)
+
+
+def test_connected_components_unconverged_warns_nonstrict(spark):
+    """strict=False downgrades exhaustion to a RuntimeWarning and returns
+    the partial labels."""
+    import warnings
+    from geostructures_spark.operators.dedup import connected_components
+    chain = spark.createDataFrame([(i, i + 1) for i in range(30)],
+                                  'doc_a long, doc_b long')
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        out = connected_components(chain, max_iter=3, strict=False)
+        assert out.count() == 31
+    assert any('did not converge' in str(x.message) for x in w)
+
+
+def test_connected_components_converged_path_still_clean(spark):
+    """A converging graph raises nothing and yields min-id components."""
+    from geostructures_spark.operators.dedup import connected_components
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)],
+                                  'doc_a long, doc_b long')
+    got = {r['node']: r['component']
+           for r in connected_components(pairs, max_iter=10).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+# --- datum shifts / national grids (r3-verdict task 5) ----------------------
+
+def test_kruger_symbolic_matches_wgs84_constants():
+    """The symbolic polynomial-in-n series instantiated for WGS84 must
+    reproduce kernels/mgrs.py's independently hardcoded arrays
+    bit-for-bit — validates every coefficient of the generic series."""
+    from geostructures_spark.kernels import datum as D
+    from geostructures_spark.kernels import mgrs as M
+    a1, alpha, beta = D.kruger_coefficients(D.WGS84)
+    assert a1 == M._A1
+    assert np.array_equal(alpha, M._ALPHA)
+    assert np.array_equal(beta, M._BETA)
+
+
+def test_airy_tm_os_worked_example():
+    """Ordnance Survey's published worked example (OSGB36-native
+    coordinates, so it tests the Airy TM alone, no Helmert):
+    52°39'27.2531\"N 1°43'4.5177\"E -> E 651409.903, N 313177.270."""
+    from geostructures_spark.kernels import datum as D
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    x, y = D.tm_forward_ell(np.array([lon]), np.array([lat]),
+                            D.AIRY1830, D.GRID_CRS['EPSG:27700'].tm)
+    assert abs(x[0] - 651409.903) < 5e-4
+    assert abs(y[0] - 313177.270) < 5e-4
+    # and the inverse closes to machine precision
+    lo, la = D.tm_inverse_ell(x, y, D.AIRY1830, D.GRID_CRS['EPSG:27700'].tm)
+    assert abs(lo[0] - lon) < 1e-12 and abs(la[0] - lat) < 1e-12
+
+
+def test_helmert_position_vector_identities():
+    """The zero transform is the identity; forward∘inverse closes to the
+    second-order (≈1e-5 m) level the EPSG sign-flip convention promises;
+    the OSGB36 shift moves a London point by the expected hundreds of
+    metres in 3D."""
+    from geostructures_spark.kernels import datum as D
+    X, Y, Z = D.geodetic_to_ecef(np.array([-0.1]), np.array([51.5]), D.WGS84)
+    i = D.helmert_apply(X, Y, Z, D.Helmert(0, 0, 0))
+    assert np.allclose([i[0][0], i[1][0], i[2][0]], [X[0], Y[0], Z[0]])
+    p = D.GRID_CRS['EPSG:27700'].wgs84_to_datum
+    f = D.helmert_apply(X, Y, Z, p)
+    b = D.helmert_apply(*f, p.inverse())
+    # sign-flip inverse is exact only to second order in the small
+    # parameters: (s + r)^2 * R ~ 1 cm for the OSGB magnitudes
+    assert max(abs(b[0][0] - X[0]), abs(b[1][0] - Y[0]),
+               abs(b[2][0] - Z[0])) < 0.05
+    shift = np.hypot(np.hypot(f[0][0] - X[0], f[1][0] - Y[0]), f[2][0] - Z[0])
+    assert 500 < shift < 900  # the full 3D datum offset magnitude
+
+
+def test_ecef_geodetic_roundtrip_both_ellipsoids():
+    from geostructures_spark.kernels import datum as D
+    lon = np.array([-8.0, 0.0, 1.8, 179.5, -179.5])
+    lat = np.array([49.9, 60.7, -33.0, 83.0, -83.0])
+    for ell in (D.WGS84, D.AIRY1830, D.INTL1924):
+        lo, la, h = D.ecef_to_geodetic(*D.geodetic_to_ecef(lon, lat, ell), ell)
+        assert np.abs(lo - lon).max() < 1e-11
+        assert np.abs(la - lat).max() < 1e-11
+        assert np.abs(h).max() < 1e-5
+
+
+def test_bng_full_chain_roundtrip_and_plausibility():
+    """WGS84 -> EPSG:27700 -> WGS84 closes under 1e-5 deg (~1 m; the 2D
+    transform drops the Helmert-induced height, see _q_osgb_project), and
+    a London point lands in the published 100 km square TQ (easting
+    500k-600k, northing 100k-200k)."""
+    from geostructures_spark.kernels import datum as D
+    lon = np.array([-0.1276, -3.1883, -1.5, -5.93])
+    lat = np.array([51.5072, 55.9533, 52.2, 54.6])
+    x, y = D.grid_forward(lon, lat, 'EPSG:27700')
+    assert 500_000 < x[0] < 600_000 and 100_000 < y[0] < 200_000
+    rl, rb = D.grid_inverse(x, y, 'EPSG:27700')
+    assert np.abs(rl - lon).max() < 1e-5 and np.abs(rb - lat).max() < 1e-5
+
+
+def test_ed50_utm_roundtrip():
+    """EPSG:23031 (ED50 / UTM 31N, International 1924): the ED50 easting/
+    northing of a Paris-area point must differ from WGS84 UTM 31N by the
+    well-known ~100 m NW shift, and the roundtrip closes."""
+    from geostructures_spark.kernels import datum as D
+    from geostructures_spark.kernels.mgrs import utm_forward
+    lon, lat = np.array([2.35]), np.array([48.85])
+    ex, ny = D.grid_forward(lon, lat, 'EPSG:23031')
+    _, _, wx, wy = utm_forward(lon, lat)
+    d = np.hypot(ex[0] - wx[0], ny[0] - wy[0])
+    assert 50 < d < 250
+    rl, rb = D.grid_inverse(ex, ny, 'EPSG:23031')
+    assert abs(rl[0] - lon[0]) < 1e-6 and abs(rb[0] - lat[0]) < 1e-6
+
+
+def test_projection_udf_grid_dispatch(spark):
+    """to/from_projection_udf route EPSG:27700 through the datum kernel
+    and keep the reference's 6dp half-up rounding contract."""
+    from geostructures_spark.functions.geo import (
+        from_projection_udf, to_projection_udf)
+    df = spark.createDataFrame([(1, -0.1276, 51.5072)],
+                               'pid long, lon double, lat double')
+    fwd = to_projection_udf('EPSG:27700')
+    inv = from_projection_udf('EPSG:27700')
+    row = (df.withColumn('p', fwd(F.col('lon'), F.col('lat')))
+           .withColumn('b', inv(F.col('p.x'), F.col('p.y')))
+           .collect()[0])
+    assert 500_000 < row['p']['x'] < 600_000
+    assert abs(row['b']['lon'] - -0.1276) < 1e-5
+    assert abs(row['b']['lat'] - 51.5072) < 1e-5
+
+
+# --- S2 polyfill grid guard (ADVICE r3) -------------------------------------
+
+def test_s2_polyfill_candidate_guard():
+    """A bbox needing more grid samples than max_candidates raises with
+    guidance instead of materializing the dense grid."""
+    from geostructures_spark.kernels.s2 import polygon_to_cells_s2
+    big = [(-60.0, -50.0), (60.0, -50.0), (60.0, 50.0), (-60.0, 50.0),
+           (-60.0, -50.0)]
+    with pytest.raises(ValueError, match='max_candidates'):
+        polygon_to_cells_s2([big], level=18, max_candidates=100_000)
+
+
+def test_s2_polyfill_banded_equals_single_pass():
+    """Banded grid evaluation is a pure memory optimization — forcing
+    many small bands must give the identical cover set."""
+    from geostructures_spark.kernels import s2 as S
+    ring = [(13.37, 52.51), (13.41, 52.51), (13.41, 52.54), (13.37, 52.54),
+            (13.37, 52.51)]
+    full = S.polygon_to_cells_s2([ring], level=13)
+    banded = S.polygon_to_cells_s2([ring], level=13, band_samples=64)
+    assert full == banded and len(full) >= 5
