@@ -1211,7 +1211,7 @@ def _h3_compact_duckdb() -> str:
     from geostructures_spark.plans.h3_sql import compact_roundtrip_sql
     return compact_roundtrip_sql(
         f'SELECT qid AS shape_id, q_lon, q_lat FROM ({_pts_supplier_sql()}) '
-        f'WHERE qid <= 40', 6, 150_000.0)
+        f'WHERE qid <= 40', 5, 150_000.0)
 
 
 def _s2_cells_duckdb() -> str:
@@ -1293,6 +1293,10 @@ def _q_h3_compact_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geostructures_spark.operators.tiling import (
         compact_cover, cover_shapes, uncompact_cover)
     _load(spark, sf_dir, 'supplier')
+    # res 5 instead of 6 (r3: res-6 ran ~19-23 s Spark+DuckDB at sf0.01
+    # — the slowest sweep row; a driver per-query timeout would erase a
+    # green row). One resolution step is ~7x less cover volume with
+    # identical cover/compact/uncompact semantics and the same 41 shapes.
     sup = spark.sql(_pts_supplier_sql()).filter(F.col('qid') <= 40)
     shapes = sup.select(
         F.col('qid').cast('long').alias('shape_id'),
@@ -1301,10 +1305,10 @@ def _q_h3_compact_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col('q_lat').alias('center_lat'),
                  F.lit(150_000.0).alias('radius')).alias('params'),
         F.lit(None).cast('array<array<struct<lon:double,lat:double>>>').alias('rings'))
-    cover = cover_shapes(shapes, scheme='h3', resolution=6,
+    cover = cover_shapes(shapes, scheme='h3', resolution=5,
                          n_partitions=8).cache()
     comp = compact_cover(cover)
-    rt = uncompact_cover(comp, 6)
+    rt = uncompact_cover(comp, 5)
     full_n = cover.groupBy('shape_id').agg(F.count('*').alias('n_full'))
     comp_n = comp.groupBy('shape_id').agg(F.count('*').alias('n_compact'))
     rt_n = (rt.join(cover.withColumn('orig', F.lit(1)),

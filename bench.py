@@ -111,6 +111,71 @@ def _stress_spatial(spark, sf_dir: str) -> dict:
         with_shape_derived(area_shapes).select(F.sum('area_m2')).collect()
         best = min(best, _t.time() - t0)
     out['exact_area_4k_shapes'] = round(best, 3)
+
+    # IVF assign at ANN-realistic shape (dim 256, k 4096): the r3-verdict
+    # GEMM-vs-HOF A/B. The GEMM row runs 100k vectors; the HOF baseline
+    # gets 64 vectors (at its measured ~4 vec/s, a full-size run would
+    # take hours — which is the finding). ivf_gemm_speedup_x is the
+    # per-vector throughput ratio on the identical dim/k workload.
+    from geostructures_spark.operators.simsearch import (
+        ivf_assign, ivf_assign_hof)
+    dim, k = 256, 4096
+    cents = (spark.range(k).selectExpr(
+        'id AS centroid_id',
+        f'transform(sequence(1, {dim}), '
+        'i -> cast(sin(id * i + 0.7) as double)) AS c_embedding')).cache()
+    cents.count()
+
+    def _vecs(n):
+        return spark.range(n).selectExpr(
+            'id AS vec_id',
+            f'transform(sequence(1, {dim}), '
+            'i -> cast(cos(id * 7 + i) as float)) AS embedding')
+    gemm_n, hof_n = 100_000, 64
+    v = _vecs(gemm_n).cache()
+    v.count()
+    ivf_assign(v, cents).groupBy().count().collect()  # warm python workers
+    best = float('inf')
+    for _ in range(2):
+        t0 = _t.time()
+        ivf_assign(v, cents).groupBy().count().collect()
+        best = min(best, _t.time() - t0)
+    out['ivf_gemm_100k_d256_k4096'] = round(best, 3)
+    v2 = _vecs(hof_n).cache()
+    v2.count()
+    t0 = _t.time()
+    ivf_assign_hof(v2, cents).groupBy().count().collect()
+    hof_t = _t.time() - t0
+    out['ivf_hof_64_d256_k4096'] = round(hof_t, 3)
+    out['ivf_gemm_speedup_x'] = round(
+        (hof_t / hof_n) / (best / gemm_n), 1)
+    v.unpersist()
+    v2.unpersist()
+    cents.unpersist()
+
+    # bucketed-storage co-located join (plans/bucketing.py): both sides
+    # pre-bucketed on the cell key -> the equi-join runs with NO Exchange
+    # (shuffle-free). The emitted boolean is the plan assertion the r3
+    # verdict asked to surface as driver-visible evidence (it was
+    # previously only checked in scripts/explain_plans.py).
+    from geostructures_spark.operators.tiling import with_cell
+    from geostructures_spark.plans.bucketing import (
+        bucketed_join, write_bucketed)
+    pts_cells = with_cell(pts, 4, 16)
+    write_bucketed(pts_cells, 'bench_pts_bucketed', buckets=32)
+    write_bucketed(
+        pts_cells.groupBy('cell').agg(F.count('*').alias('n_in_cell')),
+        'bench_cellstats_bucketed', buckets=32)
+    joined = bucketed_join(spark, 'bench_pts_bucketed',
+                           'bench_cellstats_bucketed', on='cell')
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    out['bucketed_join_no_exchange'] = 'Exchange' not in plan
+    best = float('inf')
+    for _ in range(2):
+        t0 = _t.time()
+        joined.count()
+        best = min(best, _t.time() - t0)
+    out['bucketed_join_cells'] = round(best, 3)
     return out
 
 

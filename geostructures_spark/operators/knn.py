@@ -18,6 +18,7 @@ Two physical strategies:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window
@@ -73,19 +74,20 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _expand(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        if len(lon) == 0:
+            return pd.Series([], dtype=object)
+        # one vectorized batch encode for the whole (2r+1)^2 block of
+        # every query (kernels/niemeyer.py:ring_neighbors) — replaces the
+        # per-query scalar BFS over surrounding()
+        block = nie.ring_neighbors(lon.to_numpy(np.float64),
+                                   lat.to_numpy(np.float64),
+                                   length, base, ring)
+        block = np.sort(block, axis=1)
         out = []
-        for lo, la in zip(lon, lat):
-            center = nie.encode_scalar(float(lo), float(la), length, base)
-            cells = {center}
-            frontier = {center}
-            for _ in range(ring):
-                nxt = set()
-                for c in frontier:
-                    nxt.update(nie.surrounding(c, base))
-                nxt -= cells
-                cells |= nxt
-                frontier = nxt
-            out.append(sorted(cells))
+        for row in block:
+            keep = np.ones(len(row), dtype=bool)
+            keep[1:] = row[1:] != row[:-1]
+            out.append([str(c) for c in row[keep]])
         return pd.Series(out)
 
     q_cells = (queries

@@ -95,14 +95,17 @@ def main() -> int:
           f'over a single-column pruned scan (no Python eval)')
     ok &= pure
 
-    # Embedding near-dup: centroids broadcast; candidate generation is an
-    # equi-join on the bucket key, never a cross join of the vector side
+    # Embedding near-dup: GEMM assign (one MapInPandas stage against the
+    # broadcast centroid matrix — r4; the r3 plan was a
+    # BroadcastNestedLoopJoin row expansion) and candidate generation as
+    # an equi-join on the bucket key, never any cross/nested-loop join
     plan = formatted(em.queries()['embedding_neardup_pairs'](spark, sf))
-    bucketed = ('BroadcastNestedLoopJoin' in plan  # vectors x tiny centroids
+    bucketed = ('BroadcastNestedLoopJoin' not in plan
                 and 'CartesianProduct' not in plan
+                and 'MapInPandas' in plan
                 and 'centroid_id' in plan)
-    print(f'[{"OK" if bucketed else "FAIL"}] embedding near-dup pairs join '
-          f'on the bucket key (no vector-side cartesian)')
+    print(f'[{"OK" if bucketed else "FAIL"}] embedding near-dup pairs: GEMM '
+          f'assign + bucket-key equi-join (no cross/nested-loop join)')
     ok &= bucketed
 
     spark.stop()

@@ -322,6 +322,34 @@ def test_projection_udf_grid_dispatch(spark):
     assert abs(row['b']['lat'] - 51.5072) < 1e-5
 
 
+# --- vectorized kNN ring expansion (r3-verdict task 6) ----------------------
+
+def test_ring_neighbors_matches_bfs():
+    """ring_neighbors must reach exactly the cells the scalar BFS over
+    surrounding() reaches, for rings 1-3, including antimeridian-
+    straddling and high-latitude points."""
+    from geostructures_spark.kernels import niemeyer as nie
+    pts = [(13.4, 52.5), (-179.98, 10.2), (179.97, -45.0), (2.3, 78.5),
+           (-0.001, 0.001), (100.0, -80.0)]
+    for length, base in ((4, 16), (3, 32)):
+        for ring in (1, 2, 3):
+            lons = np.array([p[0] for p in pts])
+            lats = np.array([p[1] for p in pts])
+            block = nie.ring_neighbors(lons, lats, length, base, ring)
+            for i, (lo, la) in enumerate(pts):
+                center = nie.encode_scalar(lo, la, length, base)
+                cells = {center}
+                frontier = {center}
+                for _ in range(ring):
+                    nxt = set()
+                    for c in frontier:
+                        nxt.update(nie.surrounding(c, base))
+                    nxt -= cells
+                    cells |= nxt
+                    frontier = nxt
+                assert set(map(str, block[i])) == cells, (length, base, ring, i)
+
+
 # --- S2 polyfill grid guard (ADVICE r3) -------------------------------------
 
 def test_s2_polyfill_candidate_guard():
