@@ -2925,8 +2925,8 @@ def _q_osgb_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverse closure is checked in-query at 1e-5 deg (~1 m): a 2D datum
     transform DROPS the Helmert-induced ellipsoidal height (pyproj's 2D
     path does the same), which re-enters the horizontal by ~e2*dh on the
-    way back — measured max 4.6e-6 deg over these points, not a kernel
-    error."""
+    way back — measured max 8.7e-8 deg over these (domain-remapped)
+    points, not a kernel error."""
     from geostructures_spark.functions.geo import (
         from_projection_udf, to_projection_udf)
     _load(spark, sf_dir, 'customer')

@@ -190,6 +190,18 @@ def to_projection_udf(crs):
             return pd.DataFrame({'x': round_half_up(xx, 6),
                                  'y': round_half_up(yy, 6)}, index=lon.index)
         return _grid_fwd
+    if f'EPSG:{code}' in _geog_codes():
+        from geostructures_spark.kernels.datum import datum_shift
+        from geostructures_spark.kernels.geodesy import round_half_up
+        key = f'EPSG:{code}'
+
+        @F.pandas_udf('struct<x:double,y:double>')
+        def _geog_fwd(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+            xx, yy = datum_shift(lon.to_numpy(np.float64),
+                                 lat.to_numpy(np.float64), key)
+            return pd.DataFrame({'x': round_half_up(xx, 6),
+                                 'y': round_half_up(yy, 6)}, index=lon.index)
+        return _geog_fwd
     zone, south = _utm_epsg(code)
     from geostructures_spark.kernels.geodesy import round_half_up
     from geostructures_spark.kernels.mgrs import E0, N0_SOUTH, _tm_forward
@@ -209,6 +221,11 @@ def to_projection_udf(crs):
 def _grid_codes():
     from geostructures_spark.kernels.datum import GRID_CRS
     return GRID_CRS
+
+
+def _geog_codes():
+    from geostructures_spark.kernels.datum import GEOG_CRS
+    return GEOG_CRS
 
 
 def from_projection_udf(crs):
@@ -234,6 +251,18 @@ def from_projection_udf(crs):
             return pd.DataFrame({'lon': round_half_up(lon, 6),
                                  'lat': round_half_up(lat, 6)}, index=x.index)
         return _grid_inv
+    if f'EPSG:{code}' in _geog_codes():
+        from geostructures_spark.kernels.datum import datum_unshift
+        from geostructures_spark.kernels.geodesy import round_half_up
+        key = f'EPSG:{code}'
+
+        @F.pandas_udf('struct<lon:double,lat:double>')
+        def _geog_inv(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+            lon, lat = datum_unshift(x.to_numpy(np.float64),
+                                     y.to_numpy(np.float64), key)
+            return pd.DataFrame({'lon': round_half_up(lon, 6),
+                                 'lat': round_half_up(lat, 6)}, index=x.index)
+        return _geog_inv
     zone, south = _utm_epsg(code)
     from geostructures_spark.kernels.geodesy import round_half_up
     from geostructures_spark.kernels.mgrs import utm_inverse

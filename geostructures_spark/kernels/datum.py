@@ -39,7 +39,8 @@ __all__ = [
     'WGS84', 'AIRY1830', 'INTL1924',
     'kruger_coefficients', 'geodetic_to_ecef', 'ecef_to_geodetic',
     'helmert_apply', 'tm_forward_ell', 'tm_inverse_ell',
-    'GRID_CRS', 'grid_forward', 'grid_inverse',
+    'GRID_CRS', 'GEOG_CRS', 'grid_forward', 'grid_inverse',
+    'datum_shift', 'datum_unshift',
 ]
 
 
@@ -264,6 +265,34 @@ for _z in range(28, 39):
         TMParams(lon0=float(_z * 6 - 183), lat0=0.0, k0=0.9996,
                  x0=500000.0, y0=0.0),
         _WGS84_TO_ED50)
+
+
+# geographic (unprojected) CRSs of the same datums: the output is
+# lat/lon ON THE SHIFTED DATUM — what the reference's
+# to_projection('EPSG:4277') via pyproj returns
+GEOG_CRS: Dict[str, Tuple[Ellipsoid, Helmert]] = {
+    'EPSG:4277': (AIRY1830, _WGS84_TO_OSGB36),   # OSGB36 geographic
+    'EPSG:4230': (INTL1924, _WGS84_TO_ED50),     # ED50 geographic
+}
+
+
+def datum_shift(lon, lat, crs: str) -> Tuple[np.ndarray, np.ndarray]:
+    """WGS84 (lon, lat) -> geodetic (lon, lat) on the datum of a
+    geographic CRS (ECEF -> Helmert -> target-ellipsoid geodetic)."""
+    ell, hp = GEOG_CRS[crs]
+    X, Y, Z = geodetic_to_ecef(lon, lat, WGS84)
+    X, Y, Z = helmert_apply(X, Y, Z, hp)
+    dlon, dlat, _ = ecef_to_geodetic(X, Y, Z, ell)
+    return dlon, dlat
+
+
+def datum_unshift(lon, lat, crs: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Geodetic (lon, lat) on a geographic CRS's datum -> WGS84."""
+    ell, hp = GEOG_CRS[crs]
+    X, Y, Z = geodetic_to_ecef(lon, lat, ell)
+    X, Y, Z = helmert_apply(X, Y, Z, hp.inverse())
+    wlon, wlat, _ = ecef_to_geodetic(X, Y, Z, WGS84)
+    return wlon, wlat
 
 
 def grid_forward(lon, lat, crs: str) -> Tuple[np.ndarray, np.ndarray]:

@@ -322,6 +322,38 @@ def test_projection_udf_grid_dispatch(spark):
     assert abs(row['b']['lat'] - 51.5072) < 1e-5
 
 
+def test_geographic_datum_crs_roundtrip():
+    """EPSG:4277 / EPSG:4230 (geographic OSGB36 / ED50): the famous
+    Greenwich case — the WGS84 zero meridian reads ~0.0015 deg E
+    (~100 m) in OSGB36 longitude — plus roundtrip closure."""
+    from geostructures_spark.kernels import datum as D
+    lon, lat = np.array([0.0]), np.array([51.4778])  # Greenwich Observatory
+    olon, olat = D.datum_shift(lon, lat, 'EPSG:4277')
+    assert 0.0008 < olon[0] < 0.0025   # OSGB36 lon of the WGS84 meridian
+    rl, rb = D.datum_unshift(olon, olat, 'EPSG:4277')
+    assert abs(rl[0]) < 1e-5 and abs(rb[0] - 51.4778) < 1e-5
+    elon, elat = D.datum_shift(np.array([2.35]), np.array([48.85]),
+                               'EPSG:4230')
+    d = np.hypot((elon[0] - 2.35) * 73000, (elat[0] - 48.85) * 111000)
+    assert 30 < d < 300  # ED50 offset near Paris is ~100 m
+    rl, rb = D.datum_unshift(elon, elat, 'EPSG:4230')
+    assert abs(rl[0] - 2.35) < 1e-5 and abs(rb[0] - 48.85) < 1e-5
+
+
+def test_projection_udf_geographic_dispatch(spark):
+    """to/from_projection_udf route EPSG:4277 through the datum-shift
+    path (x=lon, y=lat on OSGB36)."""
+    from geostructures_spark.functions.geo import (
+        from_projection_udf, to_projection_udf)
+    df = spark.createDataFrame([(0.0, 51.4778)], 'lon double, lat double')
+    fwd = to_projection_udf('EPSG:4277')
+    inv = from_projection_udf('EPSG:4277')
+    row = (df.withColumn('p', fwd(F.col('lon'), F.col('lat')))
+           .withColumn('b', inv(F.col('p.x'), F.col('p.y'))).collect()[0])
+    assert 0.0008 < row['p']['x'] < 0.0025
+    assert abs(row['b']['lon']) < 1e-5
+
+
 # --- vectorized kNN ring expansion (r3-verdict task 6) ----------------------
 
 def test_ring_neighbors_matches_bfs():
