@@ -312,6 +312,15 @@ def embedding_neardup_pairs(vectors: DataFrame, centroids: DataFrame,
                          'no metrics would ever be attached')
     assign = ivf_assign(vectors, centroids, id_col, vec_col, c_id, c_vec,
                         n_assign=n_assign)
+    # The assignment feeds THREE consumers (the bucket-size scan and both
+    # sides of the self-join); without a materialization point Spark
+    # re-runs the GEMM mapInPandas stage once per consumer (4 MapInPandas
+    # nodes in the executed plan, since the capped size-scan rides into
+    # both join branches). A lazy localCheckpoint computes it exactly once.
+    # On a production cluster the equivalent (and executor-loss-safe) move
+    # is writing the inverted file out bucketed by centroid_id and reading
+    # it back — see ivf_assign's docstring.
+    assign = assign.localCheckpoint(eager=False)
     if max_bucket is not None:
         sizes = assign.groupBy(c_id).agg(F.count('*').alias('bsz'))
         over = F.col('bsz') > max_bucket
@@ -332,12 +341,21 @@ def embedding_neardup_pairs(vectors: DataFrame, centroids: DataFrame,
                       F.col(vec_col).alias('vec_a'), c_id)
     b = assign.select(F.col(id_col).alias('doc_b'),
                       F.col(vec_col).alias('vec_b'), c_id)
+    # cos_sim is referenced exactly ONCE (by the aggregate): a pre-groupBy
+    # threshold filter would add a second reference and Catalyst then
+    # evaluates the Arrow UDF twice (two ArrowEvalPython nodes — observed).
+    # Thresholding after the max-agg is value-identical (a pair's cosine is
+    # the same in every bucket it co-occurs in, so max == the value) and
+    # the partial_max map-side combine collapses duplicate co-bucketed
+    # pairs before the shuffle, which carries only (doc_a, doc_b, cos).
     return (a.join(b, c_id)
             .filter(F.col('doc_a') < F.col('doc_b'))
-            .withColumn('cos_sim', cosine_pairs_col(F.col('vec_a'), F.col('vec_b')))
-            .filter(F.col('cos_sim') >= threshold)
+            .select('doc_a', 'doc_b',
+                    cosine_pairs_col(F.col('vec_a'), F.col('vec_b'))
+                    .alias('cos_sim'))
             .groupBy('doc_a', 'doc_b')
-            .agg(F.max('cos_sim').alias('cos_sim')))
+            .agg(F.max('cos_sim').alias('cos_sim'))
+            .filter(F.col('cos_sim') >= threshold))
 
 
 def ivf_topk(inverted: DataFrame, centroids: DataFrame, queries: DataFrame,
