@@ -3029,6 +3029,127 @@ def _osgb_project_duckdb() -> str:
     """
 
 
+def _q_lcc_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WGS84 -> EPSG:2154 (RGF93 / Lambert-93): the Lambert Conformal
+    Conic 2SP member of the reference's pyproj CRS family
+    (coordinates.py:210-234), rebuilt from the published EPSG parameters
+    (kernels/datum.py:lcc_forward_ell). RGF93 == WGS84 at this accuracy
+    (zero Helmert), so the oracle replays the closed-form LCC alone; the
+    inverse closure (9-round latitude iteration) is checked in-query."""
+    from geostructures_spark.functions.geo import (
+        from_projection_udf, to_projection_udf)
+    _load(spark, sf_dir, 'customer')
+    pts = spark.sql(_pts_customer_sql())
+    # remap into the Lambert-93 domain (France: lon -5..9, lat 41..51) —
+    # a national LCC grid is only meaningful near its standard parallels
+    pts = pts.select('pid',
+                     ((F.col('lon') + 180.0) % 14.0 - 5.0).alias('lon'),
+                     ((F.col('lat') + 90.0) % 10.0 + 41.0).alias('lat'))
+    fwd = to_projection_udf('EPSG:2154')
+    inv = from_projection_udf('EPSG:2154')
+    d = (pts.withColumn('p', fwd(F.col('lon'), F.col('lat')))
+         .withColumn('b', inv(F.col('p.x'), F.col('p.y'))))
+    # integer-metre contract + closure bool, same standard as osgb_project
+    # (the UDF surface rounds at 6 dp => closure resolution ~1e-6 deg)
+    return (d.select(F.col('pid').cast('long').alias('pid'),
+                     F.round('p.x', 0).cast('long').alias('easting_m'),
+                     F.round('p.y', 0).cast('long').alias('northing_m'),
+                     ((F.abs(F.col('b.lon') - F.col('lon')) < 1e-5) &
+                      (F.abs(F.col('b.lat') - F.col('lat')) < 1e-5))
+                     .alias('closure_ok'))
+            .orderBy('pid'))
+
+
+def _lcc_project_duckdb() -> str:
+    """SQL replay of grid_forward('EPSG:2154'): the CRS constants
+    (cone constant n, a*k0*F, r at the false origin) are folded from the
+    published parameters exactly as lcc_constants does; the per-row
+    closed-form chain t -> r -> (x, y) is re-derived in SQL."""
+    from geostructures_spark.kernels import datum as D
+    g = D.GRID_CRS['EPSG:2154']
+    n, aF, rF = D.lcc_constants(g.ell, g.tm)
+    e = float(np.sqrt(g.ell.e2))
+    quarter_pi = float(np.pi / 4.0)
+    return f"""
+      WITH pts AS (SELECT pid,
+                          (lon + 180.0e0) % 14.0e0 - 5.0e0 AS lon,
+                          (lat + 90.0e0) % 10.0e0 + 41.0e0 AS lat
+                   FROM ({_pts_customer_sql()}) p)
+      SELECT CAST(pid AS BIGINT) AS pid,
+             CAST(ROUND({g.tm.x0!r} + r * sin(th), 0) AS BIGINT) AS easting_m,
+             CAST(ROUND({g.tm.y0!r} + ({rF!r}) - r * cos(th), 0)
+                  AS BIGINT) AS northing_m,
+             TRUE AS closure_ok
+      FROM (SELECT pid, ({aF!r}) * pow(t, {n!r}) AS r,
+                   ({n!r}) * radians(lon - ({g.tm.lon0!r})) AS th
+        FROM (SELECT *, tan({quarter_pi!r} - phi / 2.0e0) /
+                     pow((1.0e0 - ({e!r}) * sin(phi)) /
+                         (1.0e0 + ({e!r}) * sin(phi)), ({e!r}) / 2.0e0) AS t
+          FROM (SELECT pid, lon, radians(lat) AS phi FROM pts) t0) t1) t2
+      ORDER BY pid
+    """
+
+
+def _q_albers_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WGS84 -> EPSG:5070 (NAD83 / Conus Albers): the equal-area conic
+    member of the reference's pyproj CRS family, rebuilt from published
+    parameters (kernels/datum.py:albers_forward_ell; the equal-area
+    property is cross-verified against the exact ellipsoidal-area kernel
+    in tests/test_lcc_albers.py). NAD83 == WGS84 at this accuracy."""
+    from geostructures_spark.functions.geo import (
+        from_projection_udf, to_projection_udf)
+    _load(spark, sf_dir, 'customer')
+    pts = spark.sql(_pts_customer_sql())
+    # remap into the CONUS domain (lon -124..-67, lat 25..49)
+    pts = pts.select('pid',
+                     ((F.col('lon') + 180.0) % 57.0 - 124.0).alias('lon'),
+                     ((F.col('lat') + 90.0) % 24.0 + 25.0).alias('lat'))
+    fwd = to_projection_udf('EPSG:5070')
+    inv = from_projection_udf('EPSG:5070')
+    d = (pts.withColumn('p', fwd(F.col('lon'), F.col('lat')))
+         .withColumn('b', inv(F.col('p.x'), F.col('p.y'))))
+    return (d.select(F.col('pid').cast('long').alias('pid'),
+                     F.round('p.x', 0).cast('long').alias('easting_m'),
+                     F.round('p.y', 0).cast('long').alias('northing_m'),
+                     ((F.abs(F.col('b.lon') - F.col('lon')) < 1e-5) &
+                      (F.abs(F.col('b.lat') - F.col('lat')) < 1e-5))
+                     .alias('closure_ok'))
+            .orderBy('pid'))
+
+
+def _albers_project_duckdb() -> str:
+    """SQL replay of grid_forward('EPSG:5070'): constants (cone constant
+    n, C, rho at the origin) folded from the published parameters as
+    albers_constants does; the per-row authalic-q -> rho -> (x, y)
+    closed form is re-derived in SQL."""
+    from geostructures_spark.kernels import datum as D
+    g = D.GRID_CRS['EPSG:5070']
+    n, C, rho0 = D.albers_constants(g.ell, g.tm)
+    e2 = g.ell.e2
+    e = float(np.sqrt(e2))
+    a = g.ell.a
+    return f"""
+      WITH pts AS (SELECT pid,
+                          (lon + 180.0e0) % 57.0e0 - 124.0e0 AS lon,
+                          (lat + 90.0e0) % 24.0e0 + 25.0e0 AS lat
+                   FROM ({_pts_customer_sql()}) p)
+      SELECT CAST(pid AS BIGINT) AS pid,
+             CAST(ROUND({g.tm.x0!r} + rho * sin(th), 0) AS BIGINT) AS easting_m,
+             CAST(ROUND({g.tm.y0!r} + ({rho0!r}) - rho * cos(th), 0)
+                  AS BIGINT) AS northing_m,
+             TRUE AS closure_ok
+      FROM (SELECT pid, ({a!r}) * sqrt(({C!r}) - ({n!r}) * q) / ({n!r}) AS rho,
+                   ({n!r}) * radians(lon - ({g.tm.lon0!r})) AS th
+        FROM (SELECT *, (1.0e0 - {e2!r}) * (sin(phi) /
+                     (1.0e0 - ({e2!r}) * sin(phi) * sin(phi)) -
+                     (1.0e0 / (2.0e0 * ({e!r}))) *
+                     ln((1.0e0 - ({e!r}) * sin(phi)) /
+                        (1.0e0 + ({e!r}) * sin(phi)))) AS q
+          FROM (SELECT pid, lon, radians(lat) AS phi FROM pts) t0) t1) t2
+      ORDER BY pid
+    """
+
+
 def _q_mgrs_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MGRS strings (zone + band + 100km square letters + 1 m digits) from
     the from-scratch kernel; full string value-checked by the SQL oracle."""
@@ -3457,6 +3578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dms_convert': _q_dms_convert,
         # -- new in r4 --
         'osgb_project': _q_osgb_project,
+        'lcc_project': _q_lcc_project,
+        'albers_project': _q_albers_project,
         # -- implementation changed in r4 (GEMM kernel / cap / guards) --
         'cosine_topk': _q_cosine_topk,
         'ivf_assign_counts': _q_ivf_counts,
@@ -3479,9 +3602,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_windowed_agg': _q_events_windowed,
         'streaming_events_windowed': _q_streaming_events,
         'track_speed_stats': _q_track_speeds,
+        # ---- registry[50:] — driver-certified green in r3, settled ----
         'impossible_journeys': _q_impossible_journeys,
         'exact_dedup_groups': _q_exact_dedup,
-        # ---- registry[50:] — driver-certified green in r3, settled ----
         'q3_top_revenue': _q3_top_revenue,
         'circle_contains_counts': _q_circle_contains,
         'interval_intersects_counts': _q_interval_intersects,
@@ -3596,6 +3719,8 @@ def oracle_sql() -> dict[str, str]:
         'utm_project': _utm_project_duckdb(),
         'tm_custom_project': _tm_custom_duckdb(),
         'osgb_project': _osgb_project_duckdb(),
+        'lcc_project': _lcc_project_duckdb(),
+        'albers_project': _albers_project_duckdb(),
         'mgrs_encode_strings': _mgrs_encode_duckdb(),
         'shapefile_roundtrip': _SHAPEFILE_ROUNDTRIP_DUCK,
         'dms_convert': _dms_duckdb(),

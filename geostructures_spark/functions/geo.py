@@ -110,10 +110,13 @@ def utm_forward_udf():
 # decimals. Supported here from scratch: EPSG:4326 (identity), EPSG:3857
 # (spherical Web Mercator — pure column expressions, JVM-side), the UTM
 # CRS family EPSG:326xx / 327xx (the Krüger-series kernel, forced to the
-# code's zone/hemisphere), and the non-WGS84-datum national grids in
-# kernels/datum.py:GRID_CRS (EPSG:27700 British National Grid on OSGB36/
-# Airy 1830; EPSG:23028-23038 ED50/UTM on International 1924) via the
-# 7-parameter Helmert + per-ellipsoid Krüger chain. Other codes raise.
+# code's zone/hemisphere), and the national grids in
+# kernels/datum.py:GRID_CRS via the 7-parameter Helmert + per-ellipsoid
+# projection chain: Transverse Mercator (EPSG:27700 British National Grid
+# on OSGB36/Airy 1830; EPSG:23028-23038 ED50/UTM on International 1924),
+# Lambert Conformal Conic 1SP/2SP (EPSG:2154 Lambert-93, EPSG:27572 NTF
+# Lambert II etendu, EPSG:32040 Texas South Central in US survey feet),
+# and Albers Equal-Area (EPSG:5070 Conus Albers). Other codes raise.
 
 _WEB_MERCATOR_R = 6378137.0
 

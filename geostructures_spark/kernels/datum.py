@@ -35,12 +35,15 @@ import numpy as np
 from geostructures_spark.kernels import ensure_malloc_tuned
 
 __all__ = [
-    'Ellipsoid', 'Helmert', 'TMParams', 'GridCRS',
-    'WGS84', 'AIRY1830', 'INTL1924',
+    'Ellipsoid', 'Helmert', 'TMParams', 'LCCParams', 'AlbersParams',
+    'GridCRS',
+    'WGS84', 'AIRY1830', 'INTL1924', 'GRS80', 'CLARKE1866', 'CLARKE1880IGN',
     'kruger_coefficients', 'geodetic_to_ecef', 'ecef_to_geodetic',
     'helmert_apply', 'tm_forward_ell', 'tm_inverse_ell',
+    'lcc_constants', 'lcc_forward_ell', 'lcc_inverse_ell',
+    'albers_constants', 'albers_forward_ell', 'albers_inverse_ell',
     'GRID_CRS', 'GEOG_CRS', 'grid_forward', 'grid_inverse',
-    'datum_shift', 'datum_unshift',
+    'datum_shift', 'datum_unshift', 'US_SURVEY_FOOT',
 ]
 
 
@@ -64,6 +67,13 @@ class Ellipsoid(NamedTuple):
 WGS84 = Ellipsoid(6378137.0, 1.0 / 298.257223563)
 AIRY1830 = Ellipsoid(6377563.396, 1.0 / 299.3249646)
 INTL1924 = Ellipsoid(6378388.0, 1.0 / 297.0)
+GRS80 = Ellipsoid(6378137.0, 1.0 / 298.257222101)
+# Clarke 1866 and Clarke 1880 (IGN) are defined by (a, b); f is derived
+CLARKE1866 = Ellipsoid(6378206.4, (6378206.4 - 6356583.8) / 6378206.4)
+CLARKE1880IGN = Ellipsoid(6378249.2, (6378249.2 - 6356515.0) / 6378249.2)
+
+# US survey foot (exact rational definition), metres per foot
+US_SURVEY_FOOT = 1200.0 / 3937.0
 
 
 def kruger_coefficients(ell: Ellipsoid):
@@ -235,12 +245,170 @@ def tm_inverse_ell(x, y, ell: Ellipsoid, tm: TMParams):
     return tm.lon0 + np.degrees(lam), np.degrees(phi)
 
 
+# --- Lambert Conformal Conic (1SP and 2SP) ----------------------------------
+#
+# EPSG Guidance Note 7-2 formulas (methods 9801/9802; Snyder eq. 15-1..15-11).
+# 1SP is expressed as lat1 == lat2 == lat0 with its k0 (the 2SP constants
+# degenerate to n = sin(lat0), F = m0 / (n t0^n) in that limit, which is
+# exactly the 1SP definition), so one code path serves both.
+
+class LCCParams(NamedTuple):
+    lon0: float   # longitude of (false) origin, Greenwich degrees
+    lat0: float   # latitude of (false) origin
+    lat1: float   # first standard parallel
+    lat2: float   # second standard parallel
+    k0: float     # scale at the standard parallel (1SP only; 1.0 for 2SP)
+    x0: float     # false easting, metres
+    y0: float     # false northing, metres
+
+
+def _conf_t(e: float, phi):
+    """Isometric-colatitude function t(phi) = tan(pi/4 - phi/2) /
+    ((1 - e sin phi)/(1 + e sin phi))^(e/2)."""
+    s = np.sin(phi)
+    return (np.tan(np.pi / 4.0 - phi / 2.0) /
+            ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0))
+
+
+def _par_m(e2: float, phi):
+    """m(phi) = cos(phi) / sqrt(1 - e2 sin^2 phi) (radius of the parallel
+    over a)."""
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - e2 * s * s)
+
+
+def lcc_constants(ell: Ellipsoid, p: LCCParams):
+    """(n, aF, rF) with aF = a*k0*F: r(phi) = aF * t^n, rF = r(lat0)."""
+    e = float(np.sqrt(ell.e2))
+    phi1, phi2 = np.radians(p.lat1), np.radians(p.lat2)
+    t1, t2 = _conf_t(e, phi1), _conf_t(e, phi2)
+    m1, m2 = _par_m(ell.e2, phi1), _par_m(ell.e2, phi2)
+    if p.lat1 == p.lat2:
+        n = float(np.sin(phi1))
+    else:
+        n = float((np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2)))
+    aF = float(ell.a * p.k0 * m1 / (n * t1 ** n))
+    t0 = _conf_t(e, np.radians(p.lat0))
+    rF = float(aF * t0 ** n)
+    return n, aF, rF
+
+
+def lcc_forward_ell(lon, lat, ell: Ellipsoid, p: LCCParams):
+    """(lon, lat) on ``ell`` -> projected (x, y), metres."""
+    ensure_malloc_tuned()
+    n, aF, rF = lcc_constants(ell, p)
+    e = float(np.sqrt(ell.e2))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    th = n * np.radians(np.asarray(lon, dtype=np.float64) - p.lon0)
+    r = aF * _conf_t(e, phi) ** n
+    return p.x0 + r * np.sin(th), p.y0 + rF - r * np.cos(th)
+
+
+def lcc_inverse_ell(x, y, ell: Ellipsoid, p: LCCParams, n_iter: int = 9):
+    """Projected (x, y) -> (lon, lat) on ``ell``. The latitude iteration
+    phi <- pi/2 - 2 atan(t' ((1-e sin phi)/(1+e sin phi))^(e/2)) gains
+    ~e^2 digits per round; 9 rounds converge to double precision."""
+    ensure_malloc_tuned()
+    n, aF, rF = lcc_constants(ell, p)
+    e = float(np.sqrt(ell.e2))
+    dx = np.asarray(x, dtype=np.float64) - p.x0
+    dy = rF - (np.asarray(y, dtype=np.float64) - p.y0)
+    sgn = 1.0 if n >= 0 else -1.0
+    rp = sgn * np.hypot(dx, dy)
+    tp = (rp / aF) ** (1.0 / n)
+    th = np.arctan2(sgn * dx, sgn * dy)
+    lon = p.lon0 + np.degrees(th / n)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(tp)
+    for _ in range(n_iter):
+        s = e * np.sin(phi)
+        phi = (np.pi / 2.0 -
+               2.0 * np.arctan(tp * ((1.0 - s) / (1.0 + s)) ** (e / 2.0)))
+    return lon, np.degrees(phi)
+
+
+# --- Albers Equal-Area Conic (2SP) ------------------------------------------
+#
+# EPSG method 9822 / Snyder eq. 14-1..14-21. Exactly equal-area on the
+# ellipsoid: planar area in the projection equals authalic surface area
+# (the property the tests verify against kernels/karney.py's exact area).
+
+class AlbersParams(NamedTuple):
+    lon0: float
+    lat0: float
+    lat1: float
+    lat2: float
+    x0: float
+    y0: float
+
+
+def _auth_q(ell: Ellipsoid, phi):
+    """Authalic q(phi) = (1-e2)[sin/(1-e2 sin^2) - (1/2e) ln((1-e sin)/(1+e sin))]."""
+    e2 = ell.e2
+    e = np.sqrt(e2)
+    s = np.sin(phi)
+    return (1.0 - e2) * (s / (1.0 - e2 * s * s) -
+                         (1.0 / (2.0 * e)) *
+                         np.log((1.0 - e * s) / (1.0 + e * s)))
+
+
+def albers_constants(ell: Ellipsoid, p: AlbersParams):
+    """(n, C, rho0)."""
+    phi1, phi2 = np.radians(p.lat1), np.radians(p.lat2)
+    m1, m2 = _par_m(ell.e2, phi1), _par_m(ell.e2, phi2)
+    q1, q2 = _auth_q(ell, phi1), _auth_q(ell, phi2)
+    if p.lat1 == p.lat2:
+        n = float(np.sin(phi1))
+    else:
+        n = float((m1 * m1 - m2 * m2) / (q2 - q1))
+    C = float(m1 * m1 + n * q1)
+    q0 = _auth_q(ell, np.radians(p.lat0))
+    rho0 = float(ell.a * np.sqrt(C - n * q0) / n)
+    return n, C, rho0
+
+
+def albers_forward_ell(lon, lat, ell: Ellipsoid, p: AlbersParams):
+    ensure_malloc_tuned()
+    n, C, rho0 = albers_constants(ell, p)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    th = n * np.radians(np.asarray(lon, dtype=np.float64) - p.lon0)
+    rho = ell.a * np.sqrt(C - n * _auth_q(ell, phi)) / n
+    return p.x0 + rho * np.sin(th), p.y0 + rho0 - rho * np.cos(th)
+
+
+def albers_inverse_ell(x, y, ell: Ellipsoid, p: AlbersParams,
+                       n_iter: int = 8):
+    """Newton iteration on q (Snyder 3-16); quadratic convergence, 8
+    rounds are far past double precision everywhere off the poles."""
+    ensure_malloc_tuned()
+    n, C, rho0 = albers_constants(ell, p)
+    e2 = ell.e2
+    dx = np.asarray(x, dtype=np.float64) - p.x0
+    dy = rho0 - (np.asarray(y, dtype=np.float64) - p.y0)
+    sgn = 1.0 if n >= 0 else -1.0
+    rho = sgn * np.hypot(dx, dy)
+    qp = (C - (rho * n / ell.a) ** 2) / n
+    th = np.arctan2(sgn * dx, sgn * dy)
+    lon = p.lon0 + np.degrees(th / n)
+    # q is monotone in phi with dq/dphi = 2(1-e2)cos(phi)/(1-e2 sin^2)^2
+    phi = np.arcsin(np.clip(qp / 2.0, -1.0, 1.0))
+    for _ in range(n_iter):
+        s = np.sin(phi)
+        one = 1.0 - e2 * s * s
+        dq = 2.0 * (1.0 - e2) * np.cos(phi) / (one * one)
+        step = np.where(np.abs(dq) > 1e-30, (qp - _auth_q(ell, phi)) /
+                        np.where(np.abs(dq) > 1e-30, dq, 1.0), 0.0)
+        phi = phi + step
+    return lon, np.degrees(phi)
+
+
 # --- named national-grid CRSs ------------------------------------------------
 
 class GridCRS(NamedTuple):
     ell: Ellipsoid
-    tm: TMParams
+    tm: 'TMParams | LCCParams | AlbersParams'  # projection params (field
+    #   name kept for r3 compat; grid_forward/inverse dispatch on type)
     wgs84_to_datum: Helmert   # applied in ECEF space
+    unit: float = 1.0         # metres per CRS unit (e.g. US_SURVEY_FOOT)
 
 
 # WGS84 -> OSGB36: EPSG transformation 1314 (sign-flipped OSGB36->WGS84
@@ -265,6 +433,47 @@ for _z in range(28, 39):
         TMParams(lon0=float(_z * 6 - 183), lat0=0.0, k0=0.9996,
                  x0=500000.0, y0=0.0),
         _WGS84_TO_ED50)
+
+# WGS84 -> NTF: IGN-published NTF->WGS84 3-param shift (-168, -60, +320),
+# inverted.
+_WGS84_TO_NTF = Helmert(168.0, 60.0, -320.0)
+# WGS84 -> NAD27: CONUS mean 3-param shift (EPSG 1173 family), inverted
+# from NAD27->WGS84 (-8, 160, 176).
+_WGS84_TO_NAD27 = Helmert(8.0, -160.0, -176.0)
+
+# Lambert Conformal Conic grids
+GRID_CRS.update({
+    # RGF93 / Lambert-93 (France; GRS80, datum == WGS84 at this accuracy)
+    'EPSG:2154': GridCRS(GRS80,
+                         LCCParams(lon0=3.0, lat0=46.5, lat1=44.0,
+                                   lat2=49.0, k0=1.0,
+                                   x0=700000.0, y0=6600000.0),
+                         Helmert(0.0, 0.0, 0.0)),
+    # NTF (Paris) / Lambert zone II etendu (legacy France-wide grid;
+    # Clarke 1880 IGN, 1SP with k0, lon0 = Paris meridian 2deg20'14.025"E
+    # expressed in Greenwich degrees)
+    'EPSG:27572': GridCRS(CLARKE1880IGN,
+                          LCCParams(lon0=2.0 + 20.0 / 60.0 + 14.025 / 3600.0,
+                                    lat0=46.8, lat1=46.8, lat2=46.8,
+                                    k0=0.99987742,
+                                    x0=600000.0, y0=2200000.0),
+                          _WGS84_TO_NTF),
+    # NAD27 / Texas South Central (EPSG Guidance Note 7-2 worked-example
+    # CRS; Clarke 1866, US survey feet)
+    'EPSG:32040': GridCRS(CLARKE1866,
+                          LCCParams(lon0=-99.0, lat0=27.0 + 50.0 / 60.0,
+                                    lat1=28.0 + 23.0 / 60.0,
+                                    lat2=30.0 + 17.0 / 60.0, k0=1.0,
+                                    x0=2000000.0 * US_SURVEY_FOOT, y0=0.0),
+                          _WGS84_TO_NAD27,
+                          unit=US_SURVEY_FOOT),
+    # NAD83 / Conus Albers (EPSG:5070; GRS80, datum == WGS84 at this
+    # accuracy) — the standard CONUS equal-area analysis grid
+    'EPSG:5070': GridCRS(GRS80,
+                         AlbersParams(lon0=-96.0, lat0=23.0, lat1=29.5,
+                                      lat2=45.5, x0=0.0, y0=0.0),
+                         Helmert(0.0, 0.0, 0.0)),
+})
 
 
 # geographic (unprojected) CRSs of the same datums: the output is
@@ -295,21 +504,49 @@ def datum_unshift(lon, lat, crs: str) -> Tuple[np.ndarray, np.ndarray]:
     return wlon, wlat
 
 
+_PROJ_DISPATCH = {
+    TMParams: (tm_forward_ell, tm_inverse_ell),
+    LCCParams: (lcc_forward_ell, lcc_inverse_ell),
+    AlbersParams: (albers_forward_ell, albers_inverse_ell),
+}
+
+
+def _is_zero(h: Helmert) -> bool:
+    return h == (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+
+
 def grid_forward(lon, lat, crs: str) -> Tuple[np.ndarray, np.ndarray]:
-    """WGS84 (lon, lat) -> (x, y) in a non-WGS84-datum grid CRS:
-    geodetic -> ECEF -> Helmert -> target-datum geodetic -> TM forward."""
+    """WGS84 (lon, lat) -> (x, y) in a grid CRS: geodetic -> ECEF ->
+    Helmert -> target-datum geodetic -> projection forward (TM / LCC /
+    Albers by the registered param type), scaled to the CRS unit. The
+    ECEF round-trip is skipped when the registered shift is zero (WGS84-
+    equivalent datums: RGF93, NAD83)."""
     g = GRID_CRS[crs]
-    X, Y, Z = geodetic_to_ecef(lon, lat, WGS84)
-    X, Y, Z = helmert_apply(X, Y, Z, g.wgs84_to_datum)
-    dlon, dlat, _ = ecef_to_geodetic(X, Y, Z, g.ell)
-    return tm_forward_ell(dlon, dlat, g.ell, g.tm)
+    if _is_zero(g.wgs84_to_datum):
+        dlon = np.asarray(lon, dtype=np.float64)
+        dlat = np.asarray(lat, dtype=np.float64)
+    else:
+        X, Y, Z = geodetic_to_ecef(lon, lat, WGS84)
+        X, Y, Z = helmert_apply(X, Y, Z, g.wgs84_to_datum)
+        dlon, dlat, _ = ecef_to_geodetic(X, Y, Z, g.ell)
+    fwd, _inv = _PROJ_DISPATCH[type(g.tm)]
+    x, y = fwd(dlon, dlat, g.ell, g.tm)
+    if g.unit != 1.0:
+        x, y = x / g.unit, y / g.unit
+    return x, y
 
 
 def grid_inverse(x, y, crs: str) -> Tuple[np.ndarray, np.ndarray]:
-    """Grid (x, y) -> WGS84 (lon, lat): TM inverse -> ECEF -> inverse
-    Helmert -> WGS84 geodetic."""
+    """Grid (x, y) -> WGS84 (lon, lat): projection inverse -> ECEF ->
+    inverse Helmert -> WGS84 geodetic."""
     g = GRID_CRS[crs]
-    dlon, dlat = tm_inverse_ell(x, y, g.ell, g.tm)
+    if g.unit != 1.0:
+        x = np.asarray(x, dtype=np.float64) * g.unit
+        y = np.asarray(y, dtype=np.float64) * g.unit
+    _fwd, inv = _PROJ_DISPATCH[type(g.tm)]
+    dlon, dlat = inv(x, y, g.ell, g.tm)
+    if _is_zero(g.wgs84_to_datum):
+        return np.asarray(dlon, dtype=np.float64), np.asarray(dlat, dtype=np.float64)
     X, Y, Z = geodetic_to_ecef(dlon, dlat, g.ell)
     X, Y, Z = helmert_apply(X, Y, Z, g.wgs84_to_datum.inverse())
     lon, lat, _ = ecef_to_geodetic(X, Y, Z, WGS84)
