@@ -3150,6 +3150,113 @@ def _albers_project_duckdb() -> str:
     """
 
 
+_SAMPLE_BUCKET_DUCK = ("('0x' || substr(md5({key}), 1, 8))::BIGINT")
+
+
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (training-pipeline quota family,
+    operators/sampling.py): keep 37% of documents by the md5 bucket of
+    doc_id — reproducible under task retry (unlike df.sample) and
+    engine-exact, which is what the oracle verifies."""
+    from geostructures_spark.operators.sampling import hash_sample
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    return (hash_sample(docs, 0.37, 'doc_id', salt='s1')
+            .select(F.col('doc_id').cast('long').alias('doc_id'), 'lang')
+            .orderBy('doc_id'))
+
+
+def _hash_sample_duckdb() -> str:
+    from geostructures_spark.operators.sampling import HASH_BUCKETS
+    thr = int(0.37 * HASH_BUCKETS)
+    b = _SAMPLE_BUCKET_DUCK.format(key="'s1' || CAST(doc_id AS VARCHAR)")
+    return f"""
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+      FROM documents WHERE {b} < {thr}
+      ORDER BY doc_id
+    """
+
+
+_STRAT_RATES = {'en': 0.8, 'fr': 0.5, 'de': 0.25, 'es': 0.1}
+_STRAT_DEFAULT = 0.05
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic quotas (stratified_sample): rates ship
+    as a broadcast map join, the keep decision is the same scan-stage
+    hash filter as hash_sample."""
+    from geostructures_spark.operators.sampling import stratified_sample
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    out = stratified_sample(docs, 'lang', _STRAT_RATES, key_col='doc_id',
+                            default_rate=_STRAT_DEFAULT)
+    return (out.select(F.col('doc_id').cast('long').alias('doc_id'),
+                       'lang', 'source')
+            .orderBy('doc_id'))
+
+
+def _stratified_sample_duckdb() -> str:
+    from geostructures_spark.operators.sampling import HASH_BUCKETS
+    cases = ' '.join(
+        f"WHEN '{k}' THEN {int(v * HASH_BUCKETS)}"
+        for k, v in sorted(_STRAT_RATES.items()))
+    b = _SAMPLE_BUCKET_DUCK.format(key='CAST(doc_id AS VARCHAR)')
+    return f"""
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source
+      FROM documents
+      WHERE {b} < (CASE lang {cases}
+                   ELSE {int(_STRAT_DEFAULT * HASH_BUCKETS)} END)
+      ORDER BY doc_id
+    """
+
+
+def _q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deterministic per-source document cap (k=10) via the
+    skew-safe two-phase plan (per_key_cap with n_salt=4): sub-bucket
+    partial top-k first, so no single task ever sees a whole mega-key."""
+    from geostructures_spark.operators.sampling import per_key_cap
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    out = per_key_cap(docs, 'source', 10, 'doc_id', n_salt=4)
+    return (out.select(F.col('doc_id').cast('long').alias('doc_id'), 'source')
+            .orderBy('doc_id'))
+
+
+def _per_source_cap_duckdb() -> str:
+    b = _SAMPLE_BUCKET_DUCK.format(key='CAST(doc_id AS VARCHAR)')
+    return f"""
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+      FROM documents
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY {b}, doc_id) <= 10
+      ORDER BY doc_id
+    """
+
+
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup driven to completion over the documents
+    parquet (file source -> complete-mode memory sink): content-hash
+    groups with canonical id = min doc_id — arrival-order-independent,
+    so the batch SQL oracle checks the streaming result value-exactly
+    (streaming/dedup.py; batch==stream equivalence also unit-tested)."""
+    from geostructures_spark.streaming.dedup import run_dedup_groups_to_memory
+    out = run_dedup_groups_to_memory(
+        spark, os.path.join(sf_dir, 'documents.parquet'),
+        query_name='dedup_groups_oracle')
+    return (out.select('content_hash',
+                       F.col('canonical_id').cast('long').alias('canonical_id'),
+                       F.col('n_docs').cast('long').alias('n_docs'))
+            .orderBy('content_hash'))
+
+
+_STREAMING_DEDUP_DUCK = """
+  SELECT md5(text) AS content_hash,
+         CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 def _q_mgrs_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MGRS strings (zone + band + 100km square letters + 1 m digits) from
     the from-scratch kernel; full string value-checked by the SQL oracle."""
@@ -3580,6 +3687,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'osgb_project': _q_osgb_project,
         'lcc_project': _q_lcc_project,
         'albers_project': _q_albers_project,
+        'hash_sample_docs': _q_hash_sample,
+        'stratified_sample_docs': _q_stratified_sample,
+        'per_source_cap': _q_per_source_cap,
+        'streaming_exact_dedup': _q_streaming_dedup,
         # -- implementation changed in r4 (GEMM kernel / cap / guards) --
         'cosine_topk': _q_cosine_topk,
         'ivf_assign_counts': _q_ivf_counts,
@@ -3598,11 +3709,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'knn_auto_topk': _q_knn_auto,
         'niemeyer_cell_counts': _q_niemeyer_cells,
         'niemeyer_cover_circle': _q_niemeyer_cover_circle,
+        # ---- registry[50:] — driver-certified green in r3, settled ----
         'pip_triangle_counts': _q_pip_triangle,
         'events_windowed_agg': _q_events_windowed,
         'streaming_events_windowed': _q_streaming_events,
         'track_speed_stats': _q_track_speeds,
-        # ---- registry[50:] — driver-certified green in r3, settled ----
         'impossible_journeys': _q_impossible_journeys,
         'exact_dedup_groups': _q_exact_dedup,
         'q3_top_revenue': _q3_top_revenue,
@@ -3721,6 +3832,10 @@ def oracle_sql() -> dict[str, str]:
         'osgb_project': _osgb_project_duckdb(),
         'lcc_project': _lcc_project_duckdb(),
         'albers_project': _albers_project_duckdb(),
+        'hash_sample_docs': _hash_sample_duckdb(),
+        'stratified_sample_docs': _stratified_sample_duckdb(),
+        'per_source_cap': _per_source_cap_duckdb(),
+        'streaming_exact_dedup': _STREAMING_DEDUP_DUCK,
         'mgrs_encode_strings': _mgrs_encode_duckdb(),
         'shapefile_roundtrip': _SHAPEFILE_ROUNDTRIP_DUCK,
         'dms_convert': _dms_duckdb(),

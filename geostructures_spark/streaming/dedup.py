@@ -1,0 +1,79 @@
+"""Streaming exact deduplication over the documents stream.
+
+Dedup-at-ingest is the streaming member of the dedup family
+(operators/dedup.py): a 100 TB corpus is deduplicated once in batch, but
+the feed that keeps growing it must drop repeats as they arrive.
+
+Two forms:
+
+- ``dedup_group_agg``: deterministic content-hash groups
+  (content_hash -> canonical_id = min doc_id, n_docs) — the streaming
+  twin of operators/dedup.exact_dedup's group table, and the form the
+  contract oracle checks: group membership is arrival-order-independent,
+  so batch and stream agree exactly.
+- ``drop_seen``: ``dropDuplicates`` on the content hash — the
+  append-mode pass-through filter a production ingest pipeline runs.
+  WHICH row of a duplicate set survives depends on arrival order (Spark
+  keeps the first seen), so this form is intentionally not oracle-value
+  -checked; with ``watermark_col``/``delay`` the seen-hash state is
+  pruned to the late-data horizon (dropDuplicatesWithinWatermark),
+  which is what bounds state at corpus scale.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ['DOCS_SCHEMA', 'dedup_group_agg', 'drop_seen',
+           'run_dedup_groups_to_memory']
+
+DOCS_SCHEMA = ('doc_id long, text string, lang string, source string, '
+               'n_chars long')
+
+
+def dedup_group_agg(docs: DataFrame, text_col: str = 'text',
+                    id_col: str = 'doc_id') -> DataFrame:
+    """(content_hash, canonical_id, n_docs) per distinct content — the
+    same function on a batch or streaming frame (complete/update output
+    mode when streaming). State is one row per DISTINCT content hash;
+    the shuffle carries (hash, partial-min, partial-count) only."""
+    return (docs
+            .groupBy(F.md5(F.col(text_col)).alias('content_hash'))
+            .agg(F.min(id_col).alias('canonical_id'),
+                 F.count('*').alias('n_docs')))
+
+
+def drop_seen(docs: DataFrame, text_col: str = 'text',
+              watermark_col: str = None, delay: str = None) -> DataFrame:
+    """Append-mode pass-through dedup: emit a document iff its content
+    hash has not been seen. First-seen wins (arrival-order dependent).
+    With ``watermark_col`` + ``delay`` the state is pruned to the
+    watermark horizon instead of growing forever."""
+    src = docs.withColumn('content_hash', F.md5(F.col(text_col)))
+    if src.isStreaming and watermark_col and delay:
+        src = src.withWatermark(watermark_col, delay)
+        return src.dropDuplicatesWithinWatermark(['content_hash'])
+    return src.dropDuplicates(['content_hash'])
+
+
+def run_dedup_groups_to_memory(spark: SparkSession, parquet_path: str,
+                               query_name: str = 'dedup_groups') -> DataFrame:
+    """Drive dedup_group_agg over a parquet file source to completion
+    (memory sink, complete mode) and return the materialized result."""
+    if os.path.isfile(parquet_path):
+        d = tempfile.mkdtemp(prefix='gs_stream_')
+        os.symlink(parquet_path, os.path.join(d, os.path.basename(parquet_path)))
+        parquet_path = d
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(parquet_path)
+    agg = dedup_group_agg(stream)
+    q = (agg.writeStream.outputMode('complete')
+         .format('memory').queryName(query_name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f'SELECT * FROM {query_name}')

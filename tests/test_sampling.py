@@ -1,0 +1,97 @@
+"""Deterministic hash-sampling operators (operators/sampling.py): the
+training-pipeline quota family (sample, stratified sample, per-key cap).
+Membership goldens are recomputed independently with hashlib in Python —
+no shared code with the Column-expression path under test."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geostructures_spark.operators.sampling import (
+    HASH_BUCKETS, hash_sample, per_key_cap, stratified_sample)
+from tests.test_spark_operators import spark  # shared session fixture
+
+
+def _bucket(key, salt=''):
+    return int(hashlib.md5((salt + str(key)).encode()).hexdigest()[:8], 16)
+
+
+@pytest.fixture(scope='module')
+def docs(spark):
+    rows = [(i, f'src{i % 7}', 'en' if i % 3 else 'fr') for i in range(400)]
+    return spark.createDataFrame(rows, 'doc_id long, source string, lang string')
+
+
+def test_hash_sample_exact_membership(spark, docs):
+    """The kept set must be EXACTLY {id: md5-bucket(id) < rate * 2^32} —
+    byte-level agreement with an independent hashlib recomputation."""
+    got = {r['doc_id'] for r in hash_sample(docs, 0.37, 'doc_id').collect()}
+    want = {i for i in range(400) if _bucket(i) < int(0.37 * HASH_BUCKETS)}
+    assert got == want
+    assert 0.2 < len(got) / 400 < 0.55  # plausible rate at n=400
+
+
+def test_hash_sample_salt_draws_differ(spark, docs):
+    a = {r['doc_id'] for r in hash_sample(docs, 0.4, 'doc_id', salt='a').collect()}
+    b = {r['doc_id'] for r in hash_sample(docs, 0.4, 'doc_id', salt='b').collect()}
+    assert a != b
+    # and each matches its own hashlib replay
+    assert a == {i for i in range(400)
+                 if _bucket(i, 'a') < int(0.4 * HASH_BUCKETS)}
+
+
+def test_hash_sample_rate_edges(spark, docs):
+    assert hash_sample(docs, 0.0, 'doc_id').count() == 0
+    assert hash_sample(docs, 1.0, 'doc_id').count() == 400
+    with pytest.raises(ValueError, match='rate'):
+        hash_sample(docs, 1.5, 'doc_id')
+
+
+def test_stratified_sample_per_stratum_rates(spark, docs):
+    rates = {'en': 0.8, 'fr': 0.2}
+    out = stratified_sample(docs, 'lang', rates, key_col='doc_id').collect()
+    got = {r['doc_id'] for r in out}
+    want = set()
+    for i in range(400):
+        lang = 'en' if i % 3 else 'fr'
+        if _bucket(i) < int(rates[lang] * HASH_BUCKETS):
+            want.add(i)
+    assert got == want
+    # schema passes through unchanged (no helper columns leak)
+    assert set(out[0].asDict()) == {'doc_id', 'source', 'lang'}
+
+
+def test_stratified_default_rate_for_unlisted_stratum(spark, docs):
+    out = stratified_sample(docs, 'lang', {'en': 0.5}, key_col='doc_id',
+                            default_rate=0.0)
+    assert all(r['lang'] == 'en' for r in out.collect())
+
+
+def test_per_key_cap_counts_and_determinism(spark, docs):
+    out = per_key_cap(docs, 'source', k=20, id_col='doc_id')
+    pdf = out.toPandas()
+    assert (pdf.groupby('source').size() <= 20).all()
+    assert len(pdf) == 7 * 20  # every src has ~57 rows, all capped
+    # deterministic: the kept ids are the 20 lowest (bucket, id) per key
+    for src, grp in pdf.groupby('source'):
+        all_ids = [i for i in range(400) if f'src{i % 7}' == src]
+        want = sorted(all_ids, key=lambda i: (_bucket(i), i))[:20]
+        assert sorted(grp['doc_id']) == sorted(want)
+
+
+def test_per_key_cap_two_phase_identical(spark, docs):
+    """The skew-safe two-phase plan (n_salt) must return the identical
+    row set as the single-window form."""
+    one = {r['doc_id'] for r in
+           per_key_cap(docs, 'source', 15, 'doc_id').collect()}
+    two = {r['doc_id'] for r in
+           per_key_cap(docs, 'source', 15, 'doc_id', n_salt=4).collect()}
+    assert one == two
+
+
+def test_per_key_cap_under_k_keeps_all(spark):
+    small = spark.createDataFrame([(1, 'a'), (2, 'a'), (3, 'b')],
+                                  'doc_id long, source string')
+    assert per_key_cap(small, 'source', 10, 'doc_id').count() == 3

@@ -385,7 +385,8 @@ def test_projection_goldens(spark):
     assert (r3.x, r3.y) == (4.35, 50.85)
     import pytest as _pt
     with _pt.raises(ValueError):
-        to_projection_udf('EPSG:2154')
+        # EPSG:2193 (NZTM2000) is intentionally outside the registry
+        to_projection_udf('EPSG:2193')
 
 
 def test_embedding_neardup_finds_planted_pairs(spark):
