@@ -3257,6 +3257,68 @@ _STREAMING_DEDUP_DUCK = """
 """
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition metrics (top-2/3-gram char
+    fraction, duplicated-5-gram char fraction, duplicate word fraction)
+    via the zero-shuffle Arrow kernel (operators/repetition.py); the
+    oracle replays the full n-gram pipeline in DuckDB SQL."""
+    from geostructures_spark.operators.repetition import (
+        REP_COLS, repetition_stats)
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    return (repetition_stats(docs)
+            .select(F.col('doc_id').cast('long').alias('doc_id'),
+                    *[F.round(c, 6).alias(c) for c in REP_COLS])
+            .orderBy('doc_id'))
+
+
+def _repetition_stats_duckdb() -> str:
+    gram_cte = """
+  g{n} AS (
+    SELECT doc_id, n_chars,
+           array_to_string(t[i:i+{m}], ' ') AS g
+    FROM toks, UNNEST(range(1, len(t) - {m} + 1)) AS u(i)),
+  c{n} AS (
+    SELECT doc_id, any_value(n_chars) AS n_chars, g,
+           COUNT(*) AS cnt, CAST(length(g) AS DOUBLE) AS gchars
+    FROM g{n} GROUP BY doc_id, g)"""
+    top_cte = """
+  top{n} AS (
+    SELECT doc_id, cnt * gchars / n_chars AS frac
+    FROM c{n}
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY cnt DESC, gchars DESC) = 1)"""
+    grams = ','.join(gram_cte.format(n=n, m=n - 1) for n in (2, 3, 5))
+    tops = ','.join(top_cte.format(n=n) for n in (2, 3))
+    return f"""
+  WITH toks AS (
+    SELECT doc_id,
+           CAST(greatest(length(text), 1) AS DOUBLE) AS n_chars,
+           string_split_regex(trim(text), ' +') AS t
+    FROM documents),
+  {grams},
+  {tops},
+  dup5 AS (
+    SELECT doc_id,
+           SUM(CASE WHEN cnt > 1 THEN cnt * gchars ELSE 0 END)
+             / greatest(SUM(cnt * gchars), 1.0e0) AS frac
+    FROM c5 GROUP BY doc_id),
+  words AS (
+    SELECT doc_id,
+           (COUNT(*) - COUNT(DISTINCT w)) / CAST(COUNT(*) AS DOUBLE) AS frac
+    FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY doc_id)
+  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         round(COALESCE(top2.frac, 0), 6) AS top2_char_frac,
+         round(COALESCE(top3.frac, 0), 6) AS top3_char_frac,
+         round(COALESCE(dup5.frac, 0), 6) AS dup5_char_frac,
+         round(COALESCE(words.frac, 0), 6) AS dup_word_frac
+  FROM documents d
+  LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
+  LEFT JOIN dup5 USING (doc_id) LEFT JOIN words USING (doc_id)
+  ORDER BY doc_id
+    """
+
+
 def _q_mgrs_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MGRS strings (zone + band + 100km square letters + 1 m digits) from
     the from-scratch kernel; full string value-checked by the SQL oracle."""
@@ -3691,6 +3753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'stratified_sample_docs': _q_stratified_sample,
         'per_source_cap': _q_per_source_cap,
         'streaming_exact_dedup': _q_streaming_dedup,
+        'repetition_stats': _q_repetition_stats,
         # -- implementation changed in r4 (GEMM kernel / cap / guards) --
         'cosine_topk': _q_cosine_topk,
         'ivf_assign_counts': _q_ivf_counts,
@@ -3836,6 +3899,7 @@ def oracle_sql() -> dict[str, str]:
         'stratified_sample_docs': _stratified_sample_duckdb(),
         'per_source_cap': _per_source_cap_duckdb(),
         'streaming_exact_dedup': _STREAMING_DEDUP_DUCK,
+        'repetition_stats': _repetition_stats_duckdb(),
         'mgrs_encode_strings': _mgrs_encode_duckdb(),
         'shapefile_roundtrip': _SHAPEFILE_ROUNDTRIP_DUCK,
         'dms_convert': _dms_duckdb(),
