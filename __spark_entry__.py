@@ -3257,6 +3257,48 @@ _STREAMING_DEDUP_DUCK = """
 """
 
 
+_MIX_WEIGHTS = {'src0': 2.5, 'src1': 1.25, 'src2': 0.5}
+_MIX_DEFAULT = 0.125
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-weighted source mixture (mixture_sample):
+    weight 2.5 emits each doc 2 or 3 times, the extra copy and the whole
+    fractional part decided by the md5 bucket — value-exact across
+    engines, which is what the oracle replays."""
+    from geostructures_spark.operators.sampling import mixture_sample
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    out = mixture_sample(docs, _MIX_WEIGHTS, 'source', 'doc_id',
+                         default_weight=_MIX_DEFAULT)
+    return (out.select(F.col('doc_id').cast('long').alias('doc_id'),
+                       'source', F.col('epoch').cast('long').alias('epoch'))
+            .orderBy('doc_id', 'epoch'))
+
+
+def _mixture_sample_duckdb() -> str:
+    from geostructures_spark.operators.sampling import HASH_BUCKETS
+    full_cases = ' '.join(f"WHEN '{s}' THEN {int(w)}"
+                          for s, w in sorted(_MIX_WEIGHTS.items()))
+    thr_cases = ' '.join(
+        f"WHEN '{s}' THEN {int((w - int(w)) * HASH_BUCKETS)}"
+        for s, w in sorted(_MIX_WEIGHTS.items()))
+    b = _SAMPLE_BUCKET_DUCK.format(key='CAST(doc_id AS VARCHAR)')
+    return f"""
+  WITH n_rep AS (
+    SELECT doc_id, source,
+           (CASE source {full_cases} ELSE {int(_MIX_DEFAULT)} END)
+           + (CASE WHEN {b} < (CASE source {thr_cases}
+                ELSE {int((_MIX_DEFAULT - int(_MIX_DEFAULT)) * HASH_BUCKETS)}
+                END) THEN 1 ELSE 0 END) AS n
+    FROM documents)
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(u.epoch AS BIGINT) AS epoch
+  FROM n_rep, UNNEST(range(0, n)) AS u(epoch)
+  ORDER BY doc_id, epoch
+    """
+
+
 def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition metrics (top-2/3-gram char
     fraction, duplicated-5-gram char fraction, duplicate word fraction)
@@ -3754,6 +3796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'per_source_cap': _q_per_source_cap,
         'streaming_exact_dedup': _q_streaming_dedup,
         'repetition_stats': _q_repetition_stats,
+        'mixture_sample_epochs': _q_mixture_sample,
         # -- implementation changed in r4 (GEMM kernel / cap / guards) --
         'cosine_topk': _q_cosine_topk,
         'ivf_assign_counts': _q_ivf_counts,
@@ -3900,6 +3943,7 @@ def oracle_sql() -> dict[str, str]:
         'per_source_cap': _per_source_cap_duckdb(),
         'streaming_exact_dedup': _STREAMING_DEDUP_DUCK,
         'repetition_stats': _repetition_stats_duckdb(),
+        'mixture_sample_epochs': _mixture_sample_duckdb(),
         'mgrs_encode_strings': _mgrs_encode_duckdb(),
         'shapefile_roundtrip': _SHAPEFILE_ROUNDTRIP_DUCK,
         'dms_convert': _dms_duckdb(),

@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ['hash_bucket_expr', 'hash_sample', 'stratified_sample',
-           'per_key_cap', 'HASH_BUCKETS']
+           'per_key_cap', 'mixture_sample', 'HASH_BUCKETS']
 
 # bucket space: first 8 md5 hex digits = [0, 2^32)
 HASH_BUCKETS = 1 << 32
@@ -81,6 +81,44 @@ def stratified_sample(df: DataFrame, strata_col: str, rates: Dict[str, float],
             .filter(hash_bucket_expr(F.col(key_col), salt)
                     < F.coalesce(F.col('_thr'), F.lit(dflt)))
             .drop('_thr'))
+
+
+def mixture_sample(df: DataFrame, weights: Dict[str, float], source_col: str,
+                   key_col: str, default_weight: float = 0.0,
+                   salt: str = '') -> DataFrame:
+    """Deterministic epoch-weighted source mixture — the "2.5 epochs of
+    wikipedia, 0.3 of common-crawl" operator of LLM training recipes
+    (Pile/LLaMA-style mixtures). Each row is emitted
+    ``floor(w)`` times plus once more iff its hash bucket falls under
+    ``frac(w)`` — so a weight of 2.5 yields exactly the deterministic
+    half of keys 3 times and the rest 2 times, reproducibly across
+    runs/engines. Adds an ``epoch`` column (0-based copy index) so
+    downstream shuffles can decorrelate copies by (key, epoch).
+
+    Plan shape: broadcast map join for the weights + a scan-stage
+    ``explode(sequence)`` — row multiplication happens AFTER any pushed
+    filters, no shuffle. Weights must be < ~100 (sanity bound: this is a
+    mixture operator, not a replicator)."""
+    for s, w in weights.items():
+        if not 0.0 <= w < 100.0:
+            raise ValueError(f'weight for {s!r} must be in [0, 100), got {w}')
+    if not 0.0 <= default_weight < 100.0:
+        raise ValueError(f'default_weight must be in [0, 100)')
+    rows = [(s, int(w), _threshold(w - int(w))) for s, w in
+            sorted(weights.items())]
+    spark = df.sparkSession
+    rmap = spark.createDataFrame(
+        rows, f'{source_col} string, _full int, _thr long')
+    d_full, d_thr = int(default_weight), _threshold(default_weight
+                                                   - int(default_weight))
+    extra = (hash_bucket_expr(F.col(key_col), salt)
+             < F.coalesce(F.col('_thr'), F.lit(d_thr))).cast('int')
+    n = F.coalesce(F.col('_full'), F.lit(d_full)) + extra
+    reps = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast('array<int>'))
+    return (df.join(F.broadcast(rmap), source_col, 'left')
+            .withColumn('epoch', F.explode(reps))
+            .drop('_full', '_thr'))
 
 
 def per_key_cap(df: DataFrame, key_col: str, k: int, id_col: str,

@@ -95,3 +95,33 @@ def test_per_key_cap_under_k_keeps_all(spark):
     small = spark.createDataFrame([(1, 'a'), (2, 'a'), (3, 'b')],
                                   'doc_id long, source string')
     assert per_key_cap(small, 'source', 10, 'doc_id').count() == 3
+
+
+def test_mixture_sample_exact_copies(spark, docs):
+    """Epoch weighting: weight 2.5 -> every key appears 2 or 3 times,
+    the extra copy decided by the same hashlib bucket recomputed
+    independently; epoch indexes are dense 0..n-1."""
+    from geostructures_spark.operators.sampling import mixture_sample
+    w = {'src0': 2.5, 'src1': 0.4, 'src2': 0.0, 'src3': 1.0}
+    out = mixture_sample(docs, w, 'source', 'doc_id',
+                         default_weight=0.25).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r['doc_id'], []).append(r['epoch'])
+    src = {r['doc_id']: r['source'] for r in docs.collect()}
+    for doc_id, source in src.items():
+        weight = w.get(source, 0.25)
+        full, frac = int(weight), weight - int(weight)
+        expect = full + (1 if _bucket(doc_id) < frac * HASH_BUCKETS else 0)
+        epochs = sorted(got.get(doc_id, []))
+        assert epochs == list(range(expect)), (doc_id, source, weight)
+    # src2 weight 0 -> no row ever
+    assert not any(src[d] == 'src2' for d in got)
+
+
+def test_mixture_sample_rejects_bad_weight(spark, docs):
+    from geostructures_spark.operators.sampling import mixture_sample
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {'src0': -0.1}, 'source', 'doc_id')
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {'src0': 100.0}, 'source', 'doc_id')
