@@ -2942,15 +2942,22 @@ def _q_osgb_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = pts.select('pid',
                      ((F.col('lon') + 180.0) % 30.0 - 17.0).alias('lon'),
                      ((F.col('lat') + 90.0) % 20.0 + 42.0).alias('lat'))
-    fwd = to_projection_udf('EPSG:27700')
-    inv = from_projection_udf('EPSG:27700')
+    return _tm_grid_result(pts, 'EPSG:27700')
+
+
+def _tm_grid_result(pts: DataFrame, code: str) -> DataFrame:
+    """Shared TM-grid contract tail: forward + inverse closure.
+    Integer-metre contract: the 8-round iteration + trig chain diverges
+    ~1e-6 m between numpy and DuckDB libm, so mm rounding flips a
+    boundary row once per few hundred points. Metre quantization makes
+    the hash stable; mm-level series parity is already proven by
+    utm_project/tm_custom_project, and sub-metre closure by closure_ok."""
+    from geostructures_spark.functions.geo import (
+        from_projection_udf, to_projection_udf)
+    fwd = to_projection_udf(code)
+    inv = from_projection_udf(code)
     d = (pts.withColumn('p', fwd(F.col('lon'), F.col('lat')))
          .withColumn('b', inv(F.col('p.x'), F.col('p.y'))))
-    # integer-metre contract: the 8-round iteration + trig chain diverges
-    # ~1e-6 m between numpy and DuckDB libm, so mm rounding flips a
-    # boundary row once per few hundred points. Metre quantization makes
-    # the hash stable; mm-level series parity is already proven by
-    # utm_project/tm_custom_project, and sub-metre closure by closure_ok.
     return (d.select(F.col('pid').cast('long').alias('pid'),
                      F.round('p.x', 0).cast('long').alias('easting_m'),
                      F.round('p.y', 0).cast('long').alias('northing_m'),
@@ -2960,12 +2967,48 @@ def _q_osgb_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy('pid'))
 
 
+def _q_gk_pulkovo_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WGS84 -> EPSG:28407 (Pulkovo 1942 / Gauss-Krüger zone 7,
+    Krassowsky 1940, zone-numbered false easting 7.5e6): the Soviet/
+    Russian national-grid family of the reference's pyproj CRS surface
+    (coordinates.py:210-234), rebuilt from the published parameters
+    (kernels/datum.py). Same full-chain SQL replay + closure standard as
+    osgb_project — the chain is re-derived from the same GridCRS record
+    by the shared parameterized generator."""
+    _load(spark, sf_dir, 'customer')
+    pts = spark.sql(_pts_customer_sql())
+    # remap into the zone-7 domain (lon0 = 39E +/- 12 deg, lat 40..65)
+    pts = pts.select('pid',
+                     ((F.col('lon') + 180.0) % 24.0 + 27.0).alias('lon'),
+                     ((F.col('lat') + 90.0) % 25.0 + 40.0).alias('lat'))
+    return _tm_grid_result(pts, 'EPSG:28407')
+
+
 def _osgb_project_duckdb() -> str:
-    """SQL replay of grid_forward('EPSG:27700'): every constant comes from
-    kernels/datum.py's published-parameter tables; the chain itself is
-    re-derived in SQL (same oracle standard as the H3/S2 replays)."""
+    pts = f"""SELECT pid,
+                          (lon + 180.0e0) % 30.0e0 - 17.0e0 AS lon,
+                          (lat + 90.0e0) % 20.0e0 + 42.0e0 AS lat
+                   FROM ({_pts_customer_sql()}) p
+                   WHERE lat >= -83.9e0 AND lat < 83.9e0
+                     AND abs(lon + 2.0e0) <= 40.0e0"""
+    return _tm_grid_duckdb('EPSG:27700', pts)
+
+
+def _gk_pulkovo_project_duckdb() -> str:
+    pts = f"""SELECT pid,
+                          (lon + 180.0e0) % 24.0e0 + 27.0e0 AS lon,
+                          (lat + 90.0e0) % 25.0e0 + 40.0e0 AS lat
+                   FROM ({_pts_customer_sql()}) p"""
+    return _tm_grid_duckdb('EPSG:28407', pts)
+
+
+def _tm_grid_duckdb(code: str, pts_sql: str) -> str:
+    """SQL replay of grid_forward(code) for any Helmert+TM grid: every
+    constant comes from kernels/datum.py's published-parameter tables;
+    the chain itself is re-derived in SQL (same oracle standard as the
+    H3/S2 replays)."""
     from geostructures_spark.kernels import datum as D
-    g = D.GRID_CRS['EPSG:27700']
+    g = D.GRID_CRS[code]
     a1, alpha, _ = D.kruger_coefficients(g.ell)
     h = g.wgs84_to_datum
     rx, ry, rz = (h.rx * D._AS2RAD, h.ry * D._AS2RAD, h.rz * D._AS2RAD)
@@ -2992,12 +3035,7 @@ def _osgb_project_duckdb() -> str:
         f'({alpha[j]!r} * cos({2*(j+1)}.0e0 * xi_p) * '
         f'{sinh(f"{2*(j+1)}.0e0 * eta_p")})' for j in range(6))
     return f"""
-      WITH pts AS (SELECT pid,
-                          (lon + 180.0e0) % 30.0e0 - 17.0e0 AS lon,
-                          (lat + 90.0e0) % 20.0e0 + 42.0e0 AS lat
-                   FROM ({_pts_customer_sql()}) p
-                   WHERE lat >= -83.9e0 AND lat < 83.9e0
-                     AND abs(lon + 2.0e0) <= 40.0e0)
+      WITH pts AS ({pts_sql})
       SELECT CAST(pid AS BIGINT) AS pid,
              CAST(ROUND({g.tm.x0!r} + {g.tm.k0!r} * {a1!r} * eta, 0)
                   AS BIGINT) AS easting_m,
@@ -3789,6 +3827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dms_convert': _q_dms_convert,
         # -- new in r4 --
         'osgb_project': _q_osgb_project,
+        'gk_pulkovo_project': _q_gk_pulkovo_project,
         'lcc_project': _q_lcc_project,
         'albers_project': _q_albers_project,
         'hash_sample_docs': _q_hash_sample,
@@ -3936,6 +3975,7 @@ def oracle_sql() -> dict[str, str]:
         'utm_project': _utm_project_duckdb(),
         'tm_custom_project': _tm_custom_duckdb(),
         'osgb_project': _osgb_project_duckdb(),
+        'gk_pulkovo_project': _gk_pulkovo_project_duckdb(),
         'lcc_project': _lcc_project_duckdb(),
         'albers_project': _albers_project_duckdb(),
         'hash_sample_docs': _hash_sample_duckdb(),

@@ -71,6 +71,7 @@ GRS80 = Ellipsoid(6378137.0, 1.0 / 298.257222101)
 # Clarke 1866 and Clarke 1880 (IGN) are defined by (a, b); f is derived
 CLARKE1866 = Ellipsoid(6378206.4, (6378206.4 - 6356583.8) / 6378206.4)
 CLARKE1880IGN = Ellipsoid(6378249.2, (6378249.2 - 6356515.0) / 6378249.2)
+KRASSOWSKY1940 = Ellipsoid(6378245.0, 1.0 / 298.3)
 
 # US survey foot (exact rational definition), metres per foot
 US_SURVEY_FOOT = 1200.0 / 3937.0
@@ -433,6 +434,18 @@ for _z in range(28, 39):
         TMParams(lon0=float(_z * 6 - 183), lat0=0.0, k0=0.9996,
                  x0=500000.0, y0=0.0),
         _WGS84_TO_ED50)
+
+# Pulkovo 1942 / Gauss-Krüger zones 2..32 (EPSG:28402-28432; Krassowsky
+# 1940, k0 = 1, zone-numbered false easting z*1e6 + 500km). Datum shift:
+# Pulkovo 1942 -> WGS84 mean 3-param (+28, -130, -95) (EPSG 1254 family),
+# inverted for the WGS84 -> datum direction stored here.
+_WGS84_TO_PULKOVO42 = Helmert(-28.0, 130.0, 95.0)
+for _z in range(2, 33):
+    GRID_CRS[f'EPSG:284{_z:02d}'] = GridCRS(
+        KRASSOWSKY1940,
+        TMParams(lon0=float(_z * 6 - 3), lat0=0.0, k0=1.0,
+                 x0=_z * 1e6 + 500000.0, y0=0.0),
+        _WGS84_TO_PULKOVO42)
 
 # WGS84 -> NTF: IGN-published NTF->WGS84 3-param shift (-168, -60, +320),
 # inverted.

@@ -403,3 +403,41 @@ def test_s2_polyfill_banded_equals_single_pass():
     full = S.polygon_to_cells_s2([ring], level=13)
     banded = S.polygon_to_cells_s2([ring], level=13, band_samples=64)
     assert full == banded and len(full) >= 5
+
+
+def test_pulkovo_gk_full_chain_roundtrip_and_plausibility():
+    """Pulkovo 1942 / Gauss-Krüger zone 7 (EPSG:28407, Krassowsky 1940):
+    forward/inverse closure through the full Helmert chain, plus the
+    published-magnitude pins: Moscow lands at the textbook zone-7 values
+    (E ~ 7,413 km incl. the 7e6 zone prefix, N ~ 6,182 km) and the
+    Pulkovo->WGS84 datum offset is ~100-130 m in the zone."""
+    import numpy as np
+    from geostructures_spark.kernels import datum as D
+    lon = np.array([37.6176, 39.0, 41.2])
+    lat = np.array([55.7558, 60.0, 45.0])
+    e, n = D.grid_forward(lon, lat, 'EPSG:28407')
+    lon2, lat2 = D.grid_inverse(e, n, 'EPSG:28407')
+    assert np.abs(lon2 - lon).max() < 1e-8
+    assert np.abs(lat2 - lat).max() < 1e-8
+    # Moscow: zone prefix + false easting dominate; the coarse km-level
+    # pin catches zone-numbering / false-easting / lon0 mistakes
+    assert abs(e[0] - 7_413_000) < 2000 and abs(n[0] - 6_182_000) < 2000
+    g = D.GRID_CRS['EPSG:28407']
+    D.GRID_CRS['_TEST:GK7'] = g._replace(wgs84_to_datum=D.Helmert(0, 0, 0))
+    try:
+        e0, n0 = D.grid_forward(lon, lat, '_TEST:GK7')
+    finally:
+        del D.GRID_CRS['_TEST:GK7']
+    shift = np.hypot(e - e0, n - n0)
+    assert (shift > 80).all() and (shift < 200).all()
+
+
+def test_pulkovo_gk_zone_registry():
+    """Zones 2..32 all registered with zone-numbered false eastings and
+    6-degree central meridians."""
+    from geostructures_spark.kernels import datum as D
+    for z in (2, 7, 19, 32):
+        g = D.GRID_CRS[f'EPSG:284{z:02d}']
+        assert g.tm.lon0 == z * 6 - 3
+        assert g.tm.x0 == z * 1e6 + 500000.0
+        assert g.ell is D.KRASSOWSKY1940 and g.tm.k0 == 1.0
