@@ -176,6 +176,24 @@ def _stress_spatial(spark, sf_dir: str) -> dict:
         joined.count()
         best = min(best, _t.time() - t0)
     out['bucketed_join_cells'] = round(best, 3)
+
+    # repetition-metrics Arrow kernel (operators/repetition.py): 50k
+    # synthetic ~40-token docs, zero-shuffle mapInPandas — the row proves
+    # the row-local plan holds its per-doc throughput at corpus scale
+    from geostructures_spark.operators.repetition import repetition_stats
+    docs = spark.range(50000).selectExpr(
+        'id AS doc_id',
+        "array_join(transform(sequence(0, 39), "
+        " i -> concat('w', CAST((id * 31 + i * i * 7) % 97 AS STRING))), ' ')"
+        ' AS text')
+    best = float('inf')
+    n_docs = 50000
+    for _ in range(2):
+        t0 = _t.time()
+        repetition_stats(docs).count()
+        best = min(best, _t.time() - t0)
+    out['repetition_50k_docs'] = round(best, 3)
+    out['repetition_docs_per_sec'] = round(n_docs / best, 1)
     return out
 
 
