@@ -3295,6 +3295,116 @@ _STREAMING_DEDUP_DUCK = """
 """
 
 
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (operators/urls.py): messy URL variants
+    (WWW/case/default-port/fragment/tracking-param/trailing-slash noise)
+    are synthesized deterministically from doc_id — groups of 3
+    consecutive docs share one canonical URL — then normalized and
+    grouped. The oracle replays BOTH the construction and an independent
+    SQL canonicalization (lower/regexp/list_filter/list_sort)."""
+    from geostructures_spark.operators.urls import url_dedup_groups
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    g = (F.col('doc_id') / 3).cast('long')
+    h = (g % 37).cast('string')
+    v = F.col('doc_id') % 6
+    url = (F.when(v == 0, F.concat(F.lit('https://www.site'), h,
+                                   F.lit('.example/p/'), g, F.lit('/')))
+           .when(v == 1, F.concat(F.lit('HTTPS://SITE'), h,
+                                  F.lit('.EXAMPLE:443/p/'), g,
+                                  F.lit('?utm_source=feed&fbclid=x')))
+           .when(v == 2, F.concat(F.lit('https://site'), h,
+                                  F.lit('.example/p/'), g, F.lit('#frag')))
+           .when(v == 3, F.concat(F.lit('https://site'), h,
+                                  F.lit('.example/q/'), g, F.lit('?b=2&a=1')))
+           .when(v == 4, F.concat(F.lit('https://site'), h,
+                                  F.lit('.example/q/'), g,
+                                  F.lit('?a=1&b=2&utm_campaign=z')))
+           .otherwise(F.concat(F.lit('https://site'), h,
+                               F.lit('.example/q/'), g,
+                               F.lit('/?gclid=1&b=2&a=1'))))
+    messy = docs.select('doc_id', url.alias('url'))
+    out = url_dedup_groups(messy)
+    return (out.select('norm_url',
+                       F.col('canonical_id').cast('long').alias('canonical_id'),
+                       F.col('n_docs').cast('long').alias('n_docs'))
+            .orderBy('norm_url'))
+
+
+_URL_DEDUP_DUCK = r"""
+  WITH messy AS (
+    SELECT doc_id,
+           CAST(doc_id // 3 AS VARCHAR) AS g,
+           CAST((doc_id // 3) % 37 AS VARCHAR) AS h,
+           doc_id % 6 AS v
+    FROM documents),
+  raw AS (
+    SELECT doc_id,
+           CASE v
+             WHEN 0 THEN 'https://www.site' || h || '.example/p/' || g || '/'
+             WHEN 1 THEN 'HTTPS://SITE' || h || '.EXAMPLE:443/p/' || g
+                         || '?utm_source=feed&fbclid=x'
+             WHEN 2 THEN 'https://site' || h || '.example/p/' || g || '#frag'
+             WHEN 3 THEN 'https://site' || h || '.example/q/' || g || '?b=2&a=1'
+             WHEN 4 THEN 'https://site' || h || '.example/q/' || g
+                         || '?a=1&b=2&utm_campaign=z'
+             ELSE 'https://site' || h || '.example/q/' || g
+                  || '/?gclid=1&b=2&a=1'
+           END AS url
+    FROM messy),
+  parts AS (
+    SELECT doc_id,
+           trim(regexp_replace(trim(url), '#.*$', '')) AS u
+    FROM raw),
+  split1 AS (
+    SELECT doc_id, u,
+           lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+             AS scheme,
+           lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1))
+             AS host0,
+           regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '')
+             AS rest
+    FROM parts),
+  split2 AS (
+    SELECT doc_id, u, scheme, rest,
+           CASE WHEN scheme = 'http'
+                  THEN regexp_replace(regexp_replace(host0, '^www\.', ''),
+                                      ':80$', '')
+                WHEN scheme = 'https'
+                  THEN regexp_replace(regexp_replace(host0, '^www\.', ''),
+                                      ':443$', '')
+                ELSE regexp_replace(host0, '^www\.', '') END AS host,
+           regexp_replace(rest, '\?.*$', '') AS path0,
+           CASE WHEN contains(rest, '?')
+                THEN regexp_replace(rest, '^[^?]*\?', '') ELSE '' END AS q
+    FROM split1),
+  norm AS (
+    SELECT doc_id, u, scheme, host,
+           CASE WHEN regexp_matches(path0, '^/.+/$')
+                THEN regexp_replace(path0, '/$', '') ELSE path0 END AS path,
+           list_sort(list_filter(string_split(q, '&'),
+             x -> x <> ''
+                  AND NOT starts_with(x, 'utm_')
+                  AND NOT list_contains(['gclid', 'fbclid', 'ref',
+                                         'mc_cid', 'mc_eid'],
+                                        string_split(x, '=')[1]))) AS kept
+    FROM split2),
+  canon AS (
+    SELECT doc_id,
+           CASE WHEN scheme = '' THEN u
+                ELSE scheme || '://' || host || path ||
+                     CASE WHEN len(kept) > 0
+                          THEN '?' || array_to_string(kept, '&')
+                          ELSE '' END
+           END AS norm_url
+    FROM norm)
+  SELECT norm_url,
+         CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM canon GROUP BY norm_url ORDER BY norm_url
+"""
+
+
 _MIX_WEIGHTS = {'src0': 2.5, 'src1': 1.25, 'src2': 0.5}
 _MIX_DEFAULT = 0.125
 
@@ -3836,6 +3946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_exact_dedup': _q_streaming_dedup,
         'repetition_stats': _q_repetition_stats,
         'mixture_sample_epochs': _q_mixture_sample,
+        'url_normalize_dedup': _q_url_dedup,
         # -- implementation changed in r4 (GEMM kernel / cap / guards) --
         'cosine_topk': _q_cosine_topk,
         'ivf_assign_counts': _q_ivf_counts,
@@ -3984,6 +4095,7 @@ def oracle_sql() -> dict[str, str]:
         'streaming_exact_dedup': _STREAMING_DEDUP_DUCK,
         'repetition_stats': _repetition_stats_duckdb(),
         'mixture_sample_epochs': _mixture_sample_duckdb(),
+        'url_normalize_dedup': _URL_DEDUP_DUCK,
         'mgrs_encode_strings': _mgrs_encode_duckdb(),
         'shapefile_roundtrip': _SHAPEFILE_ROUNDTRIP_DUCK,
         'dms_convert': _dms_duckdb(),
