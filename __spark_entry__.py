@@ -3295,6 +3295,44 @@ _STREAMING_DEDUP_DUCK = """
 """
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): per-document placement in
+    the ctx=256 packed token stream via the two-phase distributed prefix
+    sum (range shuffle + per-partition Arrow cumsum — never a single-task
+    global window). The oracle is the single-threaded definition: DuckDB
+    SUM() OVER (ORDER BY doc_id) — value-equal for any parallelism."""
+    from geostructures_spark.operators.packing import pack_sequences
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    res = pack_sequences(docs, 256)
+    return (res.df.select(F.col('doc_id').cast('long').alias('doc_id'),
+                          F.col('n_tokens').cast('long').alias('n_tokens'),
+                          F.col('start_off').cast('long').alias('start_off'),
+                          F.col('first_seq').cast('long').alias('first_seq'),
+                          F.col('last_seq').cast('long').alias('last_seq'))
+            .orderBy('doc_id'))
+
+
+_PACK_SEQUENCES_DUCK = """
+  WITH toks AS (
+    SELECT doc_id,
+           len(string_split_regex(trim(text), ' +')) AS n
+    FROM documents),
+  scan AS (
+    SELECT doc_id, n,
+           COALESCE(SUM(n) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS start_off
+    FROM toks)
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(n AS BIGINT) AS n_tokens,
+         CAST(start_off AS BIGINT) AS start_off,
+         CAST(start_off // 256 AS BIGINT) AS first_seq,
+         CAST((start_off + n - 1) // 256 AS BIGINT) AS last_seq
+  FROM scan ORDER BY doc_id
+"""
+
+
 def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup (operators/urls.py): messy URL variants
     (WWW/case/default-port/fragment/tracking-param/trailing-slash noise)
@@ -3947,6 +3985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'repetition_stats': _q_repetition_stats,
         'mixture_sample_epochs': _q_mixture_sample,
         'url_normalize_dedup': _q_url_dedup,
+        'pack_sequences_docs': _q_pack_sequences,
         # -- implementation changed in r4 (GEMM kernel / cap / guards) --
         'cosine_topk': _q_cosine_topk,
         'ivf_assign_counts': _q_ivf_counts,
@@ -4096,6 +4135,7 @@ def oracle_sql() -> dict[str, str]:
         'repetition_stats': _repetition_stats_duckdb(),
         'mixture_sample_epochs': _mixture_sample_duckdb(),
         'url_normalize_dedup': _URL_DEDUP_DUCK,
+        'pack_sequences_docs': _PACK_SEQUENCES_DUCK,
         'mgrs_encode_strings': _mgrs_encode_duckdb(),
         'shapefile_roundtrip': _SHAPEFILE_ROUNDTRIP_DUCK,
         'dms_convert': _dms_duckdb(),
