@@ -3295,6 +3295,42 @@ _STREAMING_DEDUP_DUCK = """
 """
 
 
+_SPLIT_FRACS = [('train', 0.8), ('valid', 0.1), ('test', 0.1)]
+
+
+def _q_assign_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split assignment keyed by the GROUP column (source):
+    every doc of a source shares a split, so near-dups within a source
+    can never straddle train/test. Scan-stage hash ranges, zero
+    shuffle."""
+    from geostructures_spark.operators.sampling import assign_split
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    out = assign_split(docs, dict(_SPLIT_FRACS), 'source')
+    return (out.select(F.col('doc_id').cast('long').alias('doc_id'),
+                       'source', 'split')
+            .orderBy('doc_id'))
+
+
+def _assign_split_duckdb() -> str:
+    from geostructures_spark.operators.sampling import HASH_BUCKETS
+    b = _SAMPLE_BUCKET_DUCK.format(key='CAST(source AS VARCHAR)')
+    acc, arms = 0.0, []
+    # identical float accumulation to assign_split, so the embedded
+    # integer thresholds are bit-equal across engines
+    for name, frac in _SPLIT_FRACS:
+        acc += frac
+        arms.append(f"WHEN {b} < {int(min(acc, 1.0) * HASH_BUCKETS)} "
+                    f"THEN '{name}'")
+    last = _SPLIT_FRACS[-1][0]
+    case = ' '.join(arms)
+    return f"""
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+             CASE {case} ELSE '{last}' END AS split
+      FROM documents ORDER BY doc_id
+    """
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (operators/packing.py): per-document placement in
     the ctx=256 packed token stream via the two-phase distributed prefix
@@ -3986,6 +4022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'mixture_sample_epochs': _q_mixture_sample,
         'url_normalize_dedup': _q_url_dedup,
         'pack_sequences_docs': _q_pack_sequences,
+        'assign_split_groups': _q_assign_split,
         # -- implementation changed in r4 (GEMM kernel / cap / guards) --
         'cosine_topk': _q_cosine_topk,
         'ivf_assign_counts': _q_ivf_counts,
@@ -4136,6 +4173,7 @@ def oracle_sql() -> dict[str, str]:
         'mixture_sample_epochs': _mixture_sample_duckdb(),
         'url_normalize_dedup': _URL_DEDUP_DUCK,
         'pack_sequences_docs': _PACK_SEQUENCES_DUCK,
+        'assign_split_groups': _assign_split_duckdb(),
         'mgrs_encode_strings': _mgrs_encode_duckdb(),
         'shapefile_roundtrip': _SHAPEFILE_ROUNDTRIP_DUCK,
         'dms_convert': _dms_duckdb(),

@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ['hash_bucket_expr', 'hash_sample', 'stratified_sample',
-           'per_key_cap', 'mixture_sample', 'HASH_BUCKETS']
+           'per_key_cap', 'mixture_sample', 'assign_split', 'HASH_BUCKETS']
 
 # bucket space: first 8 md5 hex digits = [0, 2^32)
 HASH_BUCKETS = 1 << 32
@@ -81,6 +81,33 @@ def stratified_sample(df: DataFrame, strata_col: str, rates: Dict[str, float],
             .filter(hash_bucket_expr(F.col(key_col), salt)
                     < F.coalesce(F.col('_thr'), F.lit(dflt)))
             .drop('_thr'))
+
+
+def assign_split(df: DataFrame, fractions: Dict[str, float], key_col: str,
+                 salt: str = '') -> DataFrame:
+    """Leakage-safe train/valid/test assignment: a ``split`` column
+    chosen by the hash bucket of ``key_col``. Split on a GROUP key (host,
+    entity id) and every row of that group lands in the same split — the
+    standard guard against train/test contamination by near-duplicates
+    within a group. Fractions must sum to 1 (±1e-9); splits occupy
+    adjacent bucket ranges in the given dict order. Pure scan-stage
+    Column expression, zero shuffle."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f'fractions must sum to 1, got {total}')
+    bucket = hash_bucket_expr(F.col(key_col), salt)
+    expr = None
+    acc = 0.0
+    for name, frac in fractions.items():
+        if frac < 0:
+            raise ValueError(f'fraction for {name!r} is negative')
+        acc += frac
+        hi = _threshold(min(acc, 1.0))
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # float accumulation can leave the last boundary a hair under 2^32
+    last = list(fractions)[-1]
+    return df.withColumn('split', expr.otherwise(F.lit(last)))
 
 
 def mixture_sample(df: DataFrame, weights: Dict[str, float], source_col: str,

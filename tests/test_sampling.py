@@ -125,3 +125,33 @@ def test_mixture_sample_rejects_bad_weight(spark, docs):
         mixture_sample(docs, {'src0': -0.1}, 'source', 'doc_id')
     with pytest.raises(ValueError):
         mixture_sample(docs, {'src0': 100.0}, 'source', 'doc_id')
+
+
+def test_assign_split_group_safe(spark, docs):
+    """Every row of a group key lands in the same split; global fractions
+    are approximately honored; membership matches the independent
+    hashlib recomputation of the bucket ranges."""
+    from geostructures_spark.operators.sampling import assign_split
+    out = assign_split(docs, {'train': 0.8, 'valid': 0.1, 'test': 0.1},
+                       'source').collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r['source'], set()).add(r['split'])
+    assert all(len(s) == 1 for s in by_src.values())  # group-safe
+    # independent membership recomputation
+    acc, bounds = 0.0, []
+    for name, f in [('train', 0.8), ('valid', 0.1), ('test', 0.1)]:
+        acc += f
+        bounds.append((name, int(min(acc, 1.0) * HASH_BUCKETS)))
+    for r in out:
+        b = _bucket(r['source'])
+        want = next(name for name, hi in bounds if b < hi)
+        assert r['split'] == want
+
+
+def test_assign_split_rejects_bad_fractions(spark, docs):
+    from geostructures_spark.operators.sampling import assign_split
+    with pytest.raises(ValueError):
+        assign_split(docs, {'a': 0.5, 'b': 0.4}, 'source')
+    with pytest.raises(ValueError):
+        assign_split(docs, {'a': 1.5, 'b': -0.5}, 'source')
