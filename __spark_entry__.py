@@ -3479,6 +3479,58 @@ _URL_DEDUP_DUCK = r"""
 """
 
 
+def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl stats (operators/urls.py host_stats) over the same
+    messy-URL synthesis as url_normalize_dedup: page counts + distinct
+    canonical URLs per canonical host (ports/www/case folded)."""
+    from geostructures_spark.operators.urls import host_stats
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    g = (F.col('doc_id') / 3).cast('long')
+    h = (g % 37).cast('string')
+    v = F.col('doc_id') % 6
+    url = (F.when(v == 0, F.concat(F.lit('https://www.site'), h,
+                                   F.lit('.example/p/'), g, F.lit('/')))
+           .when(v == 1, F.concat(F.lit('HTTPS://SITE'), h,
+                                  F.lit('.EXAMPLE:443/p/'), g,
+                                  F.lit('?utm_source=feed&fbclid=x')))
+           .when(v == 2, F.concat(F.lit('https://site'), h,
+                                  F.lit('.example/p/'), g, F.lit('#frag')))
+           .when(v == 3, F.concat(F.lit('https://site'), h,
+                                  F.lit('.example/q/'), g, F.lit('?b=2&a=1')))
+           .when(v == 4, F.concat(F.lit('https://site'), h,
+                                  F.lit('.example/q/'), g,
+                                  F.lit('?a=1&b=2&utm_campaign=z')))
+           .otherwise(F.concat(F.lit('https://site'), h,
+                               F.lit('.example/q/'), g,
+                               F.lit('/?gclid=1&b=2&a=1'))))
+    messy = docs.select('doc_id', url.alias('url'))
+    out = host_stats(messy)
+    return (out.select('host',
+                       F.col('n_pages').cast('long').alias('n_pages'),
+                       F.col('n_distinct_urls').cast('long')
+                       .alias('n_distinct_urls'))
+            .orderBy('host'))
+
+
+def _host_stats_duckdb() -> str:
+    # reuse the url_normalize_dedup replay through its canon CTE chain,
+    # swapping the final aggregation for host grouping
+    body = _URL_DEDUP_DUCK.rsplit('SELECT norm_url,', 1)[0]
+    return body + """
+  SELECT h.host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+         CAST(COUNT(DISTINCT c.norm_url) AS BIGINT) AS n_distinct_urls
+  FROM canon c
+  JOIN (SELECT doc_id,
+               regexp_replace(regexp_replace(
+                 lower(regexp_extract(trim(url),
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+                 '^www\\.', ''), ':[0-9]+$', '') AS host
+        FROM raw) h USING (doc_id)
+  GROUP BY h.host ORDER BY h.host
+"""
+
+
 _MIX_WEIGHTS = {'src0': 2.5, 'src1': 1.25, 'src2': 0.5}
 _MIX_DEFAULT = 0.125
 
@@ -4023,6 +4075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'url_normalize_dedup': _q_url_dedup,
         'pack_sequences_docs': _q_pack_sequences,
         'assign_split_groups': _q_assign_split,
+        'host_stats_crawl': _q_host_stats,
         # -- implementation changed in r4 (GEMM kernel / cap / guards) --
         'cosine_topk': _q_cosine_topk,
         'ivf_assign_counts': _q_ivf_counts,
@@ -4174,6 +4227,7 @@ def oracle_sql() -> dict[str, str]:
         'url_normalize_dedup': _URL_DEDUP_DUCK,
         'pack_sequences_docs': _PACK_SEQUENCES_DUCK,
         'assign_split_groups': _assign_split_duckdb(),
+        'host_stats_crawl': _host_stats_duckdb(),
         'mgrs_encode_strings': _mgrs_encode_duckdb(),
         'shapefile_roundtrip': _SHAPEFILE_ROUNDTRIP_DUCK,
         'dms_convert': _dms_duckdb(),
