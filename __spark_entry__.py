@@ -3531,6 +3531,72 @@ def _host_stats_duckdb() -> str:
 """
 
 
+def _q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-style quality gate (operators/quality.py): per-doc
+    keep/drop with the per-rule failure bitmask. Every signal is an
+    exact integer ratio, so the bitmask is value-exact cross-engine; the
+    oracle re-derives all seven signals AND the mask arithmetic in SQL."""
+    from geostructures_spark.operators.quality import quality_gate
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    out = quality_gate(docs)
+    return (out.select(F.col('doc_id').cast('long').alias('doc_id'),
+                       F.col('fail_mask').cast('long').alias('fail_mask'),
+                       F.col('n_failed').cast('long').alias('n_failed'),
+                       'keep')
+            .orderBy('doc_id'))
+
+
+def _quality_gate_duckdb() -> str:
+    from geostructures_spark.operators.quality import DEFAULT_RULES
+    mask_terms, fail_terms = [], []
+    for i, (name, sig, lo, hi) in enumerate(DEFAULT_RULES):
+        conds = []
+        if lo is not None:
+            conds.append(f'{sig} < {lo!r}')
+        if hi is not None:
+            conds.append(f'{sig} > {hi!r}')
+        c = ' OR '.join(conds)
+        mask_terms.append(f'CASE WHEN {c} THEN {1 << i} ELSE 0 END')
+        fail_terms.append(f'CASE WHEN {c} THEN 1 ELSE 0 END')
+    mask = ' + '.join(mask_terms)
+    nfail = ' + '.join(fail_terms)
+    return f"""
+  WITH toks AS (
+    SELECT doc_id,
+           CAST(greatest(length(text), 1) AS DOUBLE) AS n_chars,
+           string_split_regex(trim(text), ' +') AS t
+    FROM documents),
+  {_rep_ctes(top_ns=(2,))},
+  sig AS (
+    SELECT d.doc_id,
+           len(string_split_regex(trim(d.text), ' +')) AS n_tokens,
+           (length(d.text) - (len(string_split_regex(trim(d.text), ' +'))
+              - 1))
+             / CAST(len(string_split_regex(trim(d.text), ' +')) AS DOUBLE)
+             AS avg_token_len,
+           (length(d.text) -
+              length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))
+             / CAST(greatest(length(d.text), 1) AS DOUBLE) AS punct_ratio,
+           len(list_filter(string_split_regex(trim(d.text), ' +'),
+               x -> x IN ('the', 'a', 'of', 'and', 'in')))
+             / CAST(greatest(len(string_split_regex(trim(d.text), ' +')),
+                             1) AS DOUBLE) AS stopword_ratio,
+           COALESCE(top2.frac, 0) AS top2_char_frac,
+           COALESCE(dup5.frac, 0) AS dup5_char_frac,
+           COALESCE(words.frac, 0) AS dup_word_frac
+    FROM documents d
+    LEFT JOIN top2 ON top2.doc_id = d.doc_id
+    LEFT JOIN dup5 ON dup5.doc_id = d.doc_id
+    LEFT JOIN words ON words.doc_id = d.doc_id)
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST({mask} AS BIGINT) AS fail_mask,
+         CAST({nfail} AS BIGINT) AS n_failed,
+         ({mask}) = 0 AS keep
+  FROM sig ORDER BY doc_id
+    """
+
+
 _MIX_WEIGHTS = {'src0': 2.5, 'src1': 1.25, 'src2': 0.5}
 _MIX_DEFAULT = 0.125
 
@@ -3588,7 +3654,11 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy('doc_id'))
 
 
-def _repetition_stats_duckdb() -> str:
+def _rep_ctes(top_ns=(2, 3)) -> str:
+    """Repetition-metric CTE fragment (expects a ``toks`` CTE with
+    (doc_id, n_chars DOUBLE, t LIST) in scope): n-gram counts, top-n
+    fractions, dup5, dup-word — shared by the repetition_stats and
+    quality_gate oracles."""
     gram_cte = """
   g{n} AS (
     SELECT doc_id, n_chars,
@@ -3604,15 +3674,10 @@ def _repetition_stats_duckdb() -> str:
     FROM c{n}
     QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
                                ORDER BY cnt DESC, gchars DESC) = 1)"""
-    grams = ','.join(gram_cte.format(n=n, m=n - 1) for n in (2, 3, 5))
-    tops = ','.join(top_cte.format(n=n) for n in (2, 3))
-    return f"""
-  WITH toks AS (
-    SELECT doc_id,
-           CAST(greatest(length(text), 1) AS DOUBLE) AS n_chars,
-           string_split_regex(trim(text), ' +') AS t
-    FROM documents),
-  {grams},
+    grams = ','.join(gram_cte.format(n=n, m=n - 1)
+                     for n in (*top_ns, 5))
+    tops = ','.join(top_cte.format(n=n) for n in top_ns)
+    return f"""{grams},
   {tops},
   dup5 AS (
     SELECT doc_id,
@@ -3622,7 +3687,17 @@ def _repetition_stats_duckdb() -> str:
   words AS (
     SELECT doc_id,
            (COUNT(*) - COUNT(DISTINCT w)) / CAST(COUNT(*) AS DOUBLE) AS frac
-    FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY doc_id)
+    FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY doc_id)"""
+
+
+def _repetition_stats_duckdb() -> str:
+    return f"""
+  WITH toks AS (
+    SELECT doc_id,
+           CAST(greatest(length(text), 1) AS DOUBLE) AS n_chars,
+           string_split_regex(trim(text), ' +') AS t
+    FROM documents),
+  {_rep_ctes()}
   SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
          round(COALESCE(top2.frac, 0), 6) AS top2_char_frac,
          round(COALESCE(top3.frac, 0), 6) AS top3_char_frac,
@@ -4076,6 +4151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pack_sequences_docs': _q_pack_sequences,
         'assign_split_groups': _q_assign_split,
         'host_stats_crawl': _q_host_stats,
+        'quality_gate_mask': _q_quality_gate,
         # -- implementation changed in r4 (GEMM kernel / cap / guards) --
         'cosine_topk': _q_cosine_topk,
         'ivf_assign_counts': _q_ivf_counts,
@@ -4228,6 +4304,7 @@ def oracle_sql() -> dict[str, str]:
         'pack_sequences_docs': _PACK_SEQUENCES_DUCK,
         'assign_split_groups': _assign_split_duckdb(),
         'host_stats_crawl': _host_stats_duckdb(),
+        'quality_gate_mask': _quality_gate_duckdb(),
         'mgrs_encode_strings': _mgrs_encode_duckdb(),
         'shapefile_roundtrip': _SHAPEFILE_ROUNDTRIP_DUCK,
         'dms_convert': _dms_duckdb(),

@@ -137,19 +137,30 @@ def _rep_kernel(doc_ids: pd.Series, texts: pd.Series) -> pd.DataFrame:
 
 
 def repetition_stats(docs: DataFrame, id_col: str = 'doc_id',
-                     text_col: str = 'text') -> DataFrame:
+                     text_col: str = 'text',
+                     passthrough: Sequence[str] = ()) -> DataFrame:
     """(id, top2/top3/dup5/dup_word fractions) per document — the Arrow
-    kernel form (zero shuffle; see module docstring)."""
+    kernel form (zero shuffle; see module docstring). ``passthrough``
+    columns are carried through the kernel unchanged, so composites
+    (quality_gate) can stack more per-doc signals without a re-join
+    shuffle on the id."""
     src = docs.select(F.col(id_col).alias('doc_id'),
-                      F.col(text_col).alias('text'))
+                      F.col(text_col).alias('text'),
+                      *[F.col(c) for c in passthrough])
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _rep_kernel(pdf['doc_id'], pdf['text'])
+                out = _rep_kernel(pdf['doc_id'], pdf['text'])
+                for c in passthrough:
+                    out[c] = pdf[c].to_numpy()
+                yield out
 
+    fields = dict(zip(src.schema.names, src.schema))
+    extra = ''.join(f', {c} {fields[c].dataType.simpleString()}'
+                    for c in passthrough)
     schema = ('doc_id long, top2_char_frac double, top3_char_frac double, '
-              'dup5_char_frac double, dup_word_frac double')
+              f'dup5_char_frac double, dup_word_frac double{extra}')
     return src.mapInPandas(gen, schema)
 
 
