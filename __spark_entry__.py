@@ -3369,6 +3369,31 @@ _PACK_SEQUENCES_DUCK = """
 """
 
 
+def _messy_url_expr():
+    """Deterministic messy-URL synthesis from doc_id (six noise variants;
+    groups of 3 consecutive docs share one canonical URL) — shared by the
+    url/host/streaming-url contract queries and replayed in SQL by the
+    messy/raw CTEs of _URL_DEDUP_DUCK."""
+    g = (F.col('doc_id') / 3).cast('long')
+    h = (g % 37).cast('string')
+    v = F.col('doc_id') % 6
+    return (F.when(v == 0, F.concat(F.lit('https://www.site'), h,
+                                    F.lit('.example/p/'), g, F.lit('/')))
+            .when(v == 1, F.concat(F.lit('HTTPS://SITE'), h,
+                                   F.lit('.EXAMPLE:443/p/'), g,
+                                   F.lit('?utm_source=feed&fbclid=x')))
+            .when(v == 2, F.concat(F.lit('https://site'), h,
+                                   F.lit('.example/p/'), g, F.lit('#frag')))
+            .when(v == 3, F.concat(F.lit('https://site'), h,
+                                   F.lit('.example/q/'), g, F.lit('?b=2&a=1')))
+            .when(v == 4, F.concat(F.lit('https://site'), h,
+                                   F.lit('.example/q/'), g,
+                                   F.lit('?a=1&b=2&utm_campaign=z')))
+            .otherwise(F.concat(F.lit('https://site'), h,
+                                F.lit('.example/q/'), g,
+                                F.lit('/?gclid=1&b=2&a=1'))))
+
+
 def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup (operators/urls.py): messy URL variants
     (WWW/case/default-port/fragment/tracking-param/trailing-slash noise)
@@ -3379,25 +3404,7 @@ def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geostructures_spark.operators.urls import url_dedup_groups
     _load(spark, sf_dir, 'documents')
     docs = spark.table('documents')
-    g = (F.col('doc_id') / 3).cast('long')
-    h = (g % 37).cast('string')
-    v = F.col('doc_id') % 6
-    url = (F.when(v == 0, F.concat(F.lit('https://www.site'), h,
-                                   F.lit('.example/p/'), g, F.lit('/')))
-           .when(v == 1, F.concat(F.lit('HTTPS://SITE'), h,
-                                  F.lit('.EXAMPLE:443/p/'), g,
-                                  F.lit('?utm_source=feed&fbclid=x')))
-           .when(v == 2, F.concat(F.lit('https://site'), h,
-                                  F.lit('.example/p/'), g, F.lit('#frag')))
-           .when(v == 3, F.concat(F.lit('https://site'), h,
-                                  F.lit('.example/q/'), g, F.lit('?b=2&a=1')))
-           .when(v == 4, F.concat(F.lit('https://site'), h,
-                                  F.lit('.example/q/'), g,
-                                  F.lit('?a=1&b=2&utm_campaign=z')))
-           .otherwise(F.concat(F.lit('https://site'), h,
-                               F.lit('.example/q/'), g,
-                               F.lit('/?gclid=1&b=2&a=1'))))
-    messy = docs.select('doc_id', url.alias('url'))
+    messy = docs.select('doc_id', _messy_url_expr().alias('url'))
     out = url_dedup_groups(messy)
     return (out.select('norm_url',
                        F.col('canonical_id').cast('long').alias('canonical_id'),
@@ -3486,25 +3493,7 @@ def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geostructures_spark.operators.urls import host_stats
     _load(spark, sf_dir, 'documents')
     docs = spark.table('documents')
-    g = (F.col('doc_id') / 3).cast('long')
-    h = (g % 37).cast('string')
-    v = F.col('doc_id') % 6
-    url = (F.when(v == 0, F.concat(F.lit('https://www.site'), h,
-                                   F.lit('.example/p/'), g, F.lit('/')))
-           .when(v == 1, F.concat(F.lit('HTTPS://SITE'), h,
-                                  F.lit('.EXAMPLE:443/p/'), g,
-                                  F.lit('?utm_source=feed&fbclid=x')))
-           .when(v == 2, F.concat(F.lit('https://site'), h,
-                                  F.lit('.example/p/'), g, F.lit('#frag')))
-           .when(v == 3, F.concat(F.lit('https://site'), h,
-                                  F.lit('.example/q/'), g, F.lit('?b=2&a=1')))
-           .when(v == 4, F.concat(F.lit('https://site'), h,
-                                  F.lit('.example/q/'), g,
-                                  F.lit('?a=1&b=2&utm_campaign=z')))
-           .otherwise(F.concat(F.lit('https://site'), h,
-                               F.lit('.example/q/'), g,
-                               F.lit('/?gclid=1&b=2&a=1'))))
-    messy = docs.select('doc_id', url.alias('url'))
+    messy = docs.select('doc_id', _messy_url_expr().alias('url'))
     out = host_stats(messy)
     return (out.select('host',
                        F.col('n_pages').cast('long').alias('n_pages'),
@@ -3595,6 +3584,30 @@ def _quality_gate_duckdb() -> str:
          ({mask}) = 0 AS keep
   FROM sig ORDER BY doc_id
     """
+
+
+def _q_streaming_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming URL-level ingest dedup: the messy-URL synthesis runs
+    inside the stream, drop_seen_urls keeps the first arrival per
+    CANONICAL url (streaming/dedup.py). Which raw variant survives is
+    arrival-order dependent, so the contract projects the
+    order-independent part — the distinct canonical-url set — which the
+    SQL oracle reproduces from the batch canonicalization."""
+    from geostructures_spark.streaming.dedup import (
+        drop_seen_urls, run_stream_to_memory)
+    out = run_stream_to_memory(
+        spark, os.path.join(sf_dir, 'documents.parquet'),
+        lambda stream: drop_seen_urls(
+            stream.select('doc_id', _messy_url_expr().alias('url'))),
+        query_name='url_dedup_oracle', output_mode='append')
+    return out.select('norm_url').distinct().orderBy('norm_url')
+
+
+def _streaming_url_dedup_duckdb() -> str:
+    body = _URL_DEDUP_DUCK.rsplit('SELECT norm_url,', 1)[0]
+    return body + """
+  SELECT DISTINCT norm_url FROM canon ORDER BY norm_url
+"""
 
 
 _MIX_WEIGHTS = {'src0': 2.5, 'src1': 1.25, 'src2': 0.5}
@@ -4152,6 +4165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'assign_split_groups': _q_assign_split,
         'host_stats_crawl': _q_host_stats,
         'quality_gate_mask': _q_quality_gate,
+        'streaming_url_dedup': _q_streaming_url_dedup,
         # -- implementation changed in r4 (GEMM kernel / cap / guards) --
         'cosine_topk': _q_cosine_topk,
         'ivf_assign_counts': _q_ivf_counts,
@@ -4305,6 +4319,7 @@ def oracle_sql() -> dict[str, str]:
         'assign_split_groups': _assign_split_duckdb(),
         'host_stats_crawl': _host_stats_duckdb(),
         'quality_gate_mask': _quality_gate_duckdb(),
+        'streaming_url_dedup': _streaming_url_dedup_duckdb(),
         'mgrs_encode_strings': _mgrs_encode_duckdb(),
         'shapefile_roundtrip': _SHAPEFILE_ROUNDTRIP_DUCK,
         'dms_convert': _dms_duckdb(),

@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ['DOCS_SCHEMA', 'dedup_group_agg', 'drop_seen',
-           'run_dedup_groups_to_memory']
+           'drop_seen_urls', 'run_dedup_groups_to_memory',
+           'run_stream_to_memory']
 
 DOCS_SCHEMA = ('doc_id long, text string, lang string, source string, '
                'n_chars long')
@@ -60,20 +61,45 @@ def drop_seen(docs: DataFrame, text_col: str = 'text',
     return src.dropDuplicates(['content_hash'])
 
 
-def run_dedup_groups_to_memory(spark: SparkSession, parquet_path: str,
-                               query_name: str = 'dedup_groups') -> DataFrame:
-    """Drive dedup_group_agg over a parquet file source to completion
-    (memory sink, complete mode) and return the materialized result."""
+def drop_seen_urls(pages: DataFrame, url_col: str = 'url') -> DataFrame:
+    """URL-level ingest dedup: emit a page iff its CANONICAL url
+    (operators/urls.normalize_url_expr — tracking params, www, default
+    ports, fragments folded) has not been seen. WHICH raw variant
+    survives is arrival-order dependent, but the surviving canonical-url
+    SET equals the distinct canonical urls — the order-independent
+    projection the contract oracle checks."""
+    from geostructures_spark.operators.urls import normalize_url_expr
+    src = pages.withColumn('norm_url', normalize_url_expr(F.col(url_col)))
+    return src.dropDuplicates(['norm_url'])
+
+
+def _as_stream_dir(parquet_path: str) -> str:
     if os.path.isfile(parquet_path):
         d = tempfile.mkdtemp(prefix='gs_stream_')
         os.symlink(parquet_path, os.path.join(d, os.path.basename(parquet_path)))
-        parquet_path = d
-    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(parquet_path)
-    agg = dedup_group_agg(stream)
-    q = (agg.writeStream.outputMode('complete')
+        return d
+    return parquet_path
+
+
+def run_stream_to_memory(spark: SparkSession, parquet_path: str,
+                         transform, query_name: str,
+                         output_mode: str = 'complete') -> DataFrame:
+    """Drive ``transform(streaming_df)`` over a parquet file source to
+    completion (memory sink) and return the materialized result."""
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(
+        _as_stream_dir(parquet_path))
+    q = (transform(stream).writeStream.outputMode(output_mode)
          .format('memory').queryName(query_name).start())
     try:
         q.processAllAvailable()
     finally:
         q.stop()
     return spark.sql(f'SELECT * FROM {query_name}')
+
+
+def run_dedup_groups_to_memory(spark: SparkSession, parquet_path: str,
+                               query_name: str = 'dedup_groups') -> DataFrame:
+    """Drive dedup_group_agg over a parquet file source to completion
+    (memory sink, complete mode) and return the materialized result."""
+    return run_stream_to_memory(spark, parquet_path, dedup_group_agg,
+                                query_name)

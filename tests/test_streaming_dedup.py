@@ -65,3 +65,17 @@ def test_drop_seen_streaming_append(spark, tmp_path):
         q.stop()
     out = spark.sql('SELECT * FROM t_drop_seen').collect()
     assert sorted(r.text for r in out) == ['a', 'b', 'c']
+
+
+def test_drop_seen_urls_batch_survivor_set(spark):
+    """drop_seen_urls: survivor canonical-url SET equals the distinct
+    canonical urls regardless of which raw variant survives."""
+    from geostructures_spark.streaming.dedup import drop_seen_urls
+    rows = [(1, 'https://www.a.example/x/'),
+            (2, 'HTTPS://A.EXAMPLE:443/x?utm_source=f'),
+            (3, 'https://a.example/x#top'),
+            (4, 'https://b.example/y')]
+    df = spark.createDataFrame(rows, 'doc_id long, url string')
+    out = drop_seen_urls(df).collect()
+    assert sorted(r['norm_url'] for r in out) == [
+        'https://a.example/x', 'https://b.example/y']
