@@ -23,6 +23,14 @@ def formatted(df) -> str:
     return je.explainString(mode.fromString('formatted'))
 
 
+def n_exchanges(plan: str) -> int:
+    """Count physical Exchange nodes once (the formatted dump prints each
+    node in both the tree and the detail listing)."""
+    import re
+    return len(re.findall(r'^\(\d+\) (?:Broadcast)?Exchange', plan,
+                          flags=re.M))
+
+
 def main() -> int:
     spark = get_session(app='explain', cores=4)
     sf = '/root/testdata/sf0.01'
@@ -102,11 +110,58 @@ def main() -> int:
     plan = formatted(em.queries()['embedding_neardup_pairs'](spark, sf))
     bucketed = ('BroadcastNestedLoopJoin' not in plan
                 and 'CartesianProduct' not in plan
-                and 'MapInPandas' in plan
+                # GEMM kernel runs as a vectorized pandas UDF
+                # (ArrowEvalPython) since the r4 single-eval refactor
+                and ('ArrowEvalPython' in plan or 'MapInPandas' in plan)
                 and 'centroid_id' in plan)
     print(f'[{"OK" if bucketed else "FAIL"}] embedding near-dup pairs: GEMM '
           f'assign + bucket-key equi-join (no cross/nested-loop join)')
     ok &= bucketed
+
+    # Quality gate (r4): textstats columns + Arrow repetition kernel in
+    # ONE scan->mapInPandas chain — no Exchange anywhere, and the scan
+    # pruned to (doc_id, text)
+    plan = formatted(em.queries()['quality_gate_mask'](spark, sf))
+    gate = n_exchanges(plan) <= 1  # the final orderBy range exchange
+    pruned = any('ReadSchema' in l and 'doc_id' in l and 'text' in l
+                 and 'lang' not in l for l in plan.splitlines())
+    print(f'[{"OK" if gate and pruned else "FAIL"}] quality gate: zero '
+          f'data-path shuffles (only the contract orderBy exchange) over '
+          f'a (doc_id, text)-pruned scan')
+    ok &= gate and pruned
+
+    # Deterministic sampling (r4): the md5-bucket filter is a JVM-side
+    # post-scan Filter (no Python eval), scan pruned to the 3 used cols
+    plan = formatted(em.queries()['hash_sample_docs'](spark, sf))
+    samp = ('EvalPython' not in plan and 'md5' in plan
+            and n_exchanges(plan) <= 1)
+    print(f'[{"OK" if samp else "FAIL"}] hash sampling: JVM md5 filter at '
+          f'scan stage, no Python eval, no data-path shuffle')
+    ok &= samp
+
+    # Sequence packing (r4): exactly ONE data shuffle (the range
+    # repartition); the prefix sum itself adds none
+    from geostructures_spark.operators.packing import pack_sequences
+    res = pack_sequences(spark.read.parquet(f'{sf}/documents.parquet'), 256)
+    plan = formatted(res.df)
+    # the one range Exchange lives INSIDE the persisted ranged frame
+    # (InMemoryRelation prints it twice: AQE-final + original); nothing
+    # downstream of the cache may shuffle
+    import re
+    nodes = {int(m.group(1)): m.group(2) for m in
+             re.finditer(r'^\((\d+)\) (\S+)', plan, flags=re.M)}
+    rel = min((i for i, n in nodes.items() if n == 'InMemoryRelation'),
+              default=-1)
+    mip = min((i for i, n in nodes.items() if n == 'MapInPandas'),
+              default=-1)
+    exch = [i for i, n in nodes.items() if 'Exchange' in n]
+    packed = (rel > 0 and mip > 0
+              and all(rel < i < mip for i in exch))
+    res.unpersist()
+    print(f'[{"OK" if packed else "FAIL"}] sequence packing: one range '
+          f'shuffle + per-partition Arrow cumsum (no global-window '
+          f'single-task collapse)')
+    ok &= packed
 
     spark.stop()
     return 0 if ok else 1
