@@ -154,22 +154,33 @@ def _stress_spatial(spark, sf_dir: str) -> dict:
     cents.unpersist()
 
     # bucketed-storage co-located join (plans/bucketing.py): both sides
-    # pre-bucketed on the cell key -> the equi-join runs with NO Exchange
-    # (shuffle-free). The emitted boolean is the plan assertion the r3
-    # verdict asked to surface as driver-visible evidence (it was
-    # previously only checked in scripts/explain_plans.py).
+    # pre-bucketed on the cell key -> the equi-join runs with NO SHUFFLE
+    # Exchange. The emitted boolean is the plan assertion the r3 verdict
+    # asked to surface as driver-visible evidence. Two bench-hygiene
+    # notes (fixed after the boolean came back false in the first r4
+    # quiet-window run): (a) saveAsTable leaves managed-table dirs under
+    # spark-warehouse/ that crash the NEXT fresh-session run with
+    # LOCATION_ALREADY_EXISTS — drop + remove before writing; (b) at
+    # sf0.1 the small aggregated side is auto-BROADCAST, which is also
+    # shuffle-free but demonstrates nothing about bucketing — force the
+    # sort-merge path with a merge hint and assert no hash-partitioning
+    # Exchange specifically.
+    import shutil
     from geostructures_spark.operators.tiling import with_cell
-    from geostructures_spark.plans.bucketing import (
-        bucketed_join, write_bucketed)
+    from geostructures_spark.plans.bucketing import write_bucketed
+    for t in ('bench_pts_bucketed', 'bench_cellstats_bucketed'):
+        spark.sql(f'DROP TABLE IF EXISTS {t}')
+        shutil.rmtree(os.path.join('spark-warehouse', t), ignore_errors=True)
     pts_cells = with_cell(pts, 4, 16)
     write_bucketed(pts_cells, 'bench_pts_bucketed', buckets=32)
     write_bucketed(
         pts_cells.groupBy('cell').agg(F.count('*').alias('n_in_cell')),
         'bench_cellstats_bucketed', buckets=32)
-    joined = bucketed_join(spark, 'bench_pts_bucketed',
-                           'bench_cellstats_bucketed', on='cell')
+    joined = (spark.table('bench_pts_bucketed').hint('merge')
+              .join(spark.table('bench_cellstats_bucketed'), 'cell'))
     plan = joined._jdf.queryExecution().executedPlan().toString()
-    out['bucketed_join_no_exchange'] = 'Exchange' not in plan
+    out['bucketed_join_no_exchange'] = (
+        'SortMergeJoin' in plan and 'Exchange hashpartitioning' not in plan)
     best = float('inf')
     for _ in range(2):
         t0 = _t.time()

@@ -83,6 +83,10 @@ def main() -> int:
     spark.conf.set('spark.sql.autoBroadcastJoinThreshold', '-1')
     a = spark.range(20000).selectExpr('CAST(id % 997 AS STRING) AS cell', 'id AS v1')
     b = spark.range(8000).selectExpr('CAST(id % 997 AS STRING) AS cell', 'id AS v2')
+    import shutil
+    for t in ('plans_buck_a', 'plans_buck_b'):
+        spark.sql(f'DROP TABLE IF EXISTS {t}')
+        shutil.rmtree(os.path.join('spark-warehouse', t), ignore_errors=True)
     write_bucketed(a, 'plans_buck_a', 'cell', 16)
     write_bucketed(b, 'plans_buck_b', 'cell', 16)
     plan = formatted(bucketed_join(spark, 'plans_buck_a', 'plans_buck_b', 'cell'))
