@@ -15,6 +15,13 @@ implements the same contract as a thin manifest layer:
   complete manifest or is invisible.
 - ``resume``: re-running a job skips partitions already present in the last
   good manifest (idempotent re-runs keyed by (snapshot, partition)).
+- ``crash resume``: every completed partition ALSO writes an atomic sidecar
+  record under ``_manifests/<snapshot>.wip/``; a job killed mid-snapshot and
+  restarted with the SAME snapshot id skips those partitions too, then
+  ``commit()`` folds the sidecars into the manifest and clears the wip dir.
+  This is the Iceberg-commit analogue the north rule's "resumable from
+  snapshot checkpoints" asks for, at both granularities (within a snapshot
+  and across snapshots).
 """
 
 from __future__ import annotations
@@ -71,15 +78,28 @@ class SnapshotWriter:
         self.snapshot_id = snapshot_id
         self._partitions: List[Dict] = []
         self._done_keys: Dict[str, Dict] = {}
+        self._wip: Dict[str, Dict] = {}
         os.makedirs(_manifest_dir(table_path), exist_ok=True)
         if resume_from:
             prev = os.path.join(_manifest_dir(table_path), f'{resume_from}.json')
             if os.path.exists(prev):
                 for p in json.load(open(prev))['partitions']:
                     self._done_keys[p['part_key']] = p
+        # crash resume: partitions a previous (killed) run of THIS snapshot
+        # already completed — each has an atomic sidecar record
+        wdir = self._wip_dir()
+        if os.path.isdir(wdir):
+            for f in os.listdir(wdir):
+                if f.endswith('.json'):
+                    rec = json.load(open(os.path.join(wdir, f)))
+                    self._wip[rec['part_key']] = rec
+
+    def _wip_dir(self) -> str:
+        return os.path.join(_manifest_dir(self.table_path),
+                            f'{self.snapshot_id}.wip')
 
     def is_done(self, part_key: str) -> bool:
-        return part_key in self._done_keys
+        return part_key in self._done_keys or part_key in self._wip
 
     def write_partition(self, part_key: str, df: DataFrame,
                         lineage: Optional[Dict] = None) -> Dict:
@@ -97,11 +117,21 @@ class SnapshotWriter:
             'committed_at': time.time(),
         }
         self._partitions.append(rec)
+        # atomic sidecar: lands only after the parquet write finished, so a
+        # restart of this snapshot can trust it and skip the partition
+        os.makedirs(self._wip_dir(), exist_ok=True)
+        spath = os.path.join(self._wip_dir(), f'{part_key}.json')
+        with open(spath + '.tmp', 'w') as f:
+            json.dump(rec, f)
+        os.replace(spath + '.tmp', spath)
         return rec
 
     def commit(self) -> str:
-        """Atomic publish: carried-over resume partitions + new ones."""
-        all_parts = list(self._done_keys.values()) + self._partitions
+        """Atomic publish: resumed + crash-recovered + new partitions."""
+        merged: Dict[str, Dict] = dict(self._done_keys)
+        merged.update(self._wip)
+        merged.update({p['part_key']: p for p in self._partitions})
+        all_parts = [merged[k] for k in sorted(merged)]
         manifest = {
             'snapshot_id': self.snapshot_id,
             'partitions': all_parts,
@@ -114,4 +144,16 @@ class SnapshotWriter:
         with open(tmp, 'w') as f:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, mpath)  # atomic commit
+        # the manifest now owns these records; clear the wip checkpoints
+        wdir = self._wip_dir()
+        if os.path.isdir(wdir):
+            for f in os.listdir(wdir):
+                try:
+                    os.unlink(os.path.join(wdir, f))
+                except OSError:
+                    pass
+            try:
+                os.rmdir(wdir)
+            except OSError:
+                pass
         return mpath
