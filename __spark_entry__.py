@@ -4113,6 +4113,89 @@ _WKB_ROUNDTRIP_DUCK = f"""
 """
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style duplicate-line removal (operators/corpus.py). Multi-line
+    pages are synthesized deterministically from the documents table —
+    every doc gets a corpus-wide 'COOKIE NOTICE' banner, every 3rd a
+    'subscribe' footer, every 2nd a rights line, plus two ~unique content
+    lines — then any line whose trimmed form repeats >=2 times across the
+    corpus is stripped from every doc, order preserved. The oracle replays
+    both the synthesis and the removal in SQL."""
+    from geostructures_spark.operators.corpus import remove_duplicate_lines
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    text2 = F.concat_ws(
+        '\n',
+        F.lit('COOKIE NOTICE'),
+        F.substring('text', 1, 100),
+        F.when(F.col('doc_id') % 3 == 0, F.lit('subscribe to our newsletter')),
+        F.when(F.col('doc_id') % 2 == 0, F.lit('ALL RIGHTS RESERVED')),
+        F.substring('text', 101, 100))
+    mdocs = docs.select('doc_id', text2.alias('text'))
+    return remove_duplicate_lines(mdocs, min_dup=2).orderBy('doc_id')
+
+
+_LINE_DEDUP_DUCK = r"""
+  WITH base AS (
+    SELECT doc_id, concat_ws(chr(10),
+      'COOKIE NOTICE',
+      substr(text, 1, 100),
+      CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter' END,
+      CASE WHEN doc_id % 2 = 0 THEN 'ALL RIGHTS RESERVED' END,
+      substr(text, 101, 100)) AS text
+    FROM documents),
+  split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM base),
+  lines AS (
+    SELECT doc_id, ls[i] AS line, i AS pos
+    FROM split, UNNEST(range(1, len(ls) + 1)) AS r(i)),
+  dup AS (
+    SELECT md5(trim(line)) AS h FROM lines WHERE trim(line) <> ''
+    GROUP BY 1 HAVING count(*) >= 2),
+  kept AS (
+    SELECT l.doc_id, l.line, l.pos FROM lines l
+    LEFT JOIN dup d ON md5(trim(l.line)) = d.h WHERE d.h IS NULL),
+  agg AS (
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS kept_text,
+           count(*) AS n_kept
+    FROM kept GROUP BY doc_id)
+  SELECT b.doc_id,
+         coalesce(a.kept_text, '') AS kept_text,
+         len(string_split(b.text, chr(10))) AS n_lines,
+         len(string_split(b.text, chr(10))) - coalesce(a.n_kept, 0) AS n_removed
+  FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
+"""
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style n-gram decontamination (operators/corpus.py). The eval
+    set is synthesized as an 80-char substring of every 25th document;
+    docs sharing any word 5-gram with it are flagged with their distinct
+    hit count. Eval n-gram hashes are explicitly broadcast so the exploded
+    doc n-grams never shuffle. The oracle replays both sides in SQL."""
+    from geostructures_spark.operators.corpus import flag_contaminated
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    ev = (docs.where(F.col('doc_id') % 25 == 0)
+          .select(F.substring('text', 31, 80).alias('etext')))
+    return flag_contaminated(docs, ev, n=5).orderBy('doc_id')
+
+
+_DECONTAM_DUCK = r"""
+  WITH ev AS (
+    SELECT substr(text, 31, 80) AS etext FROM documents WHERE doc_id % 25 = 0),
+  evt AS (SELECT string_split(etext, ' ') AS toks FROM ev),
+  evn AS (
+    SELECT DISTINCT md5(array_to_string(list_slice(toks, i, i + 4), ' ')) AS h
+    FROM evt, UNNEST(range(1, len(toks) - 3)) AS r(i)),
+  dt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  dg AS (
+    SELECT doc_id, md5(array_to_string(list_slice(toks, i, i + 4), ' ')) AS h
+    FROM dt, UNNEST(range(1, len(toks) - 3)) AS r(i))
+  SELECT dg.doc_id, count(DISTINCT dg.h) AS n_hits
+  FROM dg JOIN evn USING (h) GROUP BY dg.doc_id ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the round driver certifies exactly the FIRST 50
     # entries (CORRECTNESS_r{N}.json == registry[0:50]). Round-4 rotation
@@ -4172,6 +4255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'embedding_neardup_pairs': _q_embedding_neardup,
         'neardup_components': _q_neardup_components,
         'minhash_lsh_pairs': _q_minhash_pairs,
+        'line_dedup_docs': _q_line_dedup,
+        'decontaminate_ngrams': _q_decontaminate,
         's2_cover_circle': _q_s2_cover_circle,
         's2_cell_counts': _q_s2_cells,
         # -- flagships kept inside the certified window --
@@ -4248,6 +4333,8 @@ def oracle_sql() -> dict[str, str]:
         'streaming_impossible_journeys': _impossible_duckdb(),
         'exact_dedup_groups': _EXACT_DEDUP_DUCK,
         'minhash_lsh_pairs': _MINHASH_DUCK,
+        'line_dedup_docs': _LINE_DEDUP_DUCK,
+        'decontaminate_ngrams': _DECONTAM_DUCK,
         'text_stats': _TEXT_STATS_DUCK,
         'token_counts': _TOKEN_COUNTS_DUCK,
         'scrub_pii': _scrub_pii_duckdb(),
