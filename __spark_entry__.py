@@ -4196,6 +4196,48 @@ _DECONTAM_DUCK = r"""
 """
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed as-of join (operators/asof.py): every 'view' event is
+    matched to the user's latest 'purchase' at-or-before it (backward,
+    inclusive). One keyed shuffle + running-last window — the plan a
+    purpose-built as-of join executes. The oracle is DuckDB's NATIVE
+    ASOF LEFT JOIN, i.e. a fully independent implementation."""
+    from geostructures_spark.operators.asof import asof_join
+    _load(spark, sf_dir, 'events')
+    ev = spark.table('events')
+    l = (ev.where(F.col('event_type') == 'view')
+         .select('user_id', 'ts', 'event_id', 'value'))
+    r = (ev.where(F.col('event_type') == 'purchase')
+         .select('user_id', 'ts', 'value'))
+    out = asof_join(l, r, on='user_id', direction='backward')
+    # epoch-micros longs, not raw timestamps: Spark hands pandas ns
+    # precision, DuckDB us — value-identical rows would hash apart
+    lus = F.unix_micros(F.col('ts').cast('timestamp'))
+    rus = F.unix_micros(F.col('r_ts').cast('timestamp'))
+    return (out.select(
+        'user_id', 'event_id',
+        lus.alias('view_ts_us'),
+        rus.alias('purchase_ts_us'),
+        F.col('r_value').alias('purchase_value'),
+        ((lus - rus) / 1e6).alias('gap_sec'))
+        .orderBy('event_id'))
+
+
+_ASOF_DUCK = r"""
+  WITH l AS (
+    SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view'),
+  r AS (
+    SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+  SELECT l.user_id, l.event_id,
+         epoch_us(l.ts) AS view_ts_us,
+         epoch_us(r.ts) AS purchase_ts_us,
+         r.value AS purchase_value,
+         (epoch_us(l.ts) - epoch_us(r.ts)) / 1e6 AS gap_sec
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+  ORDER BY l.event_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the round driver certifies exactly the FIRST 50
     # entries (CORRECTNESS_r{N}.json == registry[0:50]). Round-4 rotation
@@ -4257,6 +4299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'minhash_lsh_pairs': _q_minhash_pairs,
         'line_dedup_docs': _q_line_dedup,
         'decontaminate_ngrams': _q_decontaminate,
+        'asof_join_events': _q_asof_join,
         's2_cover_circle': _q_s2_cover_circle,
         's2_cell_counts': _q_s2_cells,
         # -- flagships kept inside the certified window --
@@ -4335,6 +4378,7 @@ def oracle_sql() -> dict[str, str]:
         'minhash_lsh_pairs': _MINHASH_DUCK,
         'line_dedup_docs': _LINE_DEDUP_DUCK,
         'decontaminate_ngrams': _DECONTAM_DUCK,
+        'asof_join_events': _ASOF_DUCK,
         'text_stats': _TEXT_STATS_DUCK,
         'token_counts': _TOKEN_COUNTS_DUCK,
         'scrub_pii': _scrub_pii_duckdb(),
