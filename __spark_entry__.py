@@ -4291,15 +4291,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'host_stats_crawl': _q_host_stats,
         'quality_gate_mask': _q_quality_gate,
         'streaming_url_dedup': _q_streaming_url_dedup,
+        # -- new in r4 (late): never driver-certified, must sit in [0:50] --
+        'line_dedup_docs': _q_line_dedup,
+        'decontaminate_ngrams': _q_decontaminate,
+        'asof_join_events': _q_asof_join,
         # -- implementation changed in r4 (GEMM kernel / cap / guards) --
         'cosine_topk': _q_cosine_topk,
         'ivf_assign_counts': _q_ivf_counts,
         'embedding_neardup_pairs': _q_embedding_neardup,
         'neardup_components': _q_neardup_components,
+        # positions 51+: r3-driver-certified green; r4 changes to these
+        # (minhash observation guard, s2 polyfill band guard) are re-proven
+        # by scripts/check_oracles.py sweeps instead of the 50-row window.
         'minhash_lsh_pairs': _q_minhash_pairs,
-        'line_dedup_docs': _q_line_dedup,
-        'decontaminate_ngrams': _q_decontaminate,
-        'asof_join_events': _q_asof_join,
         's2_cover_circle': _q_s2_cover_circle,
         's2_cell_counts': _q_s2_cells,
         # -- flagships kept inside the certified window --
