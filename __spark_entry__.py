@@ -26,6 +26,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geostructures_spark.plans import bpe_sql as _bpe_sql
+from geostructures_spark.plans import lm_sql as _lm_sql
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 TABLES = ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
@@ -4238,6 +4241,60 @@ _ASOF_DUCK = r"""
 """
 
 
+_BPE_MERGES = 8
+
+
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (operators/bpe.py): learn 8 merges over
+    the documents word vocabulary (Sennrich-style, '</w>' end-of-word
+    marker). The oracle (plans/bpe_sql.py) unrolls all 8 rounds into SQL
+    — pair counts, argmax rule, and the greedy-leftmost gaps-and-islands
+    merge application are re-derived independently by DuckDB."""
+    from geostructures_spark.operators.bpe import bpe_train, word_vocab
+    _load(spark, sf_dir, 'documents')
+    merges, _ = bpe_train(word_vocab(spark.table('documents')), _BPE_MERGES)
+    return spark.createDataFrame(
+        [(int(r), l, rt, int(c)) for r, l, rt, c in merges],
+        'merge_round int, left_sym string, right_sym string, '
+        'pair_count long').orderBy('merge_round')
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization of every document with the table learned by
+    _q_bpe_train — a zero-shuffle mapInPandas over (doc_id, words); the
+    merge rules ride the closure and each worker memoizes per-word
+    encodings. Oracle replays train AND encode per-round in SQL."""
+    from geostructures_spark.operators.bpe import (bpe_encode, bpe_train,
+                                                   word_vocab, words_expr)
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    merges, _ = bpe_train(word_vocab(docs), _BPE_MERGES)
+    enc = bpe_encode(
+        docs.select('doc_id', words_expr(F.col('text')).alias('words')),
+        [(l, r) for _, l, r, _ in merges])
+    return (enc.select('doc_id', 'n_words', 'n_tokens',
+                       F.array_join('tokens', ' ').alias('tokens_str'))
+            .orderBy('doc_id'))
+
+
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff n-gram LM quality scores (operators/lm.py): train
+    unigram/bigram counts on the corpus, score every document's
+    log-score + perplexity through broadcast joins (no corpus shuffle
+    except the final per-doc agg). Oracle (plans/lm_sql.py) re-derives
+    the counts AND the scores from the raw table in DuckDB."""
+    from geostructures_spark.operators.lm import (doc_tokens, lm_counts,
+                                                  score_docs)
+    _load(spark, sf_dir, 'documents')
+    toks = doc_tokens(spark.table('documents'))
+    uni, bi = lm_counts(toks)
+    s = score_docs(toks, uni, bi)
+    return (s.select('doc_id', 'n_tokens', 'n_hits',
+                     F.round('logscore', 6).alias('logscore'),
+                     F.round('ppl', 6).alias('ppl'))
+            .orderBy('doc_id'))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the round driver certifies exactly the FIRST 50
     # entries (CORRECTNESS_r{N}.json == registry[0:50]). Round-4 rotation
@@ -4351,6 +4408,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'unit_conversions': _q_unit_conversions,
         'track_extremes': _q_track_extremes,
         'media_real_decode': _q_media_real_decode,
+        # -- new after the r4 window filled: r5-certification candidates
+        # (oracle-green via scripts/check_oracles.py this round) --
+        'bpe_train_merges': _q_bpe_train,
+        'bpe_encode_tokens': _q_bpe_encode,
+        'lm_score_docs': _q_lm_score,
     }
 
 
@@ -4458,4 +4520,7 @@ def oracle_sql() -> dict[str, str]:
         'mgrs_encode_strings': _mgrs_encode_duckdb(),
         'shapefile_roundtrip': _SHAPEFILE_ROUNDTRIP_DUCK,
         'dms_convert': _dms_duckdb(),
+        'bpe_train_merges': _bpe_sql.bpe_train_duckdb(_BPE_MERGES),
+        'bpe_encode_tokens': _bpe_sql.bpe_encode_duckdb(_BPE_MERGES),
+        'lm_score_docs': _lm_sql.lm_score_duckdb(),
     }
