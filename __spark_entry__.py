@@ -4277,6 +4277,179 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy('doc_id'))
 
 
+def _messy_page_expr():
+    """Deterministic multi-line 'web page' synthesis from the documents
+    table (the corpus text has no newlines or punctuation, so the C4
+    contract queries manufacture both — same pattern as
+    _messy_url_expr). Mirrors the base CTE of _C4_FILTER_DUCK."""
+    return F.concat_ws(
+        '\n',
+        F.concat(F.substring('text', 1, 60), F.lit(' and so the intro ends.')),
+        F.when(F.col('doc_id') % 4 == 0,
+               F.lit('Please enable javascript to continue.')),
+        F.lit('Too short.'),
+        F.when(F.col('doc_id') % 5 != 0,
+               F.concat(F.substring('text', 61, 60),
+                        F.lit(' is there more? yes indeed there is more.'))),
+        F.when(F.col('doc_id') % 7 == 0, F.lit('home about contact menu')),
+        F.when(F.col('doc_id') % 11 == 0,
+               F.lit('This page uses {templates} in every corner.')),
+        F.when(F.col('doc_id') % 13 == 0,
+               F.lit('Lorem ipsum dolor sit amet consectetur.')),
+        F.when(F.col('doc_id') % 17 == 0,
+               F.lit('Frankly my dear you are a badword1 person.')))
+
+
+def _q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line + page rules (operators/c4.py): terminal-punctuation /
+    min-words / javascript line filter (zero-shuffle, runs on the line
+    array per row) plus <3-sentences / curly-brace / lorem-ipsum /
+    badword page flags as a fail bitmask. Pages are synthesized
+    deterministically from the documents table; the oracle replays the
+    synthesis AND every rule in SQL."""
+    from geostructures_spark.operators.c4 import c4_clean
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    pages = docs.select('doc_id', _messy_page_expr().alias('text'))
+    return (c4_clean(pages, badwords=['badword1', 'badword2'])
+            .orderBy('doc_id'))
+
+
+_C4_FILTER_DUCK = r"""
+  WITH base AS (
+    SELECT doc_id, concat_ws(chr(10),
+      substr(text, 1, 60) || ' and so the intro ends.',
+      CASE WHEN doc_id % 4 = 0
+           THEN 'Please enable javascript to continue.' END,
+      'Too short.',
+      CASE WHEN doc_id % 5 <> 0
+           THEN substr(text, 61, 60)
+                || ' is there more? yes indeed there is more.' END,
+      CASE WHEN doc_id % 7 = 0 THEN 'home about contact menu' END,
+      CASE WHEN doc_id % 11 = 0
+           THEN 'This page uses {templates} in every corner.' END,
+      CASE WHEN doc_id % 13 = 0
+           THEN 'Lorem ipsum dolor sit amet consectetur.' END,
+      CASE WHEN doc_id % 17 = 0
+           THEN 'Frankly my dear you are a badword1 person.' END) AS text
+    FROM documents),
+  cleaned AS (
+    SELECT doc_id, text,
+           list_transform(
+             list_filter(string_split(text, chr(10)),
+               l -> regexp_matches(trim(l), '[.!?"]$')
+                    AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                                        w -> w <> '')) >= 5
+                    AND NOT contains(lower(l), 'javascript')),
+             l -> trim(l)) AS kept
+    FROM base),
+  stats AS (
+    SELECT doc_id, text,
+           array_to_string(kept, chr(10)) AS kept_text,
+           CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept,
+           CAST(len(list_filter(
+             list_transform(
+               string_split_regex(array_to_string(kept, chr(10)),
+                                  '[.!?]+\s*'),
+               s -> trim(s)),
+             s -> s <> '')) AS BIGINT) AS n_sentences
+    FROM cleaned),
+  flagged AS (
+    SELECT doc_id, kept_text, n_lines, n_lines_kept, n_sentences,
+           CAST((CASE WHEN n_sentences < 3 THEN 1 ELSE 0 END)
+              + (CASE WHEN contains(text, '{') OR contains(text, '}')
+                      THEN 2 ELSE 0 END)
+              + (CASE WHEN contains(lower(text), 'lorem ipsum')
+                      THEN 4 ELSE 0 END)
+              + (CASE WHEN list_has_any(
+                        string_split_regex(lower(text), '[^a-z0-9]+'),
+                        ['badword1', 'badword2'])
+                      THEN 8 ELSE 0 END) AS INTEGER) AS fail_mask
+    FROM stats)
+  SELECT doc_id, kept_text, n_lines, n_lines_kept, n_sentences, fail_mask,
+         (fail_mask = 0 AND n_lines_kept > 0) AS keep
+  FROM flagged ORDER BY doc_id
+"""
+
+
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 three-sentence-span corpus dedup (operators/c4.py): every
+    sliding 3-sentence window is hashed; of the windows sharing a hash,
+    the lexicographically-first occurrence survives and the rest have
+    their sentences removed. Two repeated blocks are planted in 1/3 and
+    1/5 of the synthesized pages; the duplicate-detection shuffle moves
+    (md5, doc_id, index) only. The oracle replays synthesis, winner
+    choice, and removal in SQL."""
+    from geostructures_spark.operators.c4 import span_dedup
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    text3 = F.concat_ws(
+        ' ',
+        F.when(F.col('doc_id') % 3 == 0,
+               F.lit('Alpha repeated one. Alpha repeated two.'
+                     ' Alpha repeated three.')),
+        F.concat(F.substring('text', 1, 40), F.lit('.')),
+        F.concat(F.substring('text', 41, 40), F.lit('.')),
+        F.when(F.col('doc_id') % 5 == 0,
+               F.lit('Beta shared one. Beta shared two. Beta shared three.')),
+        F.concat(F.substring('text', 81, 40), F.lit('.')))
+    pages = docs.select('doc_id', text3.alias('text'))
+    return span_dedup(pages).orderBy('doc_id')
+
+
+_SPAN_DEDUP_DUCK = r"""
+  WITH base AS (
+    SELECT doc_id, concat_ws(' ',
+      CASE WHEN doc_id % 3 = 0 THEN
+        'Alpha repeated one. Alpha repeated two. Alpha repeated three.' END,
+      substr(text, 1, 40) || '.',
+      substr(text, 41, 40) || '.',
+      CASE WHEN doc_id % 5 = 0 THEN
+        'Beta shared one. Beta shared two. Beta shared three.' END,
+      substr(text, 81, 40) || '.') AS text
+    FROM documents),
+  sarr AS MATERIALIZED (
+    SELECT doc_id,
+           list_filter(list_transform(string_split_regex(text, '[.!?]+\s*'),
+                                      s -> trim(s)),
+                       s -> s <> '') AS s
+    FROM base),
+  sents AS (
+    SELECT doc_id, CAST(i AS INT) - 1 AS j, s[CAST(i AS INT)] AS snt
+    FROM sarr, UNNEST(range(1, len(s) + 1)) AS r(i)),
+  spans AS MATERIALIZED (
+    SELECT doc_id, CAST(i AS INT) - 1 AS i,
+           md5(array_to_string(
+             list_slice(s, CAST(i AS INT), CAST(i AS INT) + 2),
+             chr(1))) AS h
+    FROM sarr, UNNEST(range(1, len(s) - 1)) AS r(i)),
+  dup AS (
+    SELECT h, min({'d': doc_id, 'i': i}) AS w
+    FROM spans GROUP BY h HAVING count(*) > 1),
+  dropped AS (
+    SELECT DISTINCT s.doc_id, s.i + off.o AS j
+    FROM spans s JOIN dup d USING (h),
+         UNNEST([0, 1, 2]) AS off(o)
+    WHERE NOT (s.doc_id = struct_extract(d.w, 'd')
+               AND s.i = struct_extract(d.w, 'i'))),
+  kept AS (
+    SELECT se.doc_id, se.j, se.snt
+    FROM sents se LEFT JOIN dropped dr
+      ON se.doc_id = dr.doc_id AND se.j = dr.j
+    WHERE dr.doc_id IS NULL),
+  agg AS (
+    SELECT doc_id, count(*) AS n_kept,
+           string_agg(snt, ' ' ORDER BY j) AS kept_text
+    FROM kept GROUP BY doc_id)
+  SELECT t.doc_id,
+         CAST(len(t.s) AS BIGINT) AS n_sentences,
+         CAST(len(t.s) - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped,
+         coalesce(a.kept_text, '') AS kept_text
+  FROM sarr t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
+"""
+
+
 def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-backoff n-gram LM quality scores (operators/lm.py): train
     unigram/bigram counts on the corpus, score every document's
@@ -4413,6 +4586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bpe_train_merges': _q_bpe_train,
         'bpe_encode_tokens': _q_bpe_encode,
         'lm_score_docs': _q_lm_score,
+        'c4_filter_docs': _q_c4_filter,
+        'span_dedup_docs': _q_span_dedup,
     }
 
 
@@ -4523,4 +4698,6 @@ def oracle_sql() -> dict[str, str]:
         'bpe_train_merges': _bpe_sql.bpe_train_duckdb(_BPE_MERGES),
         'bpe_encode_tokens': _bpe_sql.bpe_encode_duckdb(_BPE_MERGES),
         'lm_score_docs': _lm_sql.lm_score_duckdb(),
+        'c4_filter_docs': _C4_FILTER_DUCK,
+        'span_dedup_docs': _SPAN_DEDUP_DUCK,
     }
