@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from geostructures_spark.plans import bpe_sql as _bpe_sql
 from geostructures_spark.plans import lm_sql as _lm_sql
+from geostructures_spark.plans import pq_sql as _pq_sql
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -4450,6 +4451,50 @@ _SPAN_DEDUP_DUCK = r"""
 """
 
 
+def _pq_books(spark: SparkSession, sf_dir: str):
+    """Shared PQ setup: m=4 x dsub=16 codebooks (ksub=8, 1 Lloyd
+    iteration) trained on the embeddings table."""
+    from geostructures_spark.operators.pq import pq_train
+    _load(spark, sf_dir, 'embeddings')
+    vecs = spark.table('embeddings')
+    return vecs, pq_train(vecs, m=4, ksub=8, n_iter=1)
+
+
+def _q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (operators/pq.py): per-subspace L2
+    codebooks (Lloyd, GEMM assignment, all subspaces per pass), then a
+    ZERO-shuffle mapInPandas encode of every vector to its m-code
+    array. Oracle (plans/pq_sql.py) unrolls training + encoding with
+    list_distance argmin and code-id tie-breaks."""
+    from geostructures_spark.operators.pq import pq_encode
+    vecs, books = _pq_books(spark, sf_dir)
+    enc = pq_encode(vecs, books)
+    return (enc.select(
+        'vec_id',
+        F.array_join(F.transform('codes', lambda c: c.cast('string')), ',')
+        .alias('codes_str'))
+        .orderBy('vec_id'))
+
+
+def _q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k (operators/pq.py): squared-L2 asymmetric distances
+    from per-query LUTs over the trained codebooks, batch-local partial
+    top-k (same exact-union contract as cosine_topk_exact). Queries are
+    every 83rd embedding. The oracle pivots the 4 subspace terms into
+    one left-fold expression so equal-code candidates tie exactly and
+    the neighbor-id tie-break engages identically."""
+    from geostructures_spark.operators.pq import pq_adc_topk, pq_encode
+    vecs, books = _pq_books(spark, sf_dir)
+    enc = pq_encode(vecs, books)
+    queries = (vecs.where(F.col('vec_id') % 83 == 0)
+               .select(F.col('vec_id').alias('query_id'),
+                       F.col('embedding').alias('q_embedding')))
+    out = pq_adc_topk(enc, books, queries, k=5)
+    return (out.select('query_id', 'neighbor_id',
+                       F.round('adc_dist', 6).alias('adc_dist'), 'rank')
+            .orderBy('query_id', 'rank'))
+
+
 def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-backoff n-gram LM quality scores (operators/lm.py): train
     unigram/bigram counts on the corpus, score every document's
@@ -4588,6 +4633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'lm_score_docs': _q_lm_score,
         'c4_filter_docs': _q_c4_filter,
         'span_dedup_docs': _q_span_dedup,
+        'pq_encode_codes': _q_pq_encode,
+        'pq_adc_topk': _q_pq_adc,
     }
 
 
@@ -4700,4 +4747,6 @@ def oracle_sql() -> dict[str, str]:
         'lm_score_docs': _lm_sql.lm_score_duckdb(),
         'c4_filter_docs': _C4_FILTER_DUCK,
         'span_dedup_docs': _SPAN_DEDUP_DUCK,
+        'pq_encode_codes': _pq_sql.pq_encode_duckdb(),
+        'pq_adc_topk': _pq_sql.pq_adc_duckdb(),
     }

@@ -196,11 +196,18 @@ def cosine_topk_exact(vectors: DataFrame, queries: DataFrame, k: int,
             for j in range(Qn.shape[0]):
                 col = sims[:, j]
                 if take < len(pdf):
+                    # argpartition is NOT tie-stable at the boundary: a
+                    # candidate whose cosine equals the cut value can be
+                    # dropped in favor of a higher id, breaking the
+                    # exact-union argument (caught live by the PQ ADC
+                    # oracle — same kernel shape). Include every
+                    # boundary tie, then cut by the true order.
                     part = np.argpartition(-col, take - 1)[:take]
+                    cand = np.flatnonzero(col >= col[part].min())
                 else:
-                    part = np.arange(len(pdf))
+                    cand = np.arange(len(pdf))
                 # exact batch-local order: cos desc, neighbor id asc
-                order = part[np.lexsort((ids[part], -col[part]))]
+                order = cand[np.lexsort((ids[cand], -col[cand]))][:take]
                 out_q.append(np.full(len(order), q_ids[j]))
                 out_n.append(ids[order])
                 out_s.append(col[order])
