@@ -4451,6 +4451,83 @@ _SPAN_DEDUP_DUCK = r"""
 """
 
 
+def _q_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span removal (operators/
+    exactsubstr.py): token positions covered by any 8-token window
+    occurring >=2 times corpus-wide are stripped; maximal covered runs
+    are reported as spans. A shared passage is planted in every 9th doc
+    and every 10th doc repeats its own opening; the duplicate-count
+    shuffle carries (md5, doc_id, pos) only. The oracle replays
+    synthesis, window hashing, coverage, and island assembly in SQL."""
+    from geostructures_spark.operators.exactsubstr import exactsubstr_spans
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    text4 = F.concat_ws(
+        ' ',
+        F.substring('text', 1, 120),
+        F.when(F.col('doc_id') % 9 == 0,
+               F.lit('the shared quoted passage appears verbatim in'
+                     ' many documents exactly')),
+        F.when(F.col('doc_id') % 10 == 0, F.substring('text', 1, 45)))
+    pages = docs.select('doc_id', text4.alias('text'))
+    return exactsubstr_spans(pages, L=8, max_chars=400).orderBy('doc_id')
+
+
+_EXACTSUBSTR_DUCK = r"""
+  WITH base AS (
+    SELECT doc_id, concat_ws(' ',
+      substr(text, 1, 120),
+      CASE WHEN doc_id % 9 = 0 THEN
+        'the shared quoted passage appears verbatim in many documents exactly'
+      END,
+      CASE WHEN doc_id % 10 = 0 THEN substr(text, 1, 45) END) AS text
+    FROM documents),
+  toks AS MATERIALIZED (
+    SELECT doc_id,
+           list_filter(string_split(regexp_replace(
+             lower(substr(text, 1, 400)), '[^a-z ]', ' ', 'g'), ' '),
+             w -> w <> '') AS t
+    FROM base),
+  wins AS MATERIALIZED (
+    SELECT doc_id, CAST(i AS INT) - 1 AS i,
+           md5(array_to_string(
+             list_slice(t, CAST(i AS INT), CAST(i AS INT) + 7), ' ')) AS h
+    FROM toks, UNNEST(range(1, len(t) - 6)) AS r(i)),
+  dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+  cov AS (
+    SELECT DISTINCT w.doc_id, w.i + o.k AS j
+    FROM wins w JOIN dup USING (h), UNNEST(range(8)) AS o(k)),
+  isl AS (
+    SELECT doc_id, j,
+           j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j) AS g
+    FROM cov),
+  sp AS (SELECT doc_id, g, min(j) AS s, max(j) AS e FROM isl GROUP BY 1, 2),
+  spstats AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(e - s + 1) AS BIGINT) AS n_dup_tokens,
+           string_agg(s || '-' || e, ',' ORDER BY s) AS spans_str
+    FROM sp GROUP BY doc_id),
+  toku AS (
+    SELECT doc_id, CAST(i AS INT) - 1 AS j, t[CAST(i AS INT)] AS tok
+    FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)),
+  kept AS (
+    SELECT tk.doc_id, tk.j, tk.tok
+    FROM toku tk LEFT JOIN cov c ON tk.doc_id = c.doc_id AND tk.j = c.j
+    WHERE c.doc_id IS NULL),
+  ka AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS kept_text
+    FROM kept GROUP BY doc_id),
+  tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+  SELECT t.doc_id, t.n_tokens,
+         coalesce(s.n_dup_tokens, 0) AS n_dup_tokens,
+         coalesce(s.n_spans, 0) AS n_spans,
+         coalesce(s.spans_str, '') AS spans_str,
+         coalesce(k.kept_text, '') AS kept_text
+  FROM tot t LEFT JOIN spstats s USING (doc_id) LEFT JOIN ka k USING (doc_id)
+  ORDER BY t.doc_id
+"""
+
+
 def _pq_books(spark: SparkSession, sf_dir: str):
     """Shared PQ setup: m=4 x dsub=16 codebooks (ksub=8, 1 Lloyd
     iteration) trained on the embeddings table."""
@@ -4635,6 +4712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'span_dedup_docs': _q_span_dedup,
         'pq_encode_codes': _q_pq_encode,
         'pq_adc_topk': _q_pq_adc,
+        'exactsubstr_spans': _q_exactsubstr,
     }
 
 
@@ -4749,4 +4827,5 @@ def oracle_sql() -> dict[str, str]:
         'span_dedup_docs': _SPAN_DEDUP_DUCK,
         'pq_encode_codes': _pq_sql.pq_encode_duckdb(),
         'pq_adc_topk': _pq_sql.pq_adc_duckdb(),
+        'exactsubstr_spans': _EXACTSUBSTR_DUCK,
     }
