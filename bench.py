@@ -205,6 +205,47 @@ def _stress_spatial(spark, sf_dir: str) -> dict:
         best = min(best, _t.time() - t0)
     out['repetition_50k_docs'] = round(best, 3)
     out['repetition_docs_per_sec'] = round(n_docs / best, 1)
+
+    # stupid-backoff LM scoring (operators/lm.py) over 50k synthetic
+    # ~40-token docs: counts are one groupBy each; scoring is broadcast
+    # joins + one per-doc agg — the whole path is JVM-side
+    from geostructures_spark.operators.lm import doc_tokens, lm_counts, score_docs
+    toks = doc_tokens(docs).cache()
+    toks.count()
+    best = float('inf')
+    for _ in range(2):
+        t0 = _t.time()
+        uni, bi = lm_counts(toks)
+        score_docs(toks, uni, bi).groupBy().count().collect()
+        best = min(best, _t.time() - t0)
+    toks.unpersist()
+    out['lm_score_50k_docs'] = round(best, 3)
+    out['lm_docs_per_sec'] = round(n_docs / best, 1)
+
+    # PQ encode (operators/pq.py) of 100k 64-dim vectors against m=8 x
+    # ksub=16 codebooks trained on a 2k sample (the published recipe
+    # trains on a sample): one GEMM per subspace per Arrow batch,
+    # zero-shuffle — the compression scan a 10^11-vector corpus takes
+    from geostructures_spark.operators.pq import pq_encode, pq_train
+    pq_dim, pq_n = 64, 100_000
+    pq_vecs = spark.range(pq_n).selectExpr(
+        'id AS vec_id',
+        f'transform(sequence(1, {pq_dim}), '
+        'i -> cast(cos(id * 13 + i * 3) as float)) AS embedding').cache()
+    pq_vecs.count()
+    books = pq_train(pq_vecs.limit(2000), m=8, ksub=16, n_iter=1)
+    books = books.cache()
+    books.count()
+    pq_encode(pq_vecs, books).groupBy().count().collect()  # warm workers
+    best = float('inf')
+    for _ in range(2):
+        t0 = _t.time()
+        pq_encode(pq_vecs, books).groupBy().count().collect()
+        best = min(best, _t.time() - t0)
+    pq_vecs.unpersist()
+    books.unpersist()
+    out['pq_encode_100k_d64_m8'] = round(best, 3)
+    out['pq_vecs_per_sec'] = round(pq_n / best, 1)
     return out
 
 

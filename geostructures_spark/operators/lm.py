@@ -97,7 +97,10 @@ def score_docs(toks: DataFrame, uni: DataFrame, bi: DataFrame,
         " i AS tpos,"
         " CASE WHEN i = 0 THEN CAST(NULL AS STRING) ELSE toks[i - 1] END AS wp,"
         " w AS w))")
-    g = (toks.select('doc_id', F.explode(grams).alias('g'))
+    # explode_outer keeps empty documents as one null-gram row, so the
+    # final per-doc aggregate covers EVERY document and no join back
+    # against the corpus is needed (count/sum ignore the null row).
+    g = (toks.select('doc_id', F.explode_outer(grams).alias('g'))
          .select('doc_id', 'g.tpos', 'g.wp', 'g.w')
          .crossJoin(F.broadcast(total)))
     g = (g.join(F.broadcast(uni.select(F.col('w').alias('wp'),
@@ -114,16 +117,13 @@ def score_docs(toks: DataFrame, uni: DataFrame, bi: DataFrame,
           .when(hit, F.log(F.col('c2') / F.col('c1_prev')))
           .otherwise(backoff))
     per_doc = (g.groupBy('doc_id')
-               .agg(F.count('*').alias('n_tokens'),
-                    F.sum(hit.cast('long')).alias('n_hits'),
-                    F.sum(lp).alias('logscore')))
-    base = toks.select('doc_id')
-    out = base.join(per_doc, 'doc_id', 'left')
-    return out.select(
-        'doc_id',
-        F.coalesce('n_tokens', F.lit(0)).alias('n_tokens'),
-        F.coalesce('n_hits', F.lit(0)).alias('n_hits'),
-        F.col('logscore'),
+               .agg(F.count('w').alias('n_tokens'),
+                    F.coalesce(F.sum(hit.cast('long')), F.lit(0))
+                    .alias('n_hits'),
+                    F.sum(F.when(F.col('w').isNotNull(), lp))
+                    .alias('logscore')))
+    return per_doc.select(
+        'doc_id', 'n_tokens', 'n_hits', 'logscore',
         F.when(F.col('n_tokens') > 0,
                F.exp(-F.col('logscore') / F.col('n_tokens'))).alias('ppl'))
 

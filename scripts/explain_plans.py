@@ -96,6 +96,8 @@ def main() -> int:
     ok &= no_shuffle
     spark.sql('DROP TABLE IF EXISTS plans_buck_a')
     spark.sql('DROP TABLE IF EXISTS plans_buck_b')
+    # restore the default: later assertions must see stock planning
+    spark.conf.unset('spark.sql.autoBroadcastJoinThreshold')
 
     # Web Mercator reprojection: pure column expressions — the whole query
     # must stay inside codegen, zero Python evaluation nodes
@@ -166,6 +168,32 @@ def main() -> int:
           f'shuffle + per-partition Arrow cumsum (no global-window '
           f'single-task collapse)')
     ok &= packed
+
+    # C4 clean (r4 late): line + page rules are per-row array exprs —
+    # zero Exchange besides the contract orderBy, no Python eval
+    plan = formatted(em.queries()['c4_filter_docs'](spark, sf))
+    c4 = 'EvalPython' not in plan and n_exchanges(plan) <= 1
+    print(f'[{"OK" if c4 else "FAIL"}] c4 clean: per-row array exprs, '
+          f'no Python eval, no data-path shuffle')
+    ok &= c4
+
+    # LM scoring (r4 late): broadcast joins against vocab-sized count
+    # tables — no SortMergeJoin, no Window in the scoring path
+    plan = formatted(em.queries()['lm_score_docs'](spark, sf))
+    lm = ('BroadcastHashJoin' in plan and 'SortMergeJoin' not in plan
+          and 'Window' not in plan.replace('session_window', ''))
+    print(f'[{"OK" if lm else "FAIL"}] lm scoring: broadcast count-table '
+          f'joins, no sort-merge join, no window')
+    ok &= lm
+
+    # PQ encode (r4 late): ZERO-shuffle mapInPandas over the pruned
+    # (vec_id, embedding) scan; the contract orderBy is the only exchange
+    plan = formatted(em.queries()['pq_encode_codes'](spark, sf))
+    pq = (('MapInPandas' in plan or 'ArrowEvalPython' in plan)
+          and n_exchanges(plan) <= 1)
+    print(f'[{"OK" if pq else "FAIL"}] pq encode: one Arrow stage, '
+          f'no data-path shuffle')
+    ok &= pq
 
     spark.stop()
     return 0 if ok else 1
