@@ -1013,6 +1013,62 @@ _EMB_NEARDUP_DUCK = """
 """
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (operators/semdedup.py):
+    IVF-bucketed cosine near-dup pairs (same config as
+    embedding_neardup_pairs) -> connected components -> lowest-id
+    winner per component; every vector gets (component, keep). Oracle:
+    the pair chain + a recursive-CTE transitive closure in DuckDB."""
+    from geostructures_spark.operators.semdedup import semantic_dedup
+    _load(spark, sf_dir, 'embeddings')
+    vecs = spark.table('embeddings')
+    cents = (vecs.filter(F.col('vec_id') < 8)
+             .select(F.col('vec_id').alias('centroid_id'),
+                     F.col('embedding').alias('c_embedding')))
+    out = semantic_dedup(vecs, cents, threshold=0.35)
+    return (out.select(F.col('vec_id').cast('long').alias('vec_id'),
+                       F.col('component').cast('long').alias('component'),
+                       'keep')
+            .orderBy('vec_id'))
+
+
+_SEMDEDUP_DUCK = """
+  WITH RECURSIVE cents AS (
+    SELECT vec_id AS centroid_id, embedding AS c_emb
+    FROM embeddings WHERE vec_id < 8),
+  assign0 AS (
+    SELECT vec_id, embedding, centroid_id FROM (
+      SELECT v.vec_id, v.embedding, c.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_cosine_similarity(v.embedding, c.c_emb) DESC,
+                                         c.centroid_id ASC) AS r
+      FROM embeddings v, cents c) WHERE r <= 2),
+  assign AS (
+    SELECT * FROM assign0 WHERE centroid_id IN (
+      SELECT centroid_id FROM assign0 GROUP BY centroid_id
+      HAVING COUNT(*) <= 8192)),
+  pairs AS MATERIALIZED (
+    SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+    FROM assign a JOIN assign b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35),
+  edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL SELECT doc_b, doc_a FROM pairs),
+  nodes AS (SELECT DISTINCT src AS node FROM edges),
+  reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+  comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+  SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+         CAST(COALESCE(c.component, e.vec_id) AS BIGINT) AS component,
+         (COALESCE(c.component, e.vec_id) = e.vec_id) AS keep
+  FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+  ORDER BY e.vec_id
+"""
+
+
 def _q_streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming windowed aggregation driven to completion over
     the events parquet (file source -> memory sink); same result contract
@@ -4713,6 +4769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pq_encode_codes': _q_pq_encode,
         'pq_adc_topk': _q_pq_adc,
         'exactsubstr_spans': _q_exactsubstr,
+        'semantic_dedup_keep': _q_semantic_dedup,
     }
 
 
@@ -4828,4 +4885,5 @@ def oracle_sql() -> dict[str, str]:
         'pq_encode_codes': _pq_sql.pq_encode_duckdb(),
         'pq_adc_topk': _pq_sql.pq_adc_duckdb(),
         'exactsubstr_spans': _EXACTSUBSTR_DUCK,
+        'semantic_dedup_keep': _SEMDEDUP_DUCK,
     }
