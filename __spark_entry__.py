@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from geostructures_spark.plans import bpe_sql as _bpe_sql
 from geostructures_spark.plans import lm_sql as _lm_sql
+from geostructures_spark.plans import bm25_sql as _bm25_sql
 from geostructures_spark.plans import pq_sql as _pq_sql
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -1011,6 +1012,30 @@ _EMB_NEARDUP_DUCK = """
   WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
   ORDER BY doc_a, doc_b
 """
+
+
+_BM25_QUERIES = [
+    (0, ['table', 'key', 'row', 'scan']),
+    (1, ['spark', 'merge', 'batch']),
+    (2, ['customer', 'value', 'line', 'fast', 'order']),
+]
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/bm25.py): three fixed keyword
+    queries over the documents table; corpus tokens are filtered to
+    query terms by a broadcast join before anything shuffles, df/idf
+    come from the hits, and ranking uses the 6dp-rounded score with
+    doc-id tie-break (so grouped-float-sum ulp noise cannot split a tie
+    differently per engine). Oracle: full SQL replay with
+    repr-exact double constants (plans/bm25_sql.py)."""
+    from geostructures_spark.operators.bm25 import bm25_topk
+    _load(spark, sf_dir, 'documents')
+    out = bm25_topk(spark.table('documents'), _BM25_QUERIES, k=10)
+    return (out.select('query_id',
+                       F.col('doc_id').cast('long').alias('doc_id'),
+                       'score', 'rank')
+            .orderBy('query_id', 'rank'))
 
 
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4770,6 +4795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pq_adc_topk': _q_pq_adc,
         'exactsubstr_spans': _q_exactsubstr,
         'semantic_dedup_keep': _q_semantic_dedup,
+        'bm25_topk': _q_bm25,
     }
 
 
@@ -4886,4 +4912,5 @@ def oracle_sql() -> dict[str, str]:
         'pq_adc_topk': _pq_sql.pq_adc_duckdb(),
         'exactsubstr_spans': _EXACTSUBSTR_DUCK,
         'semantic_dedup_keep': _SEMDEDUP_DUCK,
+        'bm25_topk': _bm25_sql.bm25_topk_duckdb(_BM25_QUERIES, k=10),
     }
