@@ -1014,6 +1014,104 @@ _EMB_NEARDUP_DUCK = """
 """
 
 
+def _q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators/sketch.py): a 4x256 md5-hash CMS
+    built with one bounded groupBy over all document tokens, then
+    point-frequency estimates for the 20 most frequent tokens next to
+    their true counts (CMS guarantee: est >= true). The md5 hash rows
+    are engine-reproducible, so the oracle rebuilds the ENTIRE sketch
+    bit-for-bit in SQL."""
+    from geostructures_spark.operators.bpe import words_expr
+    from geostructures_spark.operators.sketch import cms_estimate, cms_table
+    _load(spark, sf_dir, 'documents')
+    items = (spark.table('documents')
+             .select(F.explode(words_expr(F.col('text'))).alias('item'))
+             .where(F.col('item') != ''))
+    sketch = cms_table(items, depth=4, width=256)
+    cand = (items.groupBy('item').agg(F.count('*').alias('true_cnt'))
+            .orderBy(F.desc('true_cnt'), 'item').limit(20))
+    est = cms_estimate(sketch, cand.select('item'), depth=4, width=256)
+    return (cand.join(est, 'item')
+            .select(F.col('item').alias('token'),
+                    F.col('true_cnt').cast('long').alias('true_cnt'),
+                    F.col('est').cast('long').alias('est'),
+                    (F.col('est') - F.col('true_cnt')).cast('long')
+                    .alias('overestimate'))
+            .orderBy('token'))
+
+
+_CMS_DUCK = r"""
+  WITH items AS MATERIALIZED (
+    SELECT w AS item FROM (
+      SELECT unnest(string_split(regexp_replace(
+        lower(substr(text, 1, 150)), '[^a-z ]', ' ', 'g'), ' ')) AS w
+      FROM documents) z
+    WHERE w <> ''),
+  dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+  cms AS MATERIALIZED (
+    SELECT dd.d,
+           CAST(concat('0x', substr(md5(dd.d || ':' || item), 1, 8))
+                AS BIGINT) % 256 AS bucket,
+           count(*) AS cnt
+    FROM items CROSS JOIN dd GROUP BY 1, 2),
+  cand AS MATERIALIZED (
+    SELECT item, CAST(count(*) AS BIGINT) AS true_cnt
+    FROM items GROUP BY 1 ORDER BY count(*) DESC, item LIMIT 20),
+  probes AS (
+    SELECT c.item, c.true_cnt, dd.d,
+           CAST(concat('0x', substr(md5(dd.d || ':' || c.item), 1, 8))
+                AS BIGINT) % 256 AS bucket
+    FROM cand c CROSS JOIN dd),
+  est AS (
+    SELECT p.item, p.true_cnt, MIN(coalesce(s.cnt, 0)) AS est
+    FROM probes p LEFT JOIN cms s ON s.d = p.d AND s.bucket = p.bucket
+    GROUP BY 1, 2)
+  SELECT item AS token, true_cnt, CAST(est AS BIGINT) AS est,
+         CAST(est - true_cnt AS BIGINT) AS overestimate
+  FROM est ORDER BY token
+"""
+
+
+def _q_linear_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting distinct estimate (operators/sketch.py) over the
+    document token stream, next to the exact distinct count. The md5
+    bucket map is engine-reproducible, so the estimate (not just the
+    shape) is oracle-exact."""
+    from geostructures_spark.operators.bpe import words_expr
+    from geostructures_spark.operators.sketch import linear_count
+    _load(spark, sf_dir, 'documents')
+    items = (spark.table('documents')
+             .select(F.explode(words_expr(F.col('text'))).alias('item'))
+             .where(F.col('item') != ''))
+    lc = linear_count(items, m=4096)
+    exact = items.agg(F.count_distinct('item').alias('true_distinct'))
+    return (lc.crossJoin(exact)
+            .select(F.col('n_buckets_hit').cast('long').alias('n_buckets_hit'),
+                    F.round('estimate', 6).alias('estimate'),
+                    F.col('true_distinct').cast('long').alias('true_distinct')))
+
+
+_LINEAR_COUNT_DUCK = r"""
+  WITH items AS MATERIALIZED (
+    SELECT w AS item FROM (
+      SELECT unnest(string_split(regexp_replace(
+        lower(substr(text, 1, 150)), '[^a-z ]', ' ', 'g'), ' ')) AS w
+      FROM documents) z
+    WHERE w <> ''),
+  hits AS (
+    SELECT count(DISTINCT CAST(concat('0x', substr(md5(item), 1, 8))
+                               AS BIGINT) % 4096) AS n_buckets_hit,
+           count(DISTINCT item) AS true_distinct
+    FROM items)
+  SELECT CAST(n_buckets_hit AS BIGINT) AS n_buckets_hit,
+         ROUND(CASE WHEN n_buckets_hit < 4096
+                    THEN (-4096.0e0) * ln((4096.0e0 - n_buckets_hit)
+                                          / 4096.0e0) END, 6) AS estimate,
+         CAST(true_distinct AS BIGINT) AS true_distinct
+  FROM hits
+"""
+
+
 _BM25_QUERIES = [
     (0, ['table', 'key', 'row', 'scan']),
     (1, ['spark', 'merge', 'batch']),
@@ -4796,6 +4894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'exactsubstr_spans': _q_exactsubstr,
         'semantic_dedup_keep': _q_semantic_dedup,
         'bm25_topk': _q_bm25,
+        'cms_token_counts': _q_cms_counts,
+        'linear_count_tokens': _q_linear_count,
     }
 
 
@@ -4913,4 +5013,6 @@ def oracle_sql() -> dict[str, str]:
         'exactsubstr_spans': _EXACTSUBSTR_DUCK,
         'semantic_dedup_keep': _SEMDEDUP_DUCK,
         'bm25_topk': _bm25_sql.bm25_topk_duckdb(_BM25_QUERIES, k=10),
+        'cms_token_counts': _CMS_DUCK,
+        'linear_count_tokens': _LINEAR_COUNT_DUCK,
     }

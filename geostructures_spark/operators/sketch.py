@@ -1,0 +1,96 @@
+"""Deterministic frequency/cardinality sketches (count-min + linear
+counting).
+
+Streaming-style sketches re-expressed as bounded aggregations — the
+"novel sketch" slot of the pipeline family. Unlike Spark's built-in
+count_min_sketch / approx_count_distinct (whose binary states and hash
+seeds are not reproducible outside the JVM), these use md5-derived
+hash rows, so a SQL oracle can replay the ENTIRE sketch bit-for-bit:
+
+- ``cms_table``: a depth x width count-min sketch (Cormode &
+  Muthukrishnan) built with ONE map-side-combined groupBy over
+  (depth, bucket) — the output is <= depth*width rows no matter how
+  many input rows, which is the whole point at 10^12 tokens;
+- ``cms_estimate``: point-frequency estimates for an item column —
+  min over depth of the joined counters (classic CMS upper bound:
+  estimate >= true, overestimate bounded by eps*N w.h.p.);
+- ``linear_count``: Whang et al. linear-counting distinct estimate
+  -m * ln(empty_fraction) over m md5 buckets; exact-ish for
+  cardinalities below the bucket count, one groupBy-free aggregate
+  (count distinct buckets).
+
+Hash rows: h_d(x) = int(hex(md5(d || ':' || x))[0:8]) % width —
+Spark ``conv(substr(md5(..)), 16, 10)`` and DuckDB
+``CAST('0x' || substr(md5(..)) AS BIGINT)`` produce the identical
+integer (verified), so the sketch tables match across engines exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ['cms_hash_expr', 'cms_table', 'cms_estimate', 'linear_count']
+
+
+def cms_hash_expr(item: Column, d: int, width: int) -> Column:
+    """Bucket of ``item`` in hash row ``d`` (deterministic, md5-based)."""
+    hx = F.substring(F.md5(F.concat(F.lit(f'{d}:'), item)), 1, 8)
+    return (F.conv(hx, 16, 10).cast('long') % width).alias(f'b{d}')
+
+
+def cms_table(items: DataFrame, item_col: str = 'item', depth: int = 4,
+              width: int = 256) -> DataFrame:
+    """(d, bucket, cnt) sparse count-min sketch over an item column.
+
+    One explode of depth hash rows (JVM codegen) + one map-side-combined
+    groupBy: the shuffle carries at most depth*width distinct keys per
+    partition regardless of input size.
+    """
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(d).alias('d'),
+                 cms_hash_expr(F.col(item_col), d, width).alias('bucket'))
+        for d in range(depth)]))
+    return (items.select(rows.alias('r'))
+            .select('r.d', 'r.bucket')
+            .groupBy('d', 'bucket')
+            .agg(F.count('*').alias('cnt')))
+
+
+def cms_estimate(sketch: DataFrame, items: DataFrame,
+                 item_col: str = 'item', depth: int = 4,
+                 width: int = 256) -> DataFrame:
+    """(item, est) CMS frequency estimate: min over hash rows.
+
+    The sketch is depth*width rows at most — broadcast; absent buckets
+    count 0 (an item never inserted estimates 0).
+    """
+    probes = items.select(
+        item_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(d).alias('d'),
+                     cms_hash_expr(F.col(item_col), d, width).alias('bucket'))
+            for d in range(depth)])).alias('p')
+    ).select(item_col, 'p.d', 'p.bucket')
+    joined = probes.join(F.broadcast(sketch), ['d', 'bucket'], 'left')
+    return (joined.groupBy(item_col)
+            .agg(F.min(F.coalesce('cnt', F.lit(0))).alias('est')))
+
+
+def linear_count(items: DataFrame, item_col: str = 'item',
+                 m: int = 4096) -> DataFrame:
+    """One-row (n_buckets_hit, estimate) linear-counting sketch.
+
+    estimate = -m * ln((m - hit) / m), NULL when every bucket is hit
+    (cardinality >> m; raise m). The aggregate is a single
+    count-distinct over md5 buckets — no sketch state to merge.
+    """
+    b = (F.conv(F.substring(F.md5(F.col(item_col)), 1, 8), 16, 10)
+         .cast('long') % m)
+    return (items.select(b.alias('b'))
+            .agg(F.count_distinct('b').alias('n_buckets_hit'))
+            .select('n_buckets_hit',
+                    F.when(F.col('n_buckets_hit') < m,
+                           -float(m) * F.log((F.lit(float(m))
+                                              - F.col('n_buckets_hit'))
+                                             / float(m)))
+                    .alias('estimate')))

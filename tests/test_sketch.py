@@ -1,0 +1,64 @@
+"""Count-min + linear-counting sketches (operators/sketch.py)."""
+
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from geostructures_spark.operators.sketch import (cms_estimate, cms_table,
+                                                  linear_count)
+
+from tests.test_spark_operators import spark  # shared session fixture
+
+__ = spark
+
+
+def _items(spark, words):
+    return spark.createDataFrame(pd.DataFrame({'item': words}))
+
+
+def test_cms_upper_bound_and_exactness_when_sparse(spark):
+    words = ['a'] * 50 + ['b'] * 20 + ['c'] * 5 + ['d']
+    items = _items(spark, words)
+    sketch = cms_table(items, depth=4, width=256)
+    est = {r['item']: r['est'] for r in
+           cms_estimate(sketch, _items(spark, ['a', 'b', 'c', 'd', 'zzz']),
+                        depth=4, width=256).collect()}
+    true = {'a': 50, 'b': 20, 'c': 5, 'd': 1}
+    for w, t in true.items():
+        assert est[w] >= t            # CMS never underestimates
+        assert est[w] <= t + 76       # 4 distinct items, width 256: exact
+    # with 4 items in 256 buckets per row, collisions are impossible
+    # to cause an overestimate beyond another item's count; here the
+    # min over 4 independent rows is exact
+    assert est == {**true, 'zzz': 0}
+
+
+def test_cms_total_mass_per_row(spark):
+    words = ['x', 'y', 'z'] * 7
+    sketch = cms_table(_items(spark, words), depth=4, width=16)
+    per_row = {r['d']: r['s'] for r in
+               sketch.groupBy('d').agg(F.sum('cnt').alias('s')).collect()}
+    assert per_row == {0: 21, 1: 21, 2: 21, 3: 21}
+
+
+def test_cms_bounded_output(spark):
+    items = spark.range(5000).selectExpr(
+        "concat('tok', CAST(id % 997 AS STRING)) AS item")
+    sketch = cms_table(items, depth=4, width=32)
+    assert sketch.count() <= 4 * 32
+
+
+def test_linear_count_small_cardinality(spark):
+    words = [f'w{i}' for i in range(100)] * 3
+    row = linear_count(_items(spark, words), m=4096).collect()[0]
+    # load factor 100/4096: linear counting is near-exact here
+    assert row['n_buckets_hit'] <= 100
+    assert abs(row['estimate'] - 100) < 5
+    expected = -4096.0 * math.log((4096.0 - row['n_buckets_hit']) / 4096.0)
+    assert row['estimate'] == expected
+
+
+def test_linear_count_saturated_is_null(spark):
+    row = linear_count(_items(spark, ['a', 'b']), m=1).collect()[0]
+    assert row['n_buckets_hit'] == 1 and row['estimate'] is None
