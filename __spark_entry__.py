@@ -2024,6 +2024,84 @@ _RASTER_TILES_DUCK = f"""
 """
 
 
+def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (operators/raster.py): per-shape aggregates of a
+    deterministic synthetic raster over the same supplier circles and
+    zoom-8 burn rule as raster_tile_assignment — the raster joins the
+    assigned tiles on (tile_x, tile_y), never fanning out per shape.
+    Oracle: the tile-assignment replay chain + the same value formula
+    and aggregates in SQL."""
+    from geostructures_spark.operators.derive import with_shape_derived
+    from geostructures_spark.operators.raster import zonal_stats
+    _load(spark, sf_dir, 'supplier')
+    sup = spark.sql(_pts_supplier_sql())
+    shapes = sup.select(
+        F.col('qid').cast('long').alias('shape_id'),
+        F.lit('circle').alias('kind'),
+        F.struct(F.col('q_lon').alias('center_lon'),
+                 F.col('q_lat').alias('center_lat'),
+                 F.lit(100_000.0).alias('radius')).alias('params'),
+        F.lit(None).cast('array<array<struct<lon:double,lat:double>>>').alias('rings'))
+    sb = with_shape_derived(shapes).select(
+        'shape_id', 'kind', 'params', 'rings',
+        'min_lon', 'min_lat', 'max_lon', 'max_lat')
+    raster = spark.range(256 * 256).selectExpr(
+        'id DIV 256 AS tile_x', 'id % 256 AS tile_y',
+        'CAST(((id DIV 256) * 31 + (id % 256) * 17) % 1000 AS DOUBLE)'
+        ' / 10.0D AS value')
+    out = zonal_stats(sb, raster, zoom=8)
+    return (out.select('shape_id', 'n_cells',
+                       F.round('sum_value', 6).alias('sum_value'),
+                       F.round('mean_value', 6).alias('mean_value'),
+                       'min_value', 'max_value')
+            .orderBy('shape_id'))
+
+
+_ZONAL_DUCK = f"""
+  WITH s AS (
+    SELECT qid AS shape_id, q_lon AS lon, q_lat AS lat, 100000.0 AS r
+    FROM ({_pts_supplier_sql()})),
+  ang AS (SELECT shape_id, lon, lat, r, r / 6371000.0 AS a,
+                 radians(lat) AS rlat, radians(lon) AS rlon FROM s),
+  b AS (SELECT shape_id, lon, lat, r,
+          degrees(rlon + atan2(-sin(a) * cos(rlat),
+            cos(a) - sin(rlat) * sin(asin(sin(rlat) * cos(a))))) AS min_lon,
+          degrees(asin(sin(rlat) * cos(a) - cos(rlat) * sin(a))) AS min_lat,
+          degrees(rlon + atan2(sin(a) * cos(rlat),
+            cos(a) - sin(rlat) * sin(asin(sin(rlat) * cos(a))))) AS max_lon,
+          degrees(asin(sin(rlat) * cos(a) + cos(rlat) * sin(a))) AS max_lat
+        FROM ang),
+  rng AS (SELECT shape_id, lon, lat, r,
+            LEAST(GREATEST(CAST(floor((min_lon + 180.0) / 360.0 * 256.0) AS BIGINT), 0), 255) AS x0,
+            LEAST(GREATEST(CAST(floor((max_lon + 180.0) / 360.0 * 256.0) AS BIGINT), 0), 255) AS x1,
+            LEAST(GREATEST(CAST(floor((1.0 - ln(tan(radians(max_lat))
+              + 1.0 / cos(radians(max_lat))) / pi()) / 2.0 * 256.0) AS BIGINT), 0), 255) AS y0,
+            LEAST(GREATEST(CAST(floor((1.0 - ln(tan(radians(min_lat))
+              + 1.0 / cos(radians(min_lat))) / pi()) / 2.0 * 256.0) AS BIGINT), 0), 255) AS y1
+          FROM b),
+  g AS (SELECT shape_id, lon, lat, r, gx.x AS tile_x, gy.y AS tile_y,
+               (gx.x + 0.5) / 256.0 * 360.0 - 180.0 AS tc_lon,
+               degrees(atan((exp(pi() * (1.0 - 2.0 * (gy.y + 0.5) / 256.0))
+                 - exp(-pi() * (1.0 - 2.0 * (gy.y + 0.5) / 256.0))) / 2.0)) AS tc_lat
+        FROM rng, generate_series(0, 255) gx(x), generate_series(0, 255) gy(y)
+        WHERE gx.x BETWEEN x0 AND x1 AND gy.y BETWEEN y0 AND y1),
+  hit AS (
+    SELECT shape_id, tile_x, tile_y,
+           CAST((tile_x * 31 + tile_y * 17) % 1000 AS DOUBLE) / 10.0e0 AS value
+    FROM g WHERE {_hav('lon', 'lat', 'tc_lon', 'tc_lat')} <= r),
+  agg AS (
+    SELECT shape_id, CAST(count(*) AS BIGINT) AS n_cells,
+           ROUND(SUM(value), 6) AS sum_value,
+           ROUND(AVG(value), 6) AS mean_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM hit GROUP BY shape_id)
+  SELECT CAST(s.shape_id AS BIGINT) AS shape_id,
+         COALESCE(a.n_cells, 0) AS n_cells,
+         a.sum_value, a.mean_value, a.min_value, a.max_value
+  FROM s LEFT JOIN agg a USING (shape_id) ORDER BY s.shape_id
+"""
+
+
 def _q_track_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Track.first/last/start/end (collections.py:807-857) as
     min_by/max_by aggregations over event-derived pings."""
@@ -4896,6 +4974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bm25_topk': _q_bm25,
         'cms_token_counts': _q_cms_counts,
         'linear_count_tokens': _q_linear_count,
+        'zonal_stats_circles': _q_zonal_stats,
     }
 
 
@@ -5015,4 +5094,5 @@ def oracle_sql() -> dict[str, str]:
         'bm25_topk': _bm25_sql.bm25_topk_duckdb(_BM25_QUERIES, k=10),
         'cms_token_counts': _CMS_DUCK,
         'linear_count_tokens': _LINEAR_COUNT_DUCK,
+        'zonal_stats_circles': _ZONAL_DUCK,
     }

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ['xyz_assign_tiles']
+__all__ = ['xyz_assign_tiles', 'zonal_stats']
 
 
 def _tile_x_expr(lon, n):
@@ -134,3 +134,40 @@ def xyz_assign_tiles(shapes: DataFrame, zoom: int,
         run, schema='shape_id long, tile_x long, tile_y long')
     out_cols = ['shape_id', 'tile_x', 'tile_y']
     return fast.select(*out_cols).unionByName(slow)
+
+
+def zonal_stats(shapes: DataFrame, raster: DataFrame, zoom: int,
+                value_col: str = 'value',
+                max_tiles_per_shape: int = 100_000) -> DataFrame:
+    """Zonal statistics: aggregate a raster's cell values per shape.
+
+    ``raster`` is a (tile_x, tile_y, value) table at the given zoom;
+    ``shapes`` is the canonical table WITH bounds columns (see
+    xyz_assign_tiles). A cell contributes to a shape iff its center is
+    inside the shape (the same burn rule as the assignment, so
+    assignment and statistics agree exactly).
+
+    Scale shape: both sides of the cell join are keyed on
+    (tile_x, tile_y) — the raster never fans out per shape and the
+    shape never ships its geometry into the join (only its assigned
+    tile ids); the aggregate is one map-side-combined groupBy(shape).
+    Shapes whose tile sets are empty (ocean-only bounds, value gaps)
+    still return a row with n_cells = 0.
+
+    Returns (shape_id, n_cells, sum_value, mean_value, min_value,
+    max_value).
+    """
+    tiles = xyz_assign_tiles(shapes, zoom, max_tiles_per_shape)
+    joined = tiles.join(raster.select('tile_x', 'tile_y', value_col),
+                        ['tile_x', 'tile_y'])
+    agg = joined.groupBy('shape_id').agg(
+        F.count('*').cast('long').alias('n_cells'),
+        F.sum(value_col).alias('sum_value'),
+        F.avg(value_col).alias('mean_value'),
+        F.min(value_col).alias('min_value'),
+        F.max(value_col).alias('max_value'))
+    base = shapes.select(F.col('shape_id').cast('long').alias('shape_id'))
+    return (base.join(agg, 'shape_id', 'left')
+            .select('shape_id',
+                    F.coalesce('n_cells', F.lit(0)).alias('n_cells'),
+                    'sum_value', 'mean_value', 'min_value', 'max_value'))

@@ -441,3 +441,51 @@ def test_pulkovo_gk_zone_registry():
         assert g.tm.lon0 == z * 6 - 3
         assert g.tm.x0 == z * 1e6 + 500000.0
         assert g.ell is D.KRASSOWSKY1940 and g.tm.k0 == 1.0
+
+
+def test_zonal_stats_golden(spark):
+    """Zonal stats over a unit box with a 4-cell raster patch: exact
+    hand-computed aggregates, empty-shape row preserved."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from geostructures_spark.operators.raster import zonal_stats
+
+    # zoom-4 grid (16x16). A box shape covering tiles x=[8,9], y=[7,8]
+    # exactly: lon range 0..45 deg, lat range per tile rows 7-8.
+    shapes = spark.createDataFrame(pd.DataFrame({
+        'shape_id': [1, 2],
+        'kind': ['box', 'box'],
+    }))
+    shapes = shapes.select(
+        'shape_id', 'kind',
+        F.struct(F.lit(0.0).alias('min_lon'), F.lit(-40.0).alias('min_lat'),
+                 F.lit(44.0).alias('max_lon'), F.lit(40.0).alias('max_lat'))
+        .alias('params'),
+        F.lit(None).cast('array<array<struct<lon:double,lat:double>>>')
+        .alias('rings'),
+        F.when(F.col('shape_id') == 1, 0.0).otherwise(160.0).alias('min_lon'),
+        F.when(F.col('shape_id') == 1, -40.0).otherwise(80.0).alias('min_lat'),
+        F.when(F.col('shape_id') == 1, 44.0).otherwise(170.0).alias('max_lon'),
+        F.when(F.col('shape_id') == 1, 40.0).otherwise(84.0).alias('max_lat'))
+    # shape 2's params put it far from its (bogus) bounds so it hits 0 cells
+    raster = spark.range(256).selectExpr(
+        'id DIV 16 AS tile_x', 'id % 16 AS tile_y',
+        'CAST(id AS DOUBLE) AS value')
+    out = {r['shape_id']: r for r in
+           zonal_stats(shapes, raster, zoom=4).collect()}
+    # exact python replay of the burn rule for shape 1
+    import math
+    exp = []
+    for x in range(16):
+        for y in range(16):
+            lon = (x + 0.5) / 16 * 360 - 180
+            lat = math.degrees(math.atan(math.sinh(
+                math.pi * (1 - 2 * (y + 0.5) / 16))))
+            if 0.0 <= lon <= 44.0 and -40.0 <= lat <= 40.0:
+                exp.append(x * 16 + y)
+    r1 = out[1]
+    assert r1['n_cells'] == len(exp)
+    assert r1['sum_value'] == float(sum(exp))
+    assert r1['min_value'] == float(min(exp))
+    assert r1['max_value'] == float(max(exp))
+    assert out[2]['n_cells'] == 0 and out[2]['sum_value'] is None
