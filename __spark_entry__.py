@@ -1112,6 +1112,48 @@ _LINEAR_COUNT_DUCK = r"""
 """
 
 
+def _q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch: the SAME cms_table aggregation
+    (operators/sketch.py) driven over the documents parquet as a file
+    stream (complete-mode memory sink) — sketches are commutative
+    monoids, so batch and stream states are identical and the oracle is
+    the batch sketch replay. State is bounded by depth x width rows
+    regardless of stream length."""
+    from geostructures_spark.operators.bpe import words_expr
+    from geostructures_spark.operators.sketch import cms_table
+    from geostructures_spark.streaming.dedup import run_stream_to_memory
+
+    def transform(stream):
+        items = (stream.select(F.explode(words_expr(F.col('text')))
+                               .alias('item'))
+                 .where(F.col('item') != ''))
+        return cms_table(items, depth=4, width=256)
+
+    out = run_stream_to_memory(
+        spark, os.path.join(sf_dir, 'documents.parquet'), transform,
+        'cms_stream_oracle')
+    return (out.select(F.col('d').cast('int').alias('d'),
+                       F.col('bucket').cast('long').alias('bucket'),
+                       F.col('cnt').cast('long').alias('cnt'))
+            .orderBy('d', 'bucket'))
+
+
+_STREAMING_CMS_DUCK = r"""
+  WITH items AS (
+    SELECT w AS item FROM (
+      SELECT unnest(string_split(regexp_replace(
+        lower(substr(text, 1, 150)), '[^a-z ]', ' ', 'g'), ' ')) AS w
+      FROM documents) z
+    WHERE w <> ''),
+  dd AS (SELECT unnest([0, 1, 2, 3]) AS d)
+  SELECT CAST(dd.d AS INTEGER) AS d,
+         CAST(concat('0x', substr(md5(dd.d || ':' || item), 1, 8))
+              AS BIGINT) % 256 AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM items CROSS JOIN dd GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 _BM25_QUERIES = [
     (0, ['table', 'key', 'row', 'scan']),
     (1, ['spark', 'merge', 'batch']),
@@ -4975,6 +5017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'cms_token_counts': _q_cms_counts,
         'linear_count_tokens': _q_linear_count,
         'zonal_stats_circles': _q_zonal_stats,
+        'streaming_cms_sketch': _q_streaming_cms,
     }
 
 
@@ -5095,4 +5138,5 @@ def oracle_sql() -> dict[str, str]:
         'cms_token_counts': _CMS_DUCK,
         'linear_count_tokens': _LINEAR_COUNT_DUCK,
         'zonal_stats_circles': _ZONAL_DUCK,
+        'streaming_cms_sketch': _STREAMING_CMS_DUCK,
     }
