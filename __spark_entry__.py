@@ -2066,6 +2066,75 @@ _RASTER_TILES_DUCK = f"""
 """
 
 
+def _q_resample_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Track resampling onto a regular 30-min grid (operators/tracks.py
+    resample_track): two as-of joins (backward + forward bracketing
+    pings per epoch) + linear lon/lat interpolation — the table-scale
+    form of the reference's point-in-time Track slicing
+    (collections.py Track.__getitem__). Oracle: DuckDB native ASOF
+    JOINs in both directions + the same interpolation arithmetic."""
+    from geostructures_spark.operators.tracks import resample_track
+    _load(spark, sf_dir, 'events')
+    pings = (spark.sql(_pts_events_sql())
+             .select(F.col('user_id').alias('entity'),
+                     F.col('ts').cast('timestamp').alias('ts'), 'lon', 'lat'))
+    out = resample_track(pings, step_sec=1800)
+    return (out.select(F.col('entity').cast('long').alias('entity'),
+                       'epoch_sec',
+                       F.round('lon', 6).alias('lon'),
+                       F.round('lat', 6).alias('lat'))
+            .orderBy('entity', 'epoch_sec'))
+
+
+def _resample_duckdb() -> str:
+    step_us = 1800 * 1_000_000
+    return f"""
+  WITH pings AS ({_pts_events_sql()}),
+  pr AS (SELECT user_id AS entity, ts, lon, lat FROM pings),
+  p AS MATERIALIZED (
+    SELECT entity, epoch_us(ts) AS t_us,
+           MIN(lon) AS p_lon, MIN(lat) AS p_lat
+    FROM pr GROUP BY entity, ts),
+  span AS (
+    SELECT entity, epoch_us(MIN(ts)) AS t0, epoch_us(MAX(ts)) AS t1
+    FROM pr GROUP BY entity),
+  grid AS MATERIALIZED (
+    -- UNNEST(range(..)) supports lateral column params (generate_series
+    -- does not); range is stop-exclusive, hence t1 + 1
+    SELECT s.entity, CAST(g AS BIGINT) AS t_us
+    FROM span s,
+         UNNEST(range(CAST(ceil(s.t0 / {step_us}.0e0)
+                           * {step_us} AS BIGINT),
+                      s.t1 + 1, {step_us})) AS r(g)),
+  prev AS (
+    SELECT g.entity, g.t_us, p.t_us AS b_t, p.p_lon AS b_lon,
+           p.p_lat AS b_lat
+    FROM grid g ASOF LEFT JOIN p
+      ON g.entity = p.entity AND g.t_us >= p.t_us),
+  nxt AS (
+    SELECT g.entity, g.t_us, p.t_us AS f_t, p.p_lon AS f_lon,
+           p.p_lat AS f_lat
+    FROM grid g ASOF LEFT JOIN p
+      ON g.entity = p.entity AND g.t_us <= p.t_us),
+  j AS (
+    SELECT pr2.entity, pr2.t_us, b_t, b_lon, b_lat, f_t, f_lon, f_lat,
+           CASE WHEN b_t IS NOT NULL AND f_t IS NOT NULL AND f_t > b_t
+                THEN CAST(pr2.t_us - b_t AS DOUBLE)
+                     / CAST(f_t - b_t AS DOUBLE)
+                ELSE 0.0e0 END AS frac
+    FROM prev pr2 JOIN nxt USING (entity, t_us))
+  SELECT CAST(entity AS BIGINT) AS entity,
+         CAST(t_us / 1000000 AS BIGINT) AS epoch_sec,
+         ROUND(CASE WHEN b_t IS NULL THEN f_lon
+                    WHEN f_t IS NULL THEN b_lon
+                    ELSE b_lon + (f_lon - b_lon) * frac END, 6) AS lon,
+         ROUND(CASE WHEN b_t IS NULL THEN f_lat
+                    WHEN f_t IS NULL THEN b_lat
+                    ELSE b_lat + (f_lat - b_lat) * frac END, 6) AS lat
+  FROM j ORDER BY entity, epoch_sec
+"""
+
+
 def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics (operators/raster.py): per-shape aggregates of a
     deterministic synthetic raster over the same supplier circles and
@@ -5018,6 +5087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'linear_count_tokens': _q_linear_count,
         'zonal_stats_circles': _q_zonal_stats,
         'streaming_cms_sketch': _q_streaming_cms,
+        'resample_track_grid': _q_resample_track,
     }
 
 
@@ -5139,4 +5209,5 @@ def oracle_sql() -> dict[str, str]:
         'linear_count_tokens': _LINEAR_COUNT_DUCK,
         'zonal_stats_circles': _ZONAL_DUCK,
         'streaming_cms_sketch': _STREAMING_CMS_DUCK,
+        'resample_track_grid': _resample_duckdb(),
     }

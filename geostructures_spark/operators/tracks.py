@@ -25,6 +25,7 @@ from geostructures_spark.functions.geo import haversine_expr
 __all__ = [
     'with_track_diffs', 'slice_track', 'convolve_duplicate_timestamps',
     'filter_impossible_journeys', 'has_duplicate_timestamps', 'greedy_keep',
+    'resample_track',
 ]
 
 
@@ -156,3 +157,67 @@ def filter_impossible_journeys(tracks: DataFrame, max_speed_mps: float,
         return pdf.iloc[keep]
 
     return tracks.groupBy(entity_col).applyInPandas(per_entity, schema=out_schema)
+
+
+def resample_track(pings: DataFrame, step_sec: int,
+                   entity_col: str = 'entity', time_col: str = 'ts',
+                   lon_col: str = 'lon', lat_col: str = 'lat') -> DataFrame:
+    """Resample each entity's track onto a regular time grid by linear
+    interpolation between the bracketing pings.
+
+    The reference answers point-in-time questions by slicing eager
+    per-track lists (collections.py Track.__getitem__); at table scale
+    the same question is two as-of joins (operators/asof.py): the grid
+    epoch's latest ping at-or-before and earliest ping at-or-after,
+    then lon/lat interpolate linearly in time (an epoch exactly on a
+    ping returns that ping; an epoch outside the track's span returns
+    the one-sided neighbor). Duplicate (entity, ts) pings are
+    canonicalized by MIN(lon)/MIN(lat) first — as-of joins need a
+    unique right side.
+
+    Grid: per entity, epochs ceil(min_ts / step) * step .. max_ts in
+    ``step_sec`` strides — generated JVM-side with sequence/explode.
+    Cost: two keyed shuffles (one per as-of direction) of
+    grid + pings; everything else is column arithmetic.
+
+    Returns (entity, epoch_sec, lon, lat).
+    """
+    from geostructures_spark.operators.asof import asof_join
+
+    p = (pings.groupBy(entity_col, time_col)
+         .agg(F.min(lon_col).alias('p_lon'), F.min(lat_col).alias('p_lat'))
+         .select(entity_col, F.unix_micros(time_col).alias('t_us'),
+                 'p_lon', 'p_lat'))
+
+    step_us = int(step_sec) * 1_000_000
+    span = pings.groupBy(entity_col).agg(
+        F.unix_micros(F.min(time_col)).alias('t0'),
+        F.unix_micros(F.max(time_col)).alias('t1'))
+    start = F.ceil(F.col('t0') / F.lit(step_us)).cast('long') * step_us
+    # an entity whose span contains no grid point would make sequence()
+    # throw (start > stop with a positive step) — filter it out instead
+    grid = (span.where(start <= F.col('t1'))
+            .select(entity_col,
+                    F.explode(F.sequence(start, F.col('t1'),
+                                         F.lit(step_us))).alias('t_us')))
+
+    prev = asof_join(grid, p, on=entity_col, left_ts='t_us',
+                     right_ts='t_us', direction='backward', prefix='b_')
+    both = asof_join(prev, p, on=entity_col, left_ts='t_us',
+                     right_ts='t_us', direction='forward', prefix='f_')
+
+    tp, tn = F.col('b_t_us'), F.col('f_t_us')
+    frac = F.when(tn > tp, (F.col('t_us') - tp).cast('double')
+                  / (tn - tp).cast('double')).otherwise(F.lit(0.0))
+    lon = (F.when(tp.isNull(), F.col('f_p_lon'))
+           .when(tn.isNull(), F.col('b_p_lon'))
+           .otherwise(F.col('b_p_lon')
+                      + (F.col('f_p_lon') - F.col('b_p_lon')) * frac))
+    lat = (F.when(tp.isNull(), F.col('f_p_lat'))
+           .when(tn.isNull(), F.col('b_p_lat'))
+           .otherwise(F.col('b_p_lat')
+                      + (F.col('f_p_lat') - F.col('b_p_lat')) * frac))
+    return both.select(
+        entity_col,
+        (F.col('t_us') / F.lit(1_000_000)).cast('long').alias('epoch_sec'),
+        lon.alias('lon'), lat.alias('lat'))

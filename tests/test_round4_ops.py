@@ -489,3 +489,45 @@ def test_zonal_stats_golden(spark):
     assert r1['min_value'] == float(min(exp))
     assert r1['max_value'] == float(max(exp))
     assert out[2]['n_cells'] == 0 and out[2]['sum_value'] is None
+
+
+def test_resample_track_interpolation(spark):
+    """Hand-built track: epoch on a ping returns it exactly; between
+    pings interpolates linearly; outside the span clamps one-sided."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from geostructures_spark.operators.tracks import resample_track
+
+    pdf = pd.DataFrame({
+        'entity': [1, 1, 1],
+        'ts': pd.to_datetime(['2024-01-01 00:00:00', '2024-01-01 01:00:00',
+                              '2024-01-01 02:30:00']),
+        'lon': [10.0, 20.0, 20.0],
+        'lat': [0.0, 4.0, 4.0],
+    })
+    pings = spark.createDataFrame(pdf)
+    out = {r['epoch_sec']: r for r in
+           resample_track(pings, step_sec=1800).collect()}
+    base = int(pd.Timestamp('2024-01-01 00:00:00').timestamp())
+    # 00:00 exactly on ping 1
+    assert out[base]['lon'] == 10.0 and out[base]['lat'] == 0.0
+    # 00:30 halfway between pings 1 and 2
+    assert out[base + 1800]['lon'] == 15.0
+    assert out[base + 1800]['lat'] == 2.0
+    # 01:00 on ping 2; 02:00 between identical pings 2,3 stays put
+    assert out[base + 3600]['lon'] == 20.0
+    assert out[base + 7200]['lon'] == 20.0
+    # grid covers exactly floor(span/step)+1 epochs
+    assert len(out) == 6
+
+
+def test_resample_track_entity_without_grid_point(spark):
+    import pandas as pd
+    from geostructures_spark.operators.tracks import resample_track
+    pdf = pd.DataFrame({
+        'entity': [1],
+        'ts': pd.to_datetime(['2024-01-01 00:10:00']),
+        'lon': [1.0], 'lat': [2.0],
+    })
+    out = resample_track(spark.createDataFrame(pdf), step_sec=1800).collect()
+    assert out == []  # span contains no grid epoch; no rows, no crash
