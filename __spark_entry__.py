@@ -1112,6 +1112,43 @@ _LINEAR_COUNT_DUCK = r"""
 """
 
 
+def _q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tf-idf terms (operators/textstats.py
+    tfidf_top_terms) — keyword extraction over the corpus; ranking on
+    the 6dp-rounded score with term tie-break (cross-engine
+    determinism). Oracle: direct SQL replay."""
+    from geostructures_spark.operators.textstats import tfidf_top_terms
+    _load(spark, sf_dir, 'documents')
+    out = tfidf_top_terms(spark.table('documents'), k=3)
+    return (out.select('doc_id', 'term', 'score', 'rank')
+            .orderBy('doc_id', 'rank'))
+
+
+_TFIDF_DUCK = r"""
+  WITH toks AS MATERIALIZED (
+    SELECT doc_id, w AS term FROM (
+      SELECT doc_id, unnest(string_split(regexp_replace(
+        lower(substr(text, 1, 150)), '[^a-z ]', ' ', 'g'), ' ')) AS w
+      FROM documents) z
+    WHERE w <> ''),
+  tf AS MATERIALIZED (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+  dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+  nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+  idf AS (SELECT term, ln(nd.n_docs / df) AS idf FROM dft, nd),
+  sc AS (
+    SELECT tf.doc_id, tf.term, ROUND(tf.tf * idf.idf, 6) AS score
+    FROM tf JOIN idf USING (term)),
+  rk AS (
+    SELECT doc_id, term, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, term ASC) AS INT) AS rank
+    FROM sc)
+  SELECT doc_id, term, score, rank
+  FROM rk WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 def _q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming count-min sketch: the SAME cms_table aggregation
     (operators/sketch.py) driven over the documents parquet as a file
@@ -5088,6 +5125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'zonal_stats_circles': _q_zonal_stats,
         'streaming_cms_sketch': _q_streaming_cms,
         'resample_track_grid': _q_resample_track,
+        'tfidf_top_terms': _q_tfidf_terms,
     }
 
 
@@ -5210,4 +5248,5 @@ def oracle_sql() -> dict[str, str]:
         'zonal_stats_circles': _ZONAL_DUCK,
         'streaming_cms_sketch': _STREAMING_CMS_DUCK,
         'resample_track_grid': _resample_duckdb(),
+        'tfidf_top_terms': _TFIDF_DUCK,
     }

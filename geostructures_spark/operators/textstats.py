@@ -12,7 +12,8 @@ from geostructures_spark.operators.dedup import tokens_expr
 
 __all__ = ['with_text_stats', 'with_quality_score', 'lang_id_scores',
            'fingerprint_expr', 'with_fingerprint', 'BPE_TOKEN_PATTERN',
-           'with_token_counts', 'SCRUB_PATTERNS', 'with_scrubbed_text']
+           'with_token_counts', 'SCRUB_PATTERNS', 'with_scrubbed_text',
+           'tfidf_top_terms']
 
 # GPT-2-style pretokenizer reduced to lookahead-free alternatives so the
 # same pattern runs identically under Java regex (Spark) and RE2 (DuckDB):
@@ -142,3 +143,45 @@ def with_fingerprint(docs: DataFrame, text_col: str = 'text',
     return (base.withColumn(
         out_col, F.md5(F.array_min(shingles_from_tokens(F.col('_tk'), window))))
         .drop('_tk'))
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3, id_col: str = 'doc_id',
+                    text_col: str = 'text', max_chars: int = 150) -> DataFrame:
+    """Per-document top-k terms by tf-idf (keyword extraction).
+
+    The corpus-analytics twin of bm25.bm25_topk (which ranks DOCUMENTS
+    for a query; this ranks TERMS for a document — labeling, corpus
+    drift dashboards, domain clustering features). idf = ln(N / df)
+    with no smoothing: a term present in every document scores exactly
+    0 — informative, since such a term can never characterize one doc.
+
+    Scale shape: tf is one map-side-combined groupBy over the exploded
+    tokens; df is a second over (term, doc) distinct pairs; the
+    (doc, term) <- (term, df) join keys on the term — both sides hash-
+    partition, no fan-out. Ranking uses the 6dp-ROUNDED score with a
+    term tie-break (same cross-engine determinism rule as bm25).
+
+    Returns (id_col, term, score, rank), rank 1..k by
+    (score DESC, term ASC).
+    """
+    from pyspark.sql import Window
+
+    from geostructures_spark.operators.bpe import words_expr
+
+    toks = docs.select(
+        id_col,
+        F.explode(words_expr(F.col(text_col), max_chars)).alias('term')
+    ).where(F.col('term') != '')
+    tf = toks.groupBy(id_col, 'term').agg(F.count('*').alias('tf'))
+    df_t = (tf.groupBy('term')
+            .agg(F.count('*').cast('double').alias('df')))
+    n_docs = docs.select(F.count('*').cast('double').alias('n_docs'))
+    idf = (df_t.crossJoin(F.broadcast(n_docs))
+           .select('term', F.log(F.col('n_docs') / F.col('df')).alias('idf')))
+    scored = (tf.join(idf, 'term')
+              .select(id_col, 'term',
+                      F.round(F.col('tf') * F.col('idf'), 6).alias('score')))
+    w = Window.partitionBy(id_col).orderBy(F.col('score').desc(),
+                                           F.col('term').asc())
+    return (scored.withColumn('rank', F.row_number().over(w))
+            .filter(F.col('rank') <= k))

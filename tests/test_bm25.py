@@ -86,3 +86,23 @@ def test_hits_filtered_before_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # the corpus explode joins the broadcast query terms map-side
     assert 'BroadcastHashJoin' in plan
+
+
+def test_tfidf_top_terms_golden(spark):
+    import math
+    from geostructures_spark.operators.textstats import tfidf_top_terms
+    corpus = ['apple apple banana common',
+              'banana cherry common',
+              'cherry cherry cherry common']
+    rows = tfidf_top_terms(_docs(spark, corpus), k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r['doc_id'], []).append((r['rank'], r['term'],
+                                                   r['score']))
+    # doc 0: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert [t for _, t, _ in sorted(by_doc[0])] == ['apple', 'banana']
+    assert sorted(by_doc[0])[0][2] == round(2 * math.log(3.0), 6)
+    # 'common' appears in every doc: idf = 0, never a top term over a
+    # positive-scoring one; doc 2's top is cherry
+    assert sorted(by_doc[2])[0][1] == 'cherry'
+    assert all(r['rank'] <= 2 for r in rows)
