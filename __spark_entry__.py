@@ -697,6 +697,56 @@ def _impossible_duckdb() -> str:
 """
 
 
+def _q_simplify_radial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radial-distance track simplification (operators/tracks.py
+    simplify_track_radial): keep a ping iff it is >= 2000 km from the
+    last KEPT ping — the greedy GPS-thinning scan, same anchor
+    recursion shape as filter_impossible_journeys. Oracle: recursive
+    CTE advancing every entity one ping per step."""
+    from geostructures_spark.operators.tracks import simplify_track_radial
+    _load(spark, sf_dir, 'events')
+    pings = (spark.sql(_pts_events_sql())
+             .select(F.col('user_id').alias('entity'),
+                     F.col('ts').alias('dt_start'), 'lon', 'lat'))
+    kept = simplify_track_radial(pings, epsilon_m=2_000_000.0)
+    return (kept.groupBy('entity')
+            .agg(F.count('*').cast('long').alias('n_kept'))
+            .orderBy('entity'))
+
+
+def _simplify_radial_duckdb(eps_m: float = 2_000_000.0) -> str:
+    """The radial greedy scan as a recursive CTE (the
+    _impossible_duckdb pattern with the keep rule dist >= eps)."""
+    dist = _hav('s.a_lon', 's.a_lat', 'p.lon', 'p.lat')
+    return f"""
+  WITH RECURSIVE p AS (
+    SELECT user_id AS entity, lon, lat,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+    FROM ({_pts_events_sql()})
+  ),
+  step AS (
+    SELECT entity, rn, lon AS a_lon, lat AS a_lat, 1 AS n_kept
+    FROM p WHERE rn = 1
+    UNION ALL
+    SELECT entity, rn,
+           CASE WHEN kept THEN c_lon ELSE a_lon END,
+           CASE WHEN kept THEN c_lat ELSE a_lat END,
+           n_kept + CASE WHEN kept THEN 1 ELSE 0 END
+    FROM (
+      SELECT s.entity, p.rn, p.lon AS c_lon, p.lat AS c_lat,
+             s.a_lon, s.a_lat, s.n_kept,
+             ({dist} >= {eps_m!r}e0) AS kept
+      FROM step s JOIN p ON p.entity = s.entity AND p.rn = s.rn + 1
+    )
+  )
+  SELECT entity, CAST(n_kept AS BIGINT) AS n_kept
+  FROM (SELECT entity, n_kept,
+               row_number() OVER (PARTITION BY entity ORDER BY rn DESC) AS rr
+        FROM step)
+  WHERE rr = 1 ORDER BY entity
+"""
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups on a normalized key (40-char prefix)."""
     from geostructures_spark.operators.dedup import exact_dedup_groups
@@ -5126,6 +5176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_cms_sketch': _q_streaming_cms,
         'resample_track_grid': _q_resample_track,
         'tfidf_top_terms': _q_tfidf_terms,
+        'simplify_track_radial': _q_simplify_radial,
     }
 
 
@@ -5249,4 +5300,5 @@ def oracle_sql() -> dict[str, str]:
         'streaming_cms_sketch': _STREAMING_CMS_DUCK,
         'resample_track_grid': _resample_duckdb(),
         'tfidf_top_terms': _TFIDF_DUCK,
+        'simplify_track_radial': _simplify_radial_duckdb(),
     }

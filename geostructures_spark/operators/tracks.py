@@ -25,7 +25,7 @@ from geostructures_spark.functions.geo import haversine_expr
 __all__ = [
     'with_track_diffs', 'slice_track', 'convolve_duplicate_timestamps',
     'filter_impossible_journeys', 'has_duplicate_timestamps', 'greedy_keep',
-    'resample_track',
+    'resample_track', 'simplify_track_radial',
 ]
 
 
@@ -221,3 +221,40 @@ def resample_track(pings: DataFrame, step_sec: int,
         entity_col,
         (F.col('t_us') / F.lit(1_000_000)).cast('long').alias('epoch_sec'),
         lon.alias('lon'), lat.alias('lat'))
+
+
+def simplify_track_radial(tracks: DataFrame, epsilon_m: float,
+                          entity_col: str = 'entity',
+                          time_col: str = 'dt_start',
+                          lon_col: str = 'lon',
+                          lat_col: str = 'lat') -> DataFrame:
+    """Radial-distance track simplification: the greedy ping-thinning
+    every GPS ingest pipeline runs before storage.
+
+    Per entity in time order: the first ping is kept; a later ping is
+    kept iff its haversine distance from the last KEPT ping is
+    >= ``epsilon_m`` (the anchor then moves). Same anchor-recursion
+    shape as filter_impossible_journeys — not window-expressible, so
+    the same applyInPandas plan (one shuffle on the entity key); the
+    oracle replays the recursion with a recursive CTE.
+    """
+    from geostructures_spark.kernels.geodesy import haversine_distance
+    out_schema = tracks.schema
+
+    def per_entity(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col, kind='stable').reset_index(drop=True)
+        if not len(pdf):
+            return pdf
+        lons = pdf[lon_col].to_numpy(np.float64)
+        lats = pdf[lat_col].to_numpy(np.float64)
+        keep = np.zeros(len(pdf), dtype=bool)
+        a = -1
+        for j in range(len(pdf)):
+            if a < 0 or float(haversine_distance(
+                    lons[a], lats[a], lons[j], lats[j])) >= epsilon_m:
+                keep[j] = True
+                a = j
+        return pdf.iloc[keep]
+
+    return tracks.groupBy(entity_col).applyInPandas(per_entity,
+                                                    schema=out_schema)

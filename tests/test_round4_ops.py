@@ -531,3 +531,22 @@ def test_resample_track_entity_without_grid_point(spark):
     })
     out = resample_track(spark.createDataFrame(pdf), step_sec=1800).collect()
     assert out == []  # span contains no grid epoch; no rows, no crash
+
+
+def test_simplify_track_radial_golden(spark):
+    """First ping kept; anchor moves only on keep; sub-epsilon jitter
+    between two far points collapses onto the anchor."""
+    import pandas as pd
+    from geostructures_spark.operators.tracks import simplify_track_radial
+    pdf = pd.DataFrame({
+        'entity': [1] * 5,
+        'dt_start': pd.to_datetime(['2024-01-01 00:00', '2024-01-01 00:10',
+                                    '2024-01-01 00:20', '2024-01-01 00:30',
+                                    '2024-01-01 00:40']),
+        #      keep   jitter  jitter  far->keep  jitter-from-new-anchor
+        'lon': [0.0,  0.001,  0.002,  1.0,       1.001],
+        'lat': [0.0,  0.0,    0.0,    0.0,       0.0],
+    })
+    kept = simplify_track_radial(spark.createDataFrame(pdf),
+                                 epsilon_m=50_000.0).collect()
+    assert sorted(r['lon'] for r in kept) == [0.0, 1.0]
