@@ -1265,6 +1265,32 @@ def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy('query_id', 'rank'))
 
 
+def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval: reciprocal-rank fusion
+    (operators/bm25.py rrf_fuse) of the BM25 top-10 with the exact
+    cosine top-10 whose query embedding is embeddings[vec_id =
+    query_id]. The two reciprocal terms sum commutative-exactly; the
+    fused score rounds to 12 dp before ranking. Oracle replays both
+    rank lists and the fusion in SQL."""
+    from geostructures_spark.operators.bm25 import bm25_topk, rrf_fuse
+    from geostructures_spark.operators.simsearch import cosine_topk_exact
+    _load(spark, sf_dir, 'documents')
+    _load(spark, sf_dir, 'embeddings')
+    bm = (bm25_topk(spark.table('documents'), _BM25_QUERIES, k=10)
+          .select('query_id', F.col('doc_id').cast('long').alias('doc_id'),
+                  'rank'))
+    vecs = spark.table('embeddings')
+    qv = (vecs.where(F.col('vec_id').isin([q for q, _ in _BM25_QUERIES]))
+          .select(F.col('vec_id').alias('query_id'),
+                  F.col('embedding').alias('q_embedding')))
+    ann = (cosine_topk_exact(vecs, qv, k=10)
+           .select('query_id',
+                   F.col('neighbor_id').cast('long').alias('doc_id'), 'rank'))
+    fused = rrf_fuse([bm, ann], k=10)
+    return (fused.select('query_id', 'doc_id', 'rrf_score', 'rank')
+            .orderBy('query_id', 'rank'))
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (operators/semdedup.py):
     IVF-bucketed cosine near-dup pairs (same config as
@@ -5177,6 +5203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'resample_track_grid': _q_resample_track,
         'tfidf_top_terms': _q_tfidf_terms,
         'simplify_track_radial': _q_simplify_radial,
+        'hybrid_rrf_topk': _q_hybrid_rrf,
     }
 
 
@@ -5301,4 +5328,5 @@ def oracle_sql() -> dict[str, str]:
         'resample_track_grid': _resample_duckdb(),
         'tfidf_top_terms': _TFIDF_DUCK,
         'simplify_track_radial': _simplify_radial_duckdb(),
+        'hybrid_rrf_topk': _bm25_sql.hybrid_rrf_duckdb(_BM25_QUERIES, k=10),
     }

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from geostructures_spark.operators.bpe import words_expr
 
-__all__ = ['bm25_topk']
+__all__ = ['bm25_topk', 'rrf_fuse']
 
 
 def bm25_topk(docs: DataFrame, queries: Sequence[tuple[int, Sequence[str]]],
@@ -87,5 +87,37 @@ def bm25_topk(docs: DataFrame, queries: Sequence[tuple[int, Sequence[str]]],
               .agg(F.round(F.sum('s'), 6).alias('score')))
     w = Window.partitionBy('query_id').orderBy(F.col('score').desc(),
                                                F.col(id_col).asc())
+    return (scores.withColumn('rank', F.row_number().over(w))
+            .filter(F.col('rank') <= k))
+
+
+def rrf_fuse(rankings, k: int, rrf_k: int = 60,
+             query_col: str = 'query_id', id_col: str = 'doc_id') -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of ranked lists.
+
+    ``rankings`` is a list of DataFrames each carrying
+    (query_col, id_col, rank); the fused score is
+    sum over systems of 1 / (rrf_k + rank) — the standard hybrid
+    lexical+vector retrieval combiner (BM25 list + ANN list in,
+    one list out). A document absent from a system contributes 0.
+
+    Fused ranking is deterministic cross-engine: the per-system
+    reciprocal terms are summed by a groupBy (commutative-exact for
+    two systems; for 3+ the score is rounded to 12 dp before ranking
+    so association order cannot split a tie), tie-break on id.
+
+    Returns (query_col, id_col, rrf_score, rank), rank 1..k.
+    """
+    from functools import reduce
+
+    terms = [r.select(query_col, id_col,
+                      (1.0 / (F.lit(float(rrf_k)) + F.col('rank')))
+                      .alias('term'))
+             for r in rankings]
+    unioned = reduce(lambda a, b: a.unionByName(b), terms)
+    scores = (unioned.groupBy(query_col, id_col)
+              .agg(F.round(F.sum('term'), 12).alias('rrf_score')))
+    w = Window.partitionBy(query_col).orderBy(F.col('rrf_score').desc(),
+                                              F.col(id_col).asc())
     return (scores.withColumn('rank', F.row_number().over(w))
             .filter(F.col('rank') <= k))
