@@ -106,3 +106,21 @@ def test_tfidf_top_terms_golden(spark):
     # positive-scoring one; doc 2's top is cherry
     assert sorted(by_doc[2])[0][1] == 'cherry'
     assert all(r['rank'] <= 2 for r in rows)
+
+
+def test_rrf_fuse_golden(spark):
+    import pandas as pd
+    from geostructures_spark.operators.bm25 import rrf_fuse
+    a = spark.createDataFrame(pd.DataFrame(
+        {'query_id': [0, 0, 0], 'doc_id': [10, 11, 12], 'rank': [1, 2, 3]}))
+    b = spark.createDataFrame(pd.DataFrame(
+        {'query_id': [0, 0], 'doc_id': [12, 13], 'rank': [1, 2]}))
+    rows = {r['doc_id']: r for r in rrf_fuse([a, b], k=4).collect()}
+    # doc 12: in both lists -> 1/63 + 1/61 beats every single-list doc
+    assert rows[12]['rank'] == 1
+    assert rows[12]['rrf_score'] == round(1 / 63 + 1 / 61, 12)
+    # doc 10 (1/61) and doc 13 (1/62) and doc 11 (1/62)... doc 10 next
+    assert rows[10]['rank'] == 2
+    assert rows[10]['rrf_score'] == round(1 / 61, 12)
+    # docs 11 and 13 tie at 1/62 -> doc_id ascending
+    assert rows[11]['rank'] == 3 and rows[13]['rank'] == 4
