@@ -5053,6 +5053,31 @@ def _q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy('query_id', 'rank'))
 
 
+def _q_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-k (operators/pq.py ivfpq_topk): cosine IVF
+    partitioning (fixed vec_id<8 centroids, same as
+    embedding_neardup_pairs) restricts each query to its 2 probed
+    buckets; PQ codes + a vectorized Arrow ADC column rank the bucket
+    members. The billion-vector layout in miniature; recall<1 by
+    design (baselines: cosine_topk_exact / pq_adc_topk). Oracle
+    composes the proven IVF-assign and PQ replay chains."""
+    from geostructures_spark.operators.pq import ivfpq_topk, pq_encode
+    from geostructures_spark.operators.simsearch import ivf_assign
+    vecs, books = _pq_books(spark, sf_dir)
+    enc = pq_encode(vecs, books)
+    cents = (vecs.filter(F.col('vec_id') < 8)
+             .select(F.col('vec_id').alias('centroid_id'),
+                     F.col('embedding').alias('c_embedding')))
+    inverted = ivf_assign(vecs, cents).select('vec_id', 'centroid_id')
+    queries = (vecs.where(F.col('vec_id') % 83 == 0)
+               .select(F.col('vec_id').alias('query_id'),
+                       F.col('embedding').alias('q_embedding')))
+    out = ivfpq_topk(enc, books, inverted, cents, queries, k=5, n_probe=2)
+    return (out.select('query_id', 'neighbor_id',
+                       F.round('adc_dist', 6).alias('adc_dist'), 'rank')
+            .orderBy('query_id', 'rank'))
+
+
 def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-backoff n-gram LM quality scores (operators/lm.py): train
     unigram/bigram counts on the corpus, score every document's
@@ -5204,6 +5229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tfidf_top_terms': _q_tfidf_terms,
         'simplify_track_radial': _q_simplify_radial,
         'hybrid_rrf_topk': _q_hybrid_rrf,
+        'ivfpq_ann_topk': _q_ivfpq,
     }
 
 
@@ -5329,4 +5355,5 @@ def oracle_sql() -> dict[str, str]:
         'tfidf_top_terms': _TFIDF_DUCK,
         'simplify_track_radial': _simplify_radial_duckdb(),
         'hybrid_rrf_topk': _bm25_sql.hybrid_rrf_duckdb(_BM25_QUERIES, k=10),
+        'ivfpq_ann_topk': _pq_sql.ivfpq_topk_duckdb(),
     }

@@ -41,7 +41,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ['pq_train', 'pq_encode', 'pq_adc_topk', 'subvectors_df']
+__all__ = ['pq_train', 'pq_encode', 'pq_adc_topk', 'subvectors_df',
+           'adc_dist_col', 'ivfpq_topk']
 
 
 def subvectors_df(vectors: DataFrame, m: int, dsub: int,
@@ -262,4 +263,78 @@ def pq_adc_topk(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
     w = Window.partitionBy('query_id').orderBy(F.col('adc_dist').asc(),
                                                F.col('neighbor_id').asc())
     return (cand.withColumn('rank', F.row_number().over(w))
+            .filter(F.col('rank') <= k))
+
+
+def adc_dist_col(query_ids, codes_col, codebooks: DataFrame,
+                 queries: DataFrame, q_id: str = 'query_id',
+                 q_vec: str = 'q_embedding'):
+    """Squared-L2 ADC distance as a vectorized Arrow column: for rows of
+    (query_id, codes), gather-sum each code path through the per-query
+    LUT built from the broadcast codebooks + query matrix. The
+    candidate-restricted companion of pq_adc_topk's full scan (used by
+    ivfpq_topk, where an IVF probe has already shortlisted rows)."""
+    bcC = _codebook_broadcast(codebooks)
+    qrows = queries.select(q_id, q_vec).collect()
+    qrows.sort(key=lambda r: r[0])
+    q_ids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    Q = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+    bcQ = codebooks.sparkSession.sparkContext.broadcast((q_ids, Q))
+
+    @F.pandas_udf('double')
+    def _adc(qid: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(qid) == 0:
+            return pd.Series(np.zeros(0))
+        C = bcC.value
+        m, ksub, dsub = C.shape
+        ids_q, Qm = bcQ.value
+        Qs = Qm.reshape(len(ids_q), m, dsub)
+        lut = ((Qs[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)
+        qidx = np.searchsorted(ids_q, qid.to_numpy(dtype=np.int64))
+        cm = np.asarray(codes.tolist(), dtype=np.int64)
+        d = lut[qidx[:, None], np.arange(m)[None, :], cm].sum(axis=1)
+        return pd.Series(d)
+
+    return _adc(query_ids, codes_col)
+
+
+def ivfpq_topk(codes: DataFrame, codebooks: DataFrame, inverted: DataFrame,
+               centroids: DataFrame, queries: DataFrame, k: int,
+               n_probe: int = 2, id_col: str = 'vec_id',
+               codes_col: str = 'codes', c_id: str = 'centroid_id',
+               c_vec: str = 'c_embedding', q_id: str = 'query_id',
+               q_vec: str = 'q_embedding') -> DataFrame:
+    """IVF-PQ ANN top-k: probe ``n_probe`` IVF buckets per query, rank
+    only the bucket members by PQ ADC distance.
+
+    The standard billion-vector layout (IVFFlat partitioning +
+    PQ-compressed storage, non-residual variant): the inverted file
+    restricts each query to its probed buckets — candidates ~
+    n_probe/k_centroids of the corpus — and the PQ codes stand in for
+    the raw vectors, so the candidate join ships m small ints per row
+    instead of the d-dim float array. Recall < 1 by design; the exact
+    baselines are cosine_topk_exact / pq_adc_topk.
+
+    Plan: GEMM probe of the query side (ivf_assign), a centroid-keyed
+    equi-join against the inverted file, a codes join on vec_id, one
+    vectorized Arrow ADC column, and a per-query top-k window.
+    Output: (query_id, neighbor_id, adc_dist, rank).
+    """
+    from geostructures_spark.operators.simsearch import ivf_assign
+
+    q_probe = (ivf_assign(queries, centroids, id_col=q_id, vec_col=q_vec,
+                          c_id=c_id, c_vec=c_vec, n_assign=n_probe)
+               .select(q_id, c_id))
+    cand = (inverted.select(id_col, c_id).join(q_probe, c_id)
+            .filter(F.col(id_col) != F.col(q_id))
+            .select(q_id, id_col).distinct()
+            .join(codes.select(id_col, codes_col), id_col))
+    scored = cand.select(
+        F.col(q_id).alias('query_id'),
+        F.col(id_col).alias('neighbor_id'),
+        adc_dist_col(F.col(q_id), F.col(codes_col), codebooks, queries,
+                     q_id=q_id, q_vec=q_vec).alias('adc_dist'))
+    w = Window.partitionBy('query_id').orderBy(F.col('adc_dist').asc(),
+                                               F.col('neighbor_id').asc())
+    return (scored.withColumn('rank', F.row_number().over(w))
             .filter(F.col('rank') <= k))

@@ -16,7 +16,8 @@ exact tie by one ulp and flip a rank against the Spark side.
 
 from __future__ import annotations
 
-__all__ = ['pq_chain_ctes', 'pq_encode_duckdb', 'pq_adc_duckdb']
+__all__ = ['pq_chain_ctes', 'pq_encode_duckdb', 'pq_adc_duckdb',
+           'ivfpq_topk_duckdb']
 
 
 def pq_chain_ctes(m: int = 4, dsub: int = 16, ksub: int = 8,
@@ -114,6 +115,79 @@ WITH {pq_chain_ctes(m, dsub, ksub, n_iter)},
     JOIN lut l3 ON l3.sub_id = 3 AND l3.code_id = w.c3
                 AND l3.query_id = l0.query_id
     WHERE w.vec_id <> l0.query_id),
+  rk AS (
+    SELECT query_id, neighbor_id, adc_dist,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY adc_dist ASC, neighbor_id ASC) AS INT) AS rank
+    FROM cand)
+  SELECT query_id, neighbor_id, ROUND(adc_dist, 6) AS adc_dist, rank
+  FROM rk WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
+def ivfpq_topk_duckdb(k: int = 5, n_probe: int = 2, query_mod: int = 83,
+                      n_cents: int = 8, m: int = 4, dsub: int = 16,
+                      ksub: int = 8, n_iter: int = 1) -> str:
+    """(query_id, neighbor_id, adc_dist, rank) — IVF-probed PQ ADC top-k.
+
+    Composes the proven replay pieces: cosine IVF assignment (the
+    _EMB_NEARDUP_DUCK pattern: list_cosine_similarity ROW_NUMBER with
+    centroid-id tie-break) restricts candidates to the probed buckets;
+    the PQ chain + pivoted left-fold ADC ranks them."""
+    assert m == 4, 'the pivoted ADC replay is written for m=4'
+    cb = f'cb{n_iter}'
+    return f"""
+WITH {pq_chain_ctes(m, dsub, ksub, n_iter)},
+  codes_w AS (
+    SELECT vec_id,
+           max(CASE WHEN sub_id = 0 THEN code_id END) AS c0,
+           max(CASE WHEN sub_id = 1 THEN code_id END) AS c1,
+           max(CASE WHEN sub_id = 2 THEN code_id END) AS c2,
+           max(CASE WHEN sub_id = 3 THEN code_id END) AS c3
+    FROM enc GROUP BY vec_id),
+  cents AS (
+    SELECT vec_id AS centroid_id, embedding AS c_emb
+    FROM embeddings WHERE vec_id < {n_cents}),
+  inv AS MATERIALIZED (
+    SELECT vec_id, centroid_id FROM (
+      SELECT v.vec_id, c.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+               ORDER BY list_cosine_similarity(v.embedding, c.c_emb) DESC,
+                        c.centroid_id ASC) AS r
+      FROM embeddings v, cents c) z WHERE r = 1),
+  qraw AS (
+    SELECT vec_id AS query_id, embedding FROM embeddings
+    WHERE vec_id % {query_mod} = 0),
+  probe AS (
+    SELECT query_id, centroid_id FROM (
+      SELECT q.query_id, c.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(q.embedding, c.c_emb) DESC,
+                        c.centroid_id ASC) AS r
+      FROM qraw q, cents c) z WHERE r <= {n_probe}),
+  candpairs AS (
+    SELECT DISTINCT p.query_id, i.vec_id
+    FROM probe p JOIN inv i USING (centroid_id)
+    WHERE i.vec_id <> p.query_id),
+  qsub AS (
+    SELECT vec_id AS query_id, sub_id, sv FROM sub
+    WHERE vec_id % {query_mod} = 0),
+  lut AS MATERIALIZED (
+    SELECT q.query_id, c.sub_id, c.code_id,
+           list_distance(q.sv, c.c) ** 2 AS d
+    FROM qsub q JOIN {cb} c USING (sub_id)),
+  cand AS (
+    SELECT cp.query_id, w.vec_id AS neighbor_id,
+           (((l0.d + l1.d) + l2.d) + l3.d) AS adc_dist
+    FROM candpairs cp
+    JOIN codes_w w ON w.vec_id = cp.vec_id
+    JOIN lut l0 ON l0.query_id = cp.query_id AND l0.sub_id = 0
+                AND l0.code_id = w.c0
+    JOIN lut l1 ON l1.query_id = cp.query_id AND l1.sub_id = 1
+                AND l1.code_id = w.c1
+    JOIN lut l2 ON l2.query_id = cp.query_id AND l2.sub_id = 2
+                AND l2.code_id = w.c2
+    JOIN lut l3 ON l3.query_id = cp.query_id AND l3.sub_id = 3
+                AND l3.code_id = w.c3),
   rk AS (
     SELECT query_id, neighbor_id, adc_dist,
            CAST(ROW_NUMBER() OVER (PARTITION BY query_id

@@ -138,3 +138,32 @@ def test_subvectors_and_encode_plans(spark, data):
     enc_plan = (pq_encode(vecs, books)
                 ._jdf.queryExecution().executedPlan().toString())
     assert 'Exchange' not in enc_plan
+
+
+def test_ivfpq_recall_against_exact_adc(spark, data):
+    """Probing ALL buckets must reproduce the exact ADC ranking; probing
+    fewer returns a subset with the same relative order."""
+    from geostructures_spark.operators.pq import ivfpq_topk
+    from geostructures_spark.operators.simsearch import ivf_assign
+    m, ksub = 2, 4
+    vecs = _vecs(spark, data)
+    books = pq_train(vecs, m=m, ksub=ksub, n_iter=1)
+    enc = pq_encode(vecs, books)
+    cents = (vecs.where(F.col('vec_id') < 3)
+             .select(F.col('vec_id').alias('centroid_id'),
+                     F.col('embedding').alias('c_embedding')))
+    inv = ivf_assign(vecs, cents).select('vec_id', 'centroid_id')
+    q = (vecs.where(F.col('vec_id') == 5)
+         .select(F.col('vec_id').alias('query_id'),
+                 F.col('embedding').alias('q_embedding')))
+    exact = {r['neighbor_id']: r['adc_dist']
+             for r in pq_adc_topk(enc, books, q, k=60).collect()}
+    full = ivfpq_topk(enc, books, inv, cents, q, k=60, n_probe=3).collect()
+    assert {r['neighbor_id'] for r in full} == set(exact)  # all buckets
+    for r in full:
+        assert r['adc_dist'] == exact[r['neighbor_id']]
+    part = ivfpq_topk(enc, books, inv, cents, q, k=60, n_probe=1).collect()
+    assert {r['neighbor_id'] for r in part} <= set(exact)
+    ranks = [exact[r['neighbor_id']] for r in
+             sorted(part, key=lambda r: r['rank'])]
+    assert ranks == sorted(ranks)  # same relative order as exact
