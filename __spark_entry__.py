@@ -2179,6 +2179,113 @@ _RASTER_TILES_DUCK = f"""
 """
 
 
+_FMT_MD_SQL = ("concat(CASE WHEN {m} < 0 THEN '-' ELSE '' END,"
+               " CAST(abs({m}) DIV 1000 AS STRING), '.',"
+               " LPAD(CAST(abs({m}) % 1000 AS STRING), 3, '0'))")
+_FMT_MD_DUCK = ("concat(CASE WHEN {m} < 0 THEN '-' ELSE '' END,"
+                " CAST(abs({m}) // 1000 AS VARCHAR), '.',"
+                " LPAD(CAST(abs({m}) % 1000 AS VARCHAR), 3, '0'))")
+
+
+def _q_pages_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's core path as ONE oracle-checked contract row:
+    pages(url, warc_ts, html BINARY, text, lang) -> byte-exact text
+    extraction from the html wrapper -> regex coordinate mining (the
+    real Arrow miner, operators/miner.py) -> Niemeyer tiling ->
+    per-cell counts, all in the fused mine_cell_counts stage. Pages are
+    synthesized SQL-replayably from the documents table: coordinate
+    strings are built from integer millidegrees (so the mined
+    float-parse and the oracle's m/1000.0 are the identical correctly-
+    rounded double), one 'coords@lonlat:' mention per page plus a
+    flag-flipped 'coords@latlon:' mention on every 3rd page. The
+    DMS/QDMS mention formats are covered by unit goldens; this row
+    pins the pipeline end to end."""
+    from geostructures_spark.operators.miner import mine_cell_counts
+    _load(spark, sf_dir, 'documents')
+    f1lon = _FMT_MD_SQL.format(m='(doc_id * 7919) % 359000 - 179500')
+    f1lat = _FMT_MD_SQL.format(m='(doc_id * 104729) % 170000 - 85000')
+    f2lon = _FMT_MD_SQL.format(m='(doc_id * 1543) % 359000 - 179500')
+    f2lat = _FMT_MD_SQL.format(m='(doc_id * 2741) % 170000 - 85000')
+    pages = spark.table('documents').selectExpr(
+        "concat('https://ex.com/', CAST(doc_id AS STRING)) AS url",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"
+        ' AS warc_ts',
+        f"""CAST(concat('<html><body>', 'crawl page ', substr(text, 1, 30),
+          ' coords@lonlat: ', {f1lon}, ', ', {f1lat}, ' more words',
+          CASE WHEN doc_id % 3 = 0
+               THEN concat(' coords@latlon: ', {f2lat}, ', ', {f2lon})
+               ELSE '' END,
+          ' end.', '</body></html>') AS BINARY) AS html""",
+        "'' AS text", "'en' AS lang")
+    return (mine_cell_counts(pages, from_html=True,
+                             cell_length=6, cell_base=16)
+            .select('cell', F.col('n').cast('long').alias('n'))
+            .orderBy('cell'))
+
+
+def _streaming_cells_duckdb() -> str:
+    return f"""
+  WITH pts AS ({_pts_events_sql()})
+  SELECT {_niemeyer6_duckdb('lon', 'lat')} AS cell,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1 ORDER BY cell
+"""
+
+
+def _pages_mine_duckdb() -> str:
+    f2lon_m = '(doc_id * 1543) % 359000 - 179500'
+    f2lat_m = '(doc_id * 2741) % 170000 - 85000'
+    return f"""
+  WITH p1 AS (
+    SELECT ((doc_id * 7919) % 359000 - 179500) / 1000.0e0 AS lon,
+           ((doc_id * 104729) % 170000 - 85000) / 1000.0e0 AS lat
+    FROM documents),
+  p2 AS (
+    SELECT ({f2lon_m}) / 1000.0e0 AS lon,
+           ({f2lat_m}) / 1000.0e0 AS lat
+    FROM documents WHERE doc_id % 3 = 0),
+  pts AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+  SELECT {_niemeyer6_duckdb('lon', 'lat')} AS cell,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1 ORDER BY cell
+"""
+
+
+def _q_streaming_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming spatial tiling: the events stream's derived pings are
+    Niemeyer-tiled (the real pandas-UDF cell encoder, operators/
+    tiling.py with_cell) and counted per cell in complete mode — the
+    streaming twin of niemeyer_cell_counts, proving the tiling kernel
+    runs unchanged inside Structured Streaming (cell counting is a
+    commutative monoid, so batch==stream and the oracle is the batch
+    replay)."""
+    import tempfile
+    from geostructures_spark.operators.tiling import with_cell
+    from geostructures_spark.streaming.events import EVENTS_SCHEMA
+    path = os.path.join(sf_dir, 'events.parquet')
+    if os.path.isfile(path):
+        d = tempfile.mkdtemp(prefix='gs_stream_cells_')
+        os.symlink(path, os.path.join(d, 'events.parquet'))
+        path = d
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    pings = stream.select(
+        ((F.col('event_id') * 7919) % 360000 / 1000.0 - 180.0 + 0.000123)
+        .alias('lon'),
+        ((F.col('event_id') * 104729) % 170000 / 1000.0 - 85.0 + 0.000321)
+        .alias('lat'))
+    cells = (with_cell(pings, length=6, base=16)
+             .groupBy('cell').agg(F.count('*').alias('n')))
+    q = (cells.writeStream.outputMode('complete')
+         .format('memory').queryName('stream_cells_oracle').start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (spark.sql('SELECT * FROM stream_cells_oracle')
+            .select('cell', F.col('n').cast('long').alias('n'))
+            .orderBy('cell'))
+
+
 def _q_resample_track(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Track resampling onto a regular 30-min grid (operators/tracks.py
     resample_track): two as-of joins (backward + forward bracketing
@@ -5230,6 +5337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'simplify_track_radial': _q_simplify_radial,
         'hybrid_rrf_topk': _q_hybrid_rrf,
         'ivfpq_ann_topk': _q_ivfpq,
+        'pages_mine_cells': _q_pages_mine,
+        'streaming_cell_counts': _q_streaming_cells,
     }
 
 
@@ -5356,4 +5465,6 @@ def oracle_sql() -> dict[str, str]:
         'simplify_track_radial': _simplify_radial_duckdb(),
         'hybrid_rrf_topk': _bm25_sql.hybrid_rrf_duckdb(_BM25_QUERIES, k=10),
         'ivfpq_ann_topk': _pq_sql.ivfpq_topk_duckdb(),
+        'pages_mine_cells': _pages_mine_duckdb(),
+        'streaming_cell_counts': _streaming_cells_duckdb(),
     }
