@@ -2251,6 +2251,66 @@ def _pages_mine_duckdb() -> str:
 """
 
 
+def _q_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 Bloom filter (operators/sketch.py bloom_bits/bloom_contains):
+    the filter is built over the distinct tokens of EVEN documents and
+    probed with every distinct corpus token, next to the exact ground
+    truth — no false negatives ever, and the (deterministic) false
+    positives are value-checked too because the md5 bit positions are
+    engine-reproducible. Output: per-token membership verdicts."""
+    from geostructures_spark.operators.bpe import words_expr
+    from geostructures_spark.operators.sketch import (bloom_bits,
+                                                      bloom_contains)
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    toks = (docs.select('doc_id',
+                        F.explode(words_expr(F.col('text'))).alias('item'))
+            .where(F.col('item') != ''))
+    keyset = toks.where(F.col('doc_id') % 2 == 0).select('item').distinct()
+    probes = toks.select('item').distinct()
+    bits = bloom_bits(keyset, m_bits=512, n_hashes=3)
+    got = bloom_contains(bits, probes, m_bits=512, n_hashes=3)
+    truth = keyset.withColumn('actually_present', F.lit(True))
+    return (got.join(truth, 'item', 'left')
+            .select(F.col('item').alias('token'), 'maybe_present',
+                    F.coalesce('actually_present', F.lit(False))
+                    .alias('actually_present'))
+            .orderBy('token'))
+
+
+_BLOOM_DUCK = r"""
+  WITH toks AS MATERIALIZED (
+    SELECT doc_id, w AS item FROM (
+      SELECT doc_id, unnest(string_split(regexp_replace(
+        lower(substr(text, 1, 150)), '[^a-z ]', ' ', 'g'), ' ')) AS w
+      FROM documents) z
+    WHERE w <> ''),
+  keyset AS MATERIALIZED (
+    SELECT DISTINCT item FROM toks WHERE doc_id % 2 = 0),
+  dd AS (SELECT unnest([0, 1, 2]) AS d),
+  bits AS MATERIALIZED (
+    SELECT DISTINCT CAST(concat('0x', substr(md5(dd.d || ':' || item), 1, 8))
+                         AS BIGINT) % 512 AS bit
+    FROM keyset CROSS JOIN dd),
+  probes AS (SELECT DISTINCT item FROM toks),
+  pr AS (
+    SELECT p.item,
+           CAST(concat('0x', substr(md5(dd.d || ':' || p.item), 1, 8))
+                AS BIGINT) % 512 AS bit
+    FROM probes p CROSS JOIN dd),
+  nset AS (
+    SELECT pr.item, count(*) AS n_set
+    FROM pr JOIN bits USING (bit) GROUP BY 1)
+  SELECT p.item AS token,
+         (coalesce(n.n_set, 0) = 3) AS maybe_present,
+         (k.item IS NOT NULL) AS actually_present
+  FROM probes p
+  LEFT JOIN nset n ON n.item = p.item
+  LEFT JOIN keyset k ON k.item = p.item
+  ORDER BY p.item
+"""
+
+
 def _q_streaming_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming spatial tiling: the events stream's derived pings are
     Niemeyer-tiled (the real pandas-UDF cell encoder, operators/
@@ -5339,6 +5399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ivfpq_ann_topk': _q_ivfpq,
         'pages_mine_cells': _q_pages_mine,
         'streaming_cell_counts': _q_streaming_cells,
+        'bloom_membership': _q_bloom,
     }
 
 
@@ -5467,4 +5528,5 @@ def oracle_sql() -> dict[str, str]:
         'ivfpq_ann_topk': _pq_sql.ivfpq_topk_duckdb(),
         'pages_mine_cells': _pages_mine_duckdb(),
         'streaming_cell_counts': _streaming_cells_duckdb(),
+        'bloom_membership': _BLOOM_DUCK,
     }

@@ -29,7 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ['cms_hash_expr', 'cms_table', 'cms_estimate', 'linear_count']
+__all__ = ['cms_hash_expr', 'cms_table', 'cms_estimate', 'linear_count',
+           'bloom_bits', 'bloom_contains']
 
 
 def cms_hash_expr(item: Column, d: int, width: int) -> Column:
@@ -94,3 +95,43 @@ def linear_count(items: DataFrame, item_col: str = 'item',
                                               - F.col('n_buckets_hit'))
                                              / float(m)))
                     .alias('estimate')))
+
+
+def bloom_bits(items: DataFrame, item_col: str = 'item', m_bits: int = 8192,
+               n_hashes: int = 4) -> DataFrame:
+    """(bit) — the set bit positions of an md5 Bloom filter over a key set.
+
+    The classic join-pruning primitive (ship the filter, drop probe rows
+    with a zero bit before the shuffle): built with one explode of
+    n_hashes positions + one DISTINCT — output bounded by m_bits rows
+    no matter the input. Spark's native BloomFilter aggregate is not
+    reproducible outside the JVM; md5 hash rows make the bit set
+    oracle-exact (same conv/CAST parity as cms_hash_expr).
+    """
+    rows = F.explode(F.array(*[
+        cms_hash_expr(F.col(item_col), d, m_bits) for d in range(n_hashes)]))
+    return (items.select(rows.alias('bit'))
+            .distinct())
+
+
+def bloom_contains(bits: DataFrame, probes: DataFrame,
+                   item_col: str = 'item', m_bits: int = 8192,
+                   n_hashes: int = 4) -> DataFrame:
+    """(item, maybe_present) — Bloom membership for a probe column.
+
+    maybe_present is True iff ALL n_hashes bit positions are set:
+    no false negatives ever; false-positive rate ~ (1-e^{-kn/m})^k.
+    The bit set (<= m_bits rows) broadcasts.
+    """
+    pr = probes.select(
+        item_col,
+        F.explode(F.array(*[
+            cms_hash_expr(F.col(item_col), d, m_bits)
+            for d in range(n_hashes)])).alias('bit'))
+    hit = pr.join(F.broadcast(bits), 'bit', 'left_semi') \
+            .groupBy(item_col).agg(F.count('*').alias('n_set'))
+    base = probes.select(item_col).distinct()
+    return (base.join(hit, item_col, 'left')
+            .select(item_col,
+                    (F.coalesce('n_set', F.lit(0)) == n_hashes)
+                    .alias('maybe_present')))

@@ -62,3 +62,19 @@ def test_linear_count_small_cardinality(spark):
 def test_linear_count_saturated_is_null(spark):
     row = linear_count(_items(spark, ['a', 'b']), m=1).collect()[0]
     assert row['n_buckets_hit'] == 1 and row['estimate'] is None
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    from geostructures_spark.operators.sketch import (bloom_bits,
+                                                      bloom_contains)
+    keys = _items(spark, [f'k{i}' for i in range(200)])
+    probes = _items(spark, [f'k{i}' for i in range(400)])
+    bits = bloom_bits(keys, m_bits=4096, n_hashes=4)
+    got = {r['item']: r['maybe_present'] for r in
+           bloom_contains(bits, probes, m_bits=4096, n_hashes=4).collect()}
+    # every inserted key answers True (no false negatives)
+    assert all(got[f'k{i}'] for i in range(200))
+    # ~ (1-e^{-kn/m})^k ~ 3e-5 here: essentially no false positives
+    fps = sum(got[f'k{i}'] for i in range(200, 400))
+    assert fps <= 2
+    assert bits.count() <= 4 * 200
