@@ -2251,6 +2251,57 @@ def _pages_mine_duckdb() -> str:
 """
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py weighted_sample, Efraimidis-Spirakis A-Res
+    with md5 uniforms): the 25 documents with the smallest
+    -ln(u)/n_chars keys — inclusion probability proportional to length.
+    Distributed top-k (TakeOrderedAndProject), no RNG state. Oracle
+    replays the uniforms, keys, and cut in SQL."""
+    from geostructures_spark.operators.sampling import weighted_sample
+    _load(spark, sf_dir, 'documents')
+    out = weighted_sample(spark.table('documents'), k=25,
+                          weight_col='n_chars')
+    return (out.select('doc_id', F.col('n_chars').cast('long').alias('n_chars'),
+                       F.round('samp_key', 12).alias('samp_key'))
+            .orderBy('samp_key', 'doc_id'))
+
+
+_WEIGHTED_SAMPLE_DUCK = r"""
+  WITH keyed AS (
+    SELECT doc_id, n_chars,
+           -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                     AS BIGINT) + 1.0e0) / 4503599627370496.0e0)
+           / CAST(n_chars AS DOUBLE) AS samp_key
+    FROM documents WHERE n_chars > 0)
+  SELECT doc_id, n_chars, ROUND(samp_key, 12) AS samp_key
+  FROM keyed ORDER BY samp_key, doc_id LIMIT 25
+"""
+
+
+def _q_nchars_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated percentiles of document length: Spark percentile()
+    and DuckDB quantile_cont() implement the same type-7 estimator and
+    agree bit-for-bit (probed before wiring) — the parity row for
+    distribution analytics over corpus columns."""
+    _load(spark, sf_dir, 'documents')
+    return spark.sql(
+        "SELECT stack(4, 10, q[0], 50, q[1], 90, q[2], 99, q[3])"
+        " AS (pct, v) FROM ("
+        "  SELECT percentile(n_chars, array(0.1D, 0.5D, 0.9D, 0.99D)) AS q"
+        "  FROM documents)"
+        " ORDER BY pct")
+
+
+_PERCENTILES_DUCK = r"""
+  WITH q AS (
+    SELECT unnest([10, 50, 90, 99]) AS pct,
+           unnest(quantile_cont(n_chars, [0.1, 0.5, 0.9, 0.99])) AS v
+    FROM documents)
+  SELECT CAST(pct AS INT) AS pct, v FROM q ORDER BY pct
+"""
+
+
 def _q_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 Bloom filter (operators/sketch.py bloom_bits/bloom_contains):
     the filter is built over the distinct tokens of EVEN documents and
@@ -5400,6 +5451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pages_mine_cells': _q_pages_mine,
         'streaming_cell_counts': _q_streaming_cells,
         'bloom_membership': _q_bloom,
+        'weighted_sample_docs': _q_weighted_sample,
+        'nchars_percentiles': _q_nchars_percentiles,
     }
 
 
@@ -5529,4 +5582,6 @@ def oracle_sql() -> dict[str, str]:
         'pages_mine_cells': _pages_mine_duckdb(),
         'streaming_cell_counts': _streaming_cells_duckdb(),
         'bloom_membership': _BLOOM_DUCK,
+        'weighted_sample_docs': _WEIGHTED_SAMPLE_DUCK,
+        'nchars_percentiles': _PERCENTILES_DUCK,
     }

@@ -33,7 +33,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ['hash_bucket_expr', 'hash_sample', 'stratified_sample',
-           'per_key_cap', 'mixture_sample', 'assign_split', 'HASH_BUCKETS']
+           'per_key_cap', 'mixture_sample', 'assign_split', 'HASH_BUCKETS',
+           'weighted_sample']
 
 # bucket space: first 8 md5 hex digits = [0, 2^32)
 HASH_BUCKETS = 1 << 32
@@ -172,3 +173,31 @@ def per_key_cap(df: DataFrame, key_col: str, k: int, id_col: str,
     return (d.withColumn('_rank', F.row_number().over(w))
             .filter(F.col('_rank') <= k)
             .drop('_hv', '_rank'))
+
+
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    id_col: str = 'doc_id') -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-Res with md5-derived uniforms).
+
+    Each row draws u in (0, 1] from the md5 of its id (52 bits) and
+    gets key = -ln(u) / weight; the k smallest keys are the sample —
+    inclusion probability proportional to weight, reproducible across
+    runs and engines (the md5 uniforms replace the RNG). The standard
+    quality-weighted corpus subsampling primitive (weight = quality
+    score, length, dedup multiplicity...).
+
+    Plan: one JVM-side key expression + distributed top-k
+    (TakeOrderedAndProject — per-partition heads, single small merge;
+    no global sort materializes). Non-positive weights are excluded.
+
+    Returns (id_col, weight_col, samp_key) — the k sampled rows.
+    """
+    v = F.conv(F.substring(F.md5(F.col(id_col).cast('string')), 1, 13),
+               16, 10).cast('double')
+    u = (v + 1.0) / float(1 << 52)
+    key = -F.log(u) / F.col(weight_col).cast('double')
+    return (df.where(F.col(weight_col) > 0)
+            .select(id_col, weight_col, key.alias('samp_key'))
+            .orderBy('samp_key')
+            .limit(k))

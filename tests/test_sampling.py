@@ -155,3 +155,37 @@ def test_assign_split_rejects_bad_fractions(spark, docs):
         assign_split(docs, {'a': 0.5, 'b': 0.4}, 'source')
     with pytest.raises(ValueError):
         assign_split(docs, {'a': 1.5, 'b': -0.5}, 'source')
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    """Heavier rows sample disproportionately; identical runs agree."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from geostructures_spark.operators.sampling import weighted_sample
+    pdf = pd.DataFrame({
+        'doc_id': range(1000),
+        # rows 0-99 weigh 100x rows 100-999
+        'w': [10_000] * 100 + [100] * 900,
+    })
+    df = spark.createDataFrame(pdf)
+    s1 = sorted(r['doc_id'] for r in weighted_sample(df, 100, 'w').collect())
+    s2 = sorted(r['doc_id'] for r in weighted_sample(df, 100, 'w').collect())
+    assert s1 == s2  # no RNG state: bit-reproducible
+    heavy = sum(1 for d in s1 if d < 100)
+    # heavy rows are 10% of the population but 100x the weight: expect
+    # the sample dominated by them (~52 of 100 under A-Res here)
+    assert heavy >= 35
+    # zero/negative weights never sampled
+    pdf2 = pd.DataFrame({'doc_id': [1, 2, 3], 'w': [0, -5, 7]})
+    s3 = weighted_sample(spark.createDataFrame(pdf2), 3, 'w').collect()
+    assert [r['doc_id'] for r in s3] == [3]
+
+
+def test_weighted_sample_plan_is_top_k(spark):
+    import pandas as pd
+    from geostructures_spark.operators.sampling import weighted_sample
+    df = spark.createDataFrame(pd.DataFrame(
+        {'doc_id': range(100), 'w': [1] * 100}))
+    plan = (weighted_sample(df, 5, 'w')
+            ._jdf.queryExecution().executedPlan().toString())
+    assert 'TakeOrderedAndProject' in plan  # no global sort materializes
