@@ -2251,6 +2251,83 @@ def _pages_mine_duckdb() -> str:
 """
 
 
+def _q_minhash_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest near-dup (operators/dedup.py
+    minhash_lsh_pairs_cross): a NEW batch (odd doc_ids; every 5th
+    copies its even neighbor's text, planting true cross-corpus
+    near-dups) is LSH-checked against the EXISTING corpus (even
+    doc_ids) — candidates join on (band, minhash), the cap applies to
+    the corpus side's bucket size. Oracle replays both signature sets
+    and the cross join in SQL."""
+    from geostructures_spark.operators.dedup import minhash_lsh_pairs_cross
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    old = docs.where(F.col('doc_id') % 2 == 0)
+    prev = docs.select((F.col('doc_id') + 1).alias('doc_id'),
+                       F.col('text').alias('prev_text'))
+    new = (docs.where(F.col('doc_id') % 2 == 1)
+           .join(prev, 'doc_id', 'left')
+           .select('doc_id',
+                   F.when((F.col('doc_id') % 5 == 1)
+                          & F.col('prev_text').isNotNull(),
+                          F.col('prev_text'))
+                   .otherwise(F.col('text')).alias('text')))
+    out = minhash_lsh_pairs_cross(new, old, n_bands=4, shingle_k=5,
+                                  max_bucket=512)
+    return (out.select(F.col('new_id').cast('long').alias('new_id'),
+                       F.col('old_id').cast('long').alias('old_id'),
+                       'n_shared_bands')
+            .orderBy('new_id', 'old_id'))
+
+
+_MINHASH_CROSS_DUCK = r"""
+  WITH prev AS (
+    SELECT doc_id + 1 AS doc_id, text AS prev_text FROM documents),
+  newd AS MATERIALIZED (
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 5 = 1 AND p.prev_text IS NOT NULL
+                THEN p.prev_text ELSE d.text END AS text
+    FROM documents d LEFT JOIN prev p USING (doc_id)
+    WHERE d.doc_id % 2 = 1),
+  oldd AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+  ntoks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+            FROM newd),
+  otoks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+            FROM oldd),
+  nsh AS (
+    SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+      THEN list_transform(range(1, len(w) - 3),
+                          j -> array_to_string(w[j:j+4], ' '))
+      ELSE [array_to_string(w, ' ')] END) AS shingle
+    FROM ntoks),
+  osh AS (
+    SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+      THEN list_transform(range(1, len(w) - 3),
+                          j -> array_to_string(w[j:j+4], ' '))
+      ELSE [array_to_string(w, ' ')] END) AS shingle
+    FROM otoks),
+  nsig AS MATERIALIZED (
+    SELECT doc_id AS new_id, band,
+           MIN(substr(md5(shingle), band * 8 + 1, 8)) AS minhash
+    FROM nsh, (SELECT unnest([0,1,2,3]) AS band)
+    GROUP BY 1, 2),
+  osig AS MATERIALIZED (
+    SELECT doc_id AS old_id, band,
+           MIN(substr(md5(shingle), band * 8 + 1, 8)) AS minhash
+    FROM osh, (SELECT unnest([0,1,2,3]) AS band)
+    GROUP BY 1, 2),
+  okept AS (
+    SELECT band, minhash FROM osig GROUP BY band, minhash
+    HAVING count(*) <= 512)
+  SELECT n.new_id, o.old_id,
+         CAST(count(*) AS BIGINT) AS n_shared_bands
+  FROM nsig n
+  JOIN (SELECT o2.* FROM osig o2 JOIN okept USING (band, minhash)) o
+    USING (band, minhash)
+  GROUP BY 1, 2 ORDER BY n.new_id, o.old_id
+"""
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (operators/sampling.py weighted_sample, Efraimidis-Spirakis A-Res
@@ -5453,6 +5530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bloom_membership': _q_bloom,
         'weighted_sample_docs': _q_weighted_sample,
         'nchars_percentiles': _q_nchars_percentiles,
+        'minhash_cross_pairs': _q_minhash_cross,
     }
 
 
@@ -5584,4 +5662,5 @@ def oracle_sql() -> dict[str, str]:
         'bloom_membership': _BLOOM_DUCK,
         'weighted_sample_docs': _WEIGHTED_SAMPLE_DUCK,
         'nchars_percentiles': _PERCENTILES_DUCK,
+        'minhash_cross_pairs': _MINHASH_CROSS_DUCK,
     }

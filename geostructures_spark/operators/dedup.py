@@ -32,7 +32,7 @@ __all__ = [
     'exact_dedup_groups', 'minhash_signature', 'minhash_lsh_pairs',
     'simhash_expr', 'simhash_df', 'simhash_buckets', 'ngram_jaccard_pairs',
     'connected_components',
-]
+           'minhash_lsh_pairs_cross']
 
 
 def tokens_expr(text_col):
@@ -378,3 +378,49 @@ def connected_components(pairs: DataFrame, id_a: str = 'doc_a',
             raise RuntimeError(msg)
         warnings.warn(msg, RuntimeWarning)
     return labels.select('node', F.col('label').alias('component'))
+
+
+def minhash_lsh_pairs_cross(new_docs: DataFrame, old_docs: DataFrame,
+                            n_bands: int = 8, shingle_k: int = 5,
+                            id_col: str = 'doc_id', text_col: str = 'text',
+                            max_bucket: int = 512,
+                            observation=None) -> DataFrame:
+    """Cross-corpus near-dup candidates: NEW docs sharing any band
+    minhash bucket with an EXISTING corpus — the incremental-ingest
+    form of minhash_lsh_pairs (a growing 100 TB corpus is deduped once
+    in batch; every later batch checks against it, never against
+    itself).
+
+    Returns (new_id, old_id, n_shared_bands). The candidate join keys
+    on (band, minhash); expansion is (new-in-bucket x old-in-bucket),
+    so the cap applies to the OLD side's bucket size (the corpus is the
+    big side) with the same observable-drop metrics pattern as the
+    self-join form (name ``minhash_cross_buckets``). Run exact-hash
+    anti-join first so identical-text mega-groups never reach LSH.
+    """
+    if observation is not None and max_bucket is None:
+        raise ValueError('observation given but max_bucket is None — '
+                         'no metrics would ever be attached')
+    sig_n = (minhash_signature(new_docs, n_bands, shingle_k, id_col, text_col)
+             .withColumnRenamed(id_col, 'new_id'))
+    sig_o = (minhash_signature(old_docs, n_bands, shingle_k, id_col, text_col)
+             .withColumnRenamed(id_col, 'old_id'))
+    if max_bucket is not None:
+        osz = sig_o.groupBy('band', 'minhash').agg(F.count('*').alias('bsz'))
+        over = F.col('bsz') > max_bucket
+        metrics = [
+            F.sum(F.when(over, 1).otherwise(0)).alias('dropped_buckets'),
+            F.sum(F.when(over, F.col('bsz')).otherwise(0)).alias('dropped_docs'),
+            F.max('bsz').alias('max_bucket_size'),
+        ]
+        if observation is None:
+            import uuid
+            osz = osz.observe(
+                f'minhash_cross_buckets_{uuid.uuid4().hex[:8]}', *metrics)
+        else:
+            osz = osz.observe(observation, *metrics)
+        kept = osz.filter(~over).select('band', 'minhash')
+        sig_o = sig_o.join(kept, ['band', 'minhash'])
+    return (sig_n.join(sig_o, ['band', 'minhash'])
+            .groupBy('new_id', 'old_id')
+            .agg(F.count('*').cast('long').alias('n_shared_bands')))

@@ -189,3 +189,27 @@ def test_weighted_sample_plan_is_top_k(spark):
     plan = (weighted_sample(df, 5, 'w')
             ._jdf.queryExecution().executedPlan().toString())
     assert 'TakeOrderedAndProject' in plan  # no global sort materializes
+
+
+def test_minhash_cross_finds_planted_dups_and_caps(spark):
+    import pandas as pd
+    import pytest as _pt
+    from pyspark.sql import functions as F
+    from geostructures_spark.operators.dedup import minhash_lsh_pairs_cross
+    base = 'alpha beta gamma delta epsilon zeta eta theta iota kappa'
+    old = spark.createDataFrame(pd.DataFrame({
+        'doc_id': [0, 2, 4],
+        'text': [base, 'totally different words live here now friend',
+                 'yet another unrelated document body text here'],
+    }))
+    new = spark.createDataFrame(pd.DataFrame({
+        'doc_id': [1, 3],
+        'text': [base,  # exact copy of old doc 0
+                 'nothing like anything in the existing corpus at all'],
+    }))
+    rows = minhash_lsh_pairs_cross(new, old, n_bands=4).collect()
+    got = {(r['new_id'], r['old_id']): r['n_shared_bands'] for r in rows}
+    assert got == {(1, 0): 4}  # the planted copy, all 4 bands; no noise
+    # observation requires a cap
+    with _pt.raises(ValueError):
+        minhash_lsh_pairs_cross(new, old, max_bucket=None, observation=object())
