@@ -2251,6 +2251,53 @@ def _pages_mine_duckdb() -> str:
 """
 
 
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus n-gram novelty (operators/corpus.py ngram_novelty):
+    fraction of each doc's distinct word 3-grams occurring nowhere else
+    — the memorization-risk complement of the within-doc Gopher
+    repetition metrics. A shared template header is planted on every
+    4th doc so repeated grams exist. Oracle: full SQL replay."""
+    from geostructures_spark.operators.corpus import ngram_novelty
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    text5 = F.when(
+        F.col('doc_id') % 4 == 0,
+        F.concat(F.lit('shared template header block appears here '),
+                 F.col('text'))).otherwise(F.col('text'))
+    return (ngram_novelty(docs.select('doc_id', text5.alias('text')), n=3)
+            .orderBy('doc_id'))
+
+
+_NGRAM_NOVELTY_DUCK = r"""
+  WITH base AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0
+                THEN 'shared template header block appears here ' || text
+                ELSE text END AS text
+    FROM documents),
+  toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+  grams AS MATERIALIZED (
+    SELECT DISTINCT doc_id,
+           md5(array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 2], ' ')) AS h
+    FROM toks, UNNEST(range(1, len(w) - 1)) AS r(i)
+    WHERE len(w) >= 3),
+  freq AS (SELECT h, count(*) AS ndocs FROM grams GROUP BY 1),
+  per_doc AS (
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.ndocs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel
+    FROM grams g JOIN freq f USING (h) GROUP BY 1)
+  SELECT d.doc_id,
+         coalesce(p.n_grams, 0) AS n_grams,
+         coalesce(p.n_novel, 0) AS n_novel,
+         CASE WHEN p.n_grams > 0
+              THEN ROUND(p.n_novel / CAST(p.n_grams AS DOUBLE), 6) END
+           AS novelty
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+  ORDER BY d.doc_id
+"""
+
+
 def _q_minhash_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest near-dup (operators/dedup.py
     minhash_lsh_pairs_cross): a NEW batch (odd doc_ids; every 5th
@@ -5531,6 +5578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'weighted_sample_docs': _q_weighted_sample,
         'nchars_percentiles': _q_nchars_percentiles,
         'minhash_cross_pairs': _q_minhash_cross,
+        'ngram_novelty_docs': _q_ngram_novelty,
     }
 
 
@@ -5663,4 +5711,5 @@ def oracle_sql() -> dict[str, str]:
         'weighted_sample_docs': _WEIGHTED_SAMPLE_DUCK,
         'nchars_percentiles': _PERCENTILES_DUCK,
         'minhash_cross_pairs': _MINHASH_CROSS_DUCK,
+        'ngram_novelty_docs': _NGRAM_NOVELTY_DUCK,
     }

@@ -35,7 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ['remove_duplicate_lines', 'flag_contaminated', 'ngram_md5_expr']
+__all__ = ['remove_duplicate_lines', 'flag_contaminated', 'ngram_md5_expr',
+           'ngram_novelty']
 
 
 def remove_duplicate_lines(docs: DataFrame, text_col: str = 'text',
@@ -122,3 +123,45 @@ def flag_contaminated(docs: DataFrame, eval_texts: DataFrame, n: int = 5,
     hits = doc_grams.join(F.broadcast(evn), 'h', 'inner')
     return (hits.groupBy(id_col)
             .agg(F.count_distinct('h').cast('long').alias('n_hits')))
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3, id_col: str = 'doc_id',
+                  text_col: str = 'text') -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's word
+    n-grams that occur nowhere else in the corpus.
+
+    The memorization-risk / boilerplate-pressure metric: near-zero
+    novelty marks templated or heavily duplicated text (its n-grams all
+    recur elsewhere), near-one marks unique prose. Distinct from the
+    Gopher repetition metrics (operators/repetition.py), which are
+    WITHIN-document; this is the cross-corpus complement.
+
+    Scale shape: n-grams are generated JVM-side (ngram_md5_expr — the
+    gram strings never materialize), the corpus-frequency table is one
+    map-side-combined groupBy over the md5s, and the join back keys on
+    the 32-char hash. Per-doc DISTINCT n-grams are the unit (a gram
+    repeated inside one doc but nowhere else is still novel).
+
+    Returns (id_col, n_grams, n_novel, novelty) with novelty rounded
+    to 6 dp; documents shorter than n tokens report 0 grams and NULL
+    novelty.
+    """
+    grams = docs.select(
+        id_col,
+        F.explode(ngram_md5_expr(F.col(text_col), n)).alias('h')
+    ).distinct()
+    freq = grams.groupBy('h').agg(F.count('*').alias('ndocs'))
+    per_doc = (grams.join(freq, 'h')
+               .groupBy(id_col)
+               .agg(F.count('*').cast('long').alias('n_grams'),
+                    F.sum(F.when(F.col('ndocs') == 1, 1).otherwise(0))
+                    .cast('long').alias('n_novel')))
+    base = docs.select(id_col)
+    out = base.join(per_doc, id_col, 'left')
+    return out.select(
+        id_col,
+        F.coalesce('n_grams', F.lit(0)).alias('n_grams'),
+        F.coalesce('n_novel', F.lit(0)).alias('n_novel'),
+        F.when(F.col('n_grams') > 0,
+               F.round(F.col('n_novel') / F.col('n_grams'), 6))
+        .alias('novelty'))

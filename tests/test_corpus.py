@@ -85,3 +85,22 @@ def test_flag_contaminated_broadcasts_eval_side(spark):
     plan = flag_contaminated(docs, ev, n=5)._jdf.queryExecution() \
         .executedPlan().toString()
     assert 'BroadcastHashJoin' in plan
+
+
+def test_ngram_novelty_golden(spark):
+    import pandas as pd
+    from geostructures_spark.operators.corpus import ngram_novelty
+    docs = spark.createDataFrame(pd.DataFrame({
+        'doc_id': [0, 1, 2, 3],
+        'text': ['a b c d',          # grams: abc, bcd
+                 'a b c e',          # grams: abc, bce
+                 'x y z w v',        # all unique
+                 'a b'],             # shorter than n
+    }))
+    rows = {r['doc_id']: r for r in ngram_novelty(docs, n=3).collect()}
+    # 'a b c' occurs in docs 0 and 1 -> not novel there
+    assert rows[0]['n_grams'] == 2 and rows[0]['n_novel'] == 1
+    assert rows[0]['novelty'] == 0.5
+    assert rows[1]['novelty'] == 0.5
+    assert rows[2]['n_grams'] == 3 and rows[2]['novelty'] == 1.0
+    assert rows[3]['n_grams'] == 0 and rows[3]['novelty'] is None
