@@ -2541,8 +2541,40 @@ def _q_resample_track(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy('entity', 'epoch_sec'))
 
 
-def _resample_duckdb() -> str:
+def _resample_duckdb(method: str = 'linear') -> str:
     step_us = 1800 * 1_000_000
+    if method == 'linear':
+        lon_i = 'b_lon + (f_lon - b_lon) * frac'
+        lat_i = 'b_lat + (f_lat - b_lat) * frac'
+    else:
+        # spherical slerp, operation-for-operation parallel to
+        # functions/geo.py slerp_exprs (guard CASE included below)
+        lon_i = ('CASE WHEN so > 1e-12 THEN '
+                 'degrees(atan2(ya * sa + yb * sb, xa * sa + xb * sb)) '
+                 'ELSE b_lon END')
+        lat_i = ('CASE WHEN so > 1e-12 THEN degrees(atan2('
+                 'za * sa + zb * sb, '
+                 'sqrt((xa * sa + xb * sb) * (xa * sa + xb * sb) '
+                 '+ (ya * sa + yb * sb) * (ya * sa + yb * sb)))) '
+                 'ELSE b_lat END')
+    slerp_cols = '' if method == 'linear' else """,
+           cos(radians(b_lat)) * cos(radians(b_lon)) AS xa,
+           cos(radians(b_lat)) * sin(radians(b_lon)) AS ya,
+           sin(radians(b_lat)) AS za,
+           cos(radians(f_lat)) * cos(radians(f_lon)) AS xb,
+           cos(radians(f_lat)) * sin(radians(f_lon)) AS yb,
+           sin(radians(f_lat)) AS zb"""
+    slerp_ab = '' if method == 'linear' else """,
+  jw AS (
+    SELECT *, acos(LEAST(GREATEST(xa * xb + ya * yb + za * zb,
+                                  -1.0e0), 1.0e0)) AS omega
+    FROM j),
+  js AS (
+    SELECT *, sin(omega) AS so,
+           sin((1.0e0 - frac) * omega) / sin(omega) AS sa,
+           sin(frac * omega) / sin(omega) AS sb
+    FROM jw)"""
+    final_src = 'j' if method == 'linear' else 'js'
     return f"""
   WITH pings AS ({_pts_events_sql()}),
   pr AS (SELECT user_id AS entity, ts, lon, lat FROM pings),
@@ -2576,18 +2608,38 @@ def _resample_duckdb() -> str:
            CASE WHEN b_t IS NOT NULL AND f_t IS NOT NULL AND f_t > b_t
                 THEN CAST(pr2.t_us - b_t AS DOUBLE)
                      / CAST(f_t - b_t AS DOUBLE)
-                ELSE 0.0e0 END AS frac
-    FROM prev pr2 JOIN nxt USING (entity, t_us))
+                ELSE 0.0e0 END AS frac{slerp_cols}
+    FROM prev pr2 JOIN nxt USING (entity, t_us)){slerp_ab}
   SELECT CAST(entity AS BIGINT) AS entity,
          CAST(t_us / 1000000 AS BIGINT) AS epoch_sec,
          ROUND(CASE WHEN b_t IS NULL THEN f_lon
                     WHEN f_t IS NULL THEN b_lon
-                    ELSE b_lon + (f_lon - b_lon) * frac END, 6) AS lon,
+                    ELSE {lon_i} END, 6) AS lon,
          ROUND(CASE WHEN b_t IS NULL THEN f_lat
                     WHEN f_t IS NULL THEN b_lat
-                    ELSE b_lat + (f_lat - b_lat) * frac END, 6) AS lat
-  FROM j ORDER BY entity, epoch_sec
+                    ELSE {lat_i} END, 6) AS lat
+  FROM {final_src} ORDER BY entity, epoch_sec
 """
+
+
+def _q_resample_slerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle track resampling (operators/tracks.py
+    resample_track, method='slerp' via functions/geo.py slerp_exprs):
+    the geodetically correct variant for sparse pings / long hops where
+    linear lon/lat interpolation cuts the chord. Same as-of bracketing
+    as resample_track_grid; the oracle replays the unit-vector slerp
+    operation-for-operation."""
+    from geostructures_spark.operators.tracks import resample_track
+    _load(spark, sf_dir, 'events')
+    pings = (spark.sql(_pts_events_sql())
+             .select(F.col('user_id').alias('entity'),
+                     F.col('ts').cast('timestamp').alias('ts'), 'lon', 'lat'))
+    out = resample_track(pings, step_sec=1800, method='slerp')
+    return (out.select(F.col('entity').cast('long').alias('entity'),
+                       'epoch_sec',
+                       F.round('lon', 6).alias('lon'),
+                       F.round('lat', 6).alias('lat'))
+            .orderBy('entity', 'epoch_sec'))
 
 
 def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5579,6 +5631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'nchars_percentiles': _q_nchars_percentiles,
         'minhash_cross_pairs': _q_minhash_cross,
         'ngram_novelty_docs': _q_ngram_novelty,
+        'resample_track_slerp': _q_resample_slerp,
     }
 
 
@@ -5712,4 +5765,5 @@ def oracle_sql() -> dict[str, str]:
         'nchars_percentiles': _PERCENTILES_DUCK,
         'minhash_cross_pairs': _MINHASH_CROSS_DUCK,
         'ngram_novelty_docs': _NGRAM_NOVELTY_DUCK,
+        'resample_track_slerp': _resample_duckdb('slerp'),
     }

@@ -35,7 +35,7 @@ __all__ = [
     'to_projection_udf', 'from_projection_udf',
     'xyz_tile_exprs', 'quadkey_expr',
     'to_dms_exprs', 'to_qdms_udf',
-]
+    'slerp_exprs']
 
 
 def to_dms_exprs(dd: Column, is_lon: bool = True):
@@ -606,3 +606,39 @@ def s2_encode_udf(level: int):
                          dtype=object)
 
     return _encode_s2
+
+
+def slerp_exprs(lon1: Column, lat1: Column, lon2: Column, lat2: Column,
+                frac: Column) -> tuple:
+    """Great-circle interpolation (spherical slerp) between two points.
+
+    Returns (lon, lat) Column pair at fraction ``frac`` in [0, 1] of
+    the minor arc: unit-vector slerp with sin-weighted blending,
+    recovered via atan2 (norm-robust). Degenerate arcs (coincident
+    points — sin(omega) ~ 0) return the first point; the antipodal
+    case (omega = pi) has no unique arc and also returns the first
+    point, documented. Pure trig Column expressions — identical in a
+    SQL oracle.
+    """
+    rlon1, rlat1 = F.radians(lon1), F.radians(lat1)
+    rlon2, rlat2 = F.radians(lon2), F.radians(lat2)
+    x1 = F.cos(rlat1) * F.cos(rlon1)
+    y1 = F.cos(rlat1) * F.sin(rlon1)
+    z1 = F.sin(rlat1)
+    x2 = F.cos(rlat2) * F.cos(rlon2)
+    y2 = F.cos(rlat2) * F.sin(rlon2)
+    z2 = F.sin(rlat2)
+    dot = F.least(F.greatest(x1 * x2 + y1 * y2 + z1 * z2, F.lit(-1.0)),
+                  F.lit(1.0))
+    omega = F.acos(dot)
+    so = F.sin(omega)
+    a = F.sin((1.0 - frac) * omega) / so
+    b = F.sin(frac * omega) / so
+    xi = a * x1 + b * x2
+    yi = a * y1 + b * y2
+    zi = a * z1 + b * z2
+    lon_i = F.degrees(F.atan2(yi, xi))
+    lat_i = F.degrees(F.atan2(zi, F.sqrt(xi * xi + yi * yi)))
+    deg = F.lit(1e-12)
+    return (F.when(so > deg, lon_i).otherwise(lon1),
+            F.when(so > deg, lat_i).otherwise(lat1))

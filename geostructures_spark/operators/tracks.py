@@ -161,7 +161,8 @@ def filter_impossible_journeys(tracks: DataFrame, max_speed_mps: float,
 
 def resample_track(pings: DataFrame, step_sec: int,
                    entity_col: str = 'entity', time_col: str = 'ts',
-                   lon_col: str = 'lon', lat_col: str = 'lat') -> DataFrame:
+                   lon_col: str = 'lon', lat_col: str = 'lat',
+                   method: str = 'linear') -> DataFrame:
     """Resample each entity's track onto a regular time grid by linear
     interpolation between the bracketing pings.
 
@@ -209,14 +210,26 @@ def resample_track(pings: DataFrame, step_sec: int,
     tp, tn = F.col('b_t_us'), F.col('f_t_us')
     frac = F.when(tn > tp, (F.col('t_us') - tp).cast('double')
                   / (tn - tp).cast('double')).otherwise(F.lit(0.0))
+    if method == 'linear':
+        lon_i = (F.col('b_p_lon')
+                 + (F.col('f_p_lon') - F.col('b_p_lon')) * frac)
+        lat_i = (F.col('b_p_lat')
+                 + (F.col('f_p_lat') - F.col('b_p_lat')) * frac)
+    elif method == 'slerp':
+        # great-circle interpolation: geodetically correct for sparse
+        # pings / long hops where linear lon/lat cuts the chord
+        from geostructures_spark.functions.geo import slerp_exprs
+        lon_i, lat_i = slerp_exprs(F.col('b_p_lon'), F.col('b_p_lat'),
+                                   F.col('f_p_lon'), F.col('f_p_lat'),
+                                   frac)
+    else:
+        raise ValueError(f'method must be linear|slerp: {method!r}')
     lon = (F.when(tp.isNull(), F.col('f_p_lon'))
            .when(tn.isNull(), F.col('b_p_lon'))
-           .otherwise(F.col('b_p_lon')
-                      + (F.col('f_p_lon') - F.col('b_p_lon')) * frac))
+           .otherwise(lon_i))
     lat = (F.when(tp.isNull(), F.col('f_p_lat'))
            .when(tn.isNull(), F.col('b_p_lat'))
-           .otherwise(F.col('b_p_lat')
-                      + (F.col('f_p_lat') - F.col('b_p_lat')) * frac))
+           .otherwise(lat_i))
     return both.select(
         entity_col,
         (F.col('t_us') / F.lit(1_000_000)).cast('long').alias('epoch_sec'),

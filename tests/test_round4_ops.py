@@ -550,3 +550,44 @@ def test_simplify_track_radial_golden(spark):
     kept = simplify_track_radial(spark.createDataFrame(pdf),
                                  epsilon_m=50_000.0).collect()
     assert sorted(r['lon'] for r in kept) == [0.0, 1.0]
+
+
+def test_resample_slerp_stays_on_great_circle(spark):
+    """Slerp midpoint of two equatorial points stays on the equator and
+    bisects longitude; linear agrees there; a high-latitude pair shows
+    the slerp arc bowing poleward of the chord."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from geostructures_spark.operators.tracks import resample_track
+
+    def track(lon1, lat1, lon2, lat2):
+        return spark.createDataFrame(pd.DataFrame({
+            'entity': [1, 1],
+            'ts': pd.to_datetime(['2024-01-01 00:00', '2024-01-01 01:00']),
+            'lon': [lon1, lon2], 'lat': [lat1, lat2]}))
+
+    eq = track(0.0, 0.0, 10.0, 0.0)
+    rows = {r['epoch_sec']: r for r in
+            resample_track(eq, 1800, method='slerp').collect()}
+    mid = sorted(rows)[1]
+    assert abs(rows[mid]['lat']) < 1e-9
+    assert rows[mid]['lon'] == __import__('pytest').approx(5.0, abs=1e-9)
+
+    hi = track(-30.0, 60.0, 30.0, 60.0)
+    s_rows = {r['epoch_sec']: r for r in
+              resample_track(hi, 1800, method='slerp').collect()}
+    l_rows = {r['epoch_sec']: r for r in
+              resample_track(hi, 1800, method='linear').collect()}
+    m = sorted(s_rows)[1]
+    assert s_rows[m]['lat'] > 60.0          # arc bows poleward
+    assert l_rows[m]['lat'] == 60.0         # chord stays at the parallel
+    assert abs(s_rows[m]['lon']) < 1e-9     # symmetric midpoint
+
+    # coincident pings: float xyz roundtrip, not the exact-zero guard
+    # (omega ~ 2e-8 from rounding, above the 1e-12 sin guard) — the
+    # point returns to within ~1e-15 degrees
+    same = track(7.0, 7.0, 7.0, 7.0)
+    approx = __import__('pytest').approx
+    for r in resample_track(same, 1800, method='slerp').collect():
+        assert r['lon'] == approx(7.0, abs=1e-9)
+        assert r['lat'] == approx(7.0, abs=1e-9)
