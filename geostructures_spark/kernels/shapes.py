@@ -278,9 +278,10 @@ def shape_contains_points(shape: Dict, lons, lats) -> np.ndarray:
 
     if kind == 'linestring':
         v = np.asarray(shape['rings'][0], dtype=np.float64)
-        # exact vertex membership (structures.py:1499-1502)
-        return np.array([((v[:, 0] == lo) & (v[:, 1] == la)).any()
-                         for lo, la in zip(lons, lats)])
+        # exact vertex membership (structures.py:1499-1502), broadcast
+        # (n_points, n_vertices) — no per-point Python loop.
+        return ((lons[:, None] == v[None, :, 0]) &
+                (lats[:, None] == v[None, :, 1])).any(axis=1)
 
     if kind == 'box':
         inside = ((p['min_lon'] <= lons) & (lons <= p['max_lon']) &

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from geostructures_spark.operators.bpe import words_expr
 
-__all__ = ['ALPHA', 'doc_tokens', 'lm_counts', 'score_docs']
+__all__ = ['ALPHA', 'doc_tokens', 'lm_counts', 'perplexity_filter', 'score_docs']
 
 #: stupid-backoff discount for unseen bigrams (the published constant).
 ALPHA = 0.4

@@ -290,7 +290,15 @@ def adc_dist_col(query_ids, codes_col, codebooks: DataFrame,
         ids_q, Qm = bcQ.value
         Qs = Qm.reshape(len(ids_q), m, dsub)
         lut = ((Qs[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)
-        qidx = np.searchsorted(ids_q, qid.to_numpy(dtype=np.int64))
+        want = qid.to_numpy(dtype=np.int64)
+        qidx = np.searchsorted(ids_q, want)
+        qidx = np.clip(qidx, 0, len(ids_q) - 1)
+        if not np.array_equal(ids_q[qidx], want):
+            missing = sorted(set(want) - set(ids_q.tolist()))[:5]
+            raise ValueError(
+                f'adc_dist_col: query_id(s) {missing} not present in the '
+                f'`queries` DataFrame — every query_id in the scored rows '
+                f'must exist there (silent mis-scoring guard)')
         cm = np.asarray(codes.tolist(), dtype=np.int64)
         d = lut[qidx[:, None], np.arange(m)[None, :], cm].sum(axis=1)
         return pd.Series(d)

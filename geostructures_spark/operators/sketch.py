@@ -121,16 +121,20 @@ def bloom_contains(bits: DataFrame, probes: DataFrame,
 
     maybe_present is True iff ALL n_hashes bit positions are set:
     no false negatives ever; false-positive rate ~ (1-e^{-kn/m})^k.
-    The bit set (<= m_bits rows) broadcasts.
+    The bit set (<= m_bits rows) broadcasts. Bit rows explode from the
+    DISTINCT probe set, so a probe item appearing many times still
+    contributes exactly n_hashes rows (a duplicate would otherwise make
+    n_set a multiple of n_hashes and flip the equality test to a false
+    negative).
     """
-    pr = probes.select(
+    base = probes.select(item_col).distinct()
+    pr = base.select(
         item_col,
         F.explode(F.array(*[
             cms_hash_expr(F.col(item_col), d, m_bits)
             for d in range(n_hashes)])).alias('bit'))
     hit = pr.join(F.broadcast(bits), 'bit', 'left_semi') \
             .groupBy(item_col).agg(F.count('*').alias('n_set'))
-    base = probes.select(item_col).distinct()
     return (base.join(hit, item_col, 'left')
             .select(item_col,
                     (F.coalesce('n_set', F.lit(0)) == n_hashes)

@@ -167,3 +167,21 @@ def test_ivfpq_recall_against_exact_adc(spark, data):
     ranks = [exact[r['neighbor_id']] for r in
              sorted(part, key=lambda r: r['rank'])]
     assert ranks == sorted(ranks)  # same relative order as exact
+
+
+def test_adc_dist_col_missing_query_raises(spark, data):
+    # Regression (r4 advice): a query_id absent from `queries` must raise,
+    # not silently score against a neighboring query's LUT.
+    from geostructures_spark.operators.pq import adc_dist_col
+    vecs = _vecs(spark, data)
+    books = pq_train(vecs, m=2, ksub=4, n_iter=1)
+    enc = pq_encode(vecs, books)
+    queries = (vecs.where(F.col('vec_id').isin([0, 7]))
+               .select(F.col('vec_id').alias('query_id'),
+                       F.col('embedding').alias('q_embedding')))
+    rows = enc.select(F.lit(3).alias('query_id'), 'vec_id', 'codes')
+    bad = rows.withColumn(
+        'adc_dist', adc_dist_col(F.col('query_id'), F.col('codes'),
+                                 books, queries))
+    with pytest.raises(Exception, match='not present'):
+        bad.collect()

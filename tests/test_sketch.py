@@ -78,3 +78,18 @@ def test_bloom_no_false_negatives_and_fp_rate(spark):
     fps = sum(got[f'k{i}'] for i in range(200, 400))
     assert fps <= 2
     assert bits.count() <= 4 * 200
+
+
+def test_bloom_duplicate_probes_stay_present(spark):
+    # Regression (r4 advice): bit rows must explode from the DISTINCT
+    # probe set — a probe repeated n times would otherwise set
+    # n_set = n * n_hashes and flip the equality test to a false negative.
+    from geostructures_spark.operators.sketch import (bloom_bits,
+                                                      bloom_contains)
+    keys = _items(spark, ['a', 'b', 'c'])
+    probes = _items(spark, ['a', 'a', 'a', 'b', 'zz', 'zz'])
+    bits = bloom_bits(keys, m_bits=4096, n_hashes=4)
+    got = {r['item']: r['maybe_present'] for r in
+           bloom_contains(bits, probes, m_bits=4096, n_hashes=4).collect()}
+    assert got['a'] is True and got['b'] is True
+    assert set(got) == {'a', 'b', 'zz'}
