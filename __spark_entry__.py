@@ -1296,10 +1296,12 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF-bucketed cosine near-dup pairs (same config as
     embedding_neardup_pairs) -> connected components -> lowest-id
     winner per component; every vector gets (component, keep). Oracle:
-    the pair chain + a recursive-CTE transitive closure in DuckDB."""
+    the pair chain + a recursive-CTE transitive closure in DuckDB.
+    Corpus: the first 256 vectors (r5 task 2 trim — keeps the row well
+    under the driver per-query timeout; semantics unchanged)."""
     from geostructures_spark.operators.semdedup import semantic_dedup
     _load(spark, sf_dir, 'embeddings')
-    vecs = spark.table('embeddings')
+    vecs = spark.table('embeddings').filter(F.col('vec_id') < 256)
     cents = (vecs.filter(F.col('vec_id') < 8)
              .select(F.col('vec_id').alias('centroid_id'),
                      F.col('embedding').alias('c_embedding')))
@@ -1311,16 +1313,18 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP_DUCK = """
-  WITH RECURSIVE cents AS (
+  WITH RECURSIVE emb AS (
+    SELECT * FROM embeddings WHERE vec_id < 256),
+  cents AS (
     SELECT vec_id AS centroid_id, embedding AS c_emb
-    FROM embeddings WHERE vec_id < 8),
+    FROM emb WHERE vec_id < 8),
   assign0 AS (
     SELECT vec_id, embedding, centroid_id FROM (
       SELECT v.vec_id, v.embedding, c.centroid_id,
              ROW_NUMBER() OVER (PARTITION BY v.vec_id
                                 ORDER BY list_cosine_similarity(v.embedding, c.c_emb) DESC,
                                          c.centroid_id ASC) AS r
-      FROM embeddings v, cents c) WHERE r <= 2),
+      FROM emb v, cents c) WHERE r <= 2),
   assign AS (
     SELECT * FROM assign0 WHERE centroid_id IN (
       SELECT centroid_id FROM assign0 GROUP BY centroid_id
@@ -1342,7 +1346,7 @@ _SEMDEDUP_DUCK = """
   SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
          CAST(COALESCE(c.component, e.vec_id) AS BIGINT) AS component,
          (COALESCE(c.component, e.vec_id) = e.vec_id) AS keep
-  FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+  FROM emb e LEFT JOIN comp c ON c.node = e.vec_id
   ORDER BY e.vec_id
 """
 
@@ -2533,7 +2537,9 @@ def _q_resample_track(spark: SparkSession, sf_dir: str) -> DataFrame:
     pings = (spark.sql(_pts_events_sql())
              .select(F.col('user_id').alias('entity'),
                      F.col('ts').cast('timestamp').alias('ts'), 'lon', 'lat'))
-    out = resample_track(pings, step_sec=1800)
+    # 3600 s grid (was 1800 in r4): halves the 210k-row compare set so
+    # the row stays well under the driver per-query timeout (r5 task 2)
+    out = resample_track(pings, step_sec=3600)
     return (out.select(F.col('entity').cast('long').alias('entity'),
                        'epoch_sec',
                        F.round('lon', 6).alias('lon'),
@@ -2541,8 +2547,9 @@ def _q_resample_track(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy('entity', 'epoch_sec'))
 
 
-def _resample_duckdb(method: str = 'linear') -> str:
-    step_us = 1800 * 1_000_000
+def _resample_duckdb(method: str = 'linear',
+                     step_sec: int = 3600) -> str:
+    step_us = step_sec * 1_000_000
     if method == 'linear':
         lon_i = 'b_lon + (f_lon - b_lon) * frac'
         lat_i = 'b_lat + (f_lat - b_lat) * frac'
@@ -2634,7 +2641,8 @@ def _q_resample_slerp(spark: SparkSession, sf_dir: str) -> DataFrame:
     pings = (spark.sql(_pts_events_sql())
              .select(F.col('user_id').alias('entity'),
                      F.col('ts').cast('timestamp').alias('ts'), 'lon', 'lat'))
-    out = resample_track(pings, step_sec=1800, method='slerp')
+    # 3600 s grid, same trim rationale as resample_track_grid (r5 task 2)
+    out = resample_track(pings, step_sec=3600, method='slerp')
     return (out.select(F.col('entity').cast('long').alias('entity'),
                        'epoch_sec',
                        F.round('lon', 6).alias('lon'),

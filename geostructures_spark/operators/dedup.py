@@ -312,16 +312,18 @@ def connected_components(pairs: DataFrame, id_a: str = 'doc_a',
     the dedup-clustering step after near-dup pair generation (each
     component keeps one canonical document; component = min node id).
 
-    Iterative min-label propagation, fully DataFrame-native: every round
-    each node takes the min of its own label and its neighbors' labels
-    (one equi-join + one groupBy over the symmetrized edge list), with
-    localCheckpoint truncating lineage. Rounds needed = graph diameter —
-    near-dup clusters are shallow (boilerplate stars,
-    chain-of-revisions paths), so this converges in a handful of rounds
-    at any corpus size; the edge list shuffles on the node key each
-    round and nothing reaches the driver but the per-round
-    changed-count, which rides the SAME action as the checkpoint via an
-    observed metric (no extra job for the convergence test).
+    Iterative min-label propagation with pointer-jumping, fully
+    DataFrame-native: every round each node takes the min of its own
+    label, its neighbors' labels (one equi-join + one groupBy over the
+    symmetrized edge list), and its label's label (one self-join of the
+    label table — the "shortcut" step), with localCheckpoint truncating
+    lineage. The shortcut makes label paths double each round, so
+    rounds needed = O(log diameter) instead of O(diameter) — at corpus
+    scale every round is a full shuffle of the (node,label) table, so a
+    chain-of-revisions path of depth d costs ~log2(d) shuffles, not d.
+    Nothing reaches the driver but the per-round changed-count, which
+    rides the SAME action as the checkpoint via an observed metric (no
+    extra job for the convergence test).
 
     ``n_partitions`` bounds the loop's shuffle width — size it to the
     edge count (catalog-scale graphs want a few, corpus-scale graphs
@@ -354,13 +356,26 @@ def connected_components(pairs: DataFrame, id_a: str = 'doc_a',
                               .withColumnRenamed('label', 'dst_label'), 'dst')
                         .groupBy('src')
                         .agg(F.min('dst_label').alias('nbr_label')))
+        stepped = (labels
+                   .join(neighbor_min.withColumnRenamed('src', 'node'),
+                         'node', 'left')
+                   .select('node', F.col('label').alias('old'),
+                           F.least('label', F.coalesce('nbr_label',
+                                                       'label'))
+                           .alias('label')))
+        # pointer-jumping shortcut: label <- min(label, label[label]).
+        # Every label value is a node id (labels start as node and only
+        # ever take other nodes' ids), so the lookup is a self-join;
+        # labels only decrease and stay >= the component min, hence the
+        # fixed point is unchanged — only reached in O(log d) rounds.
         obs = Observation(f'cc_round_{it}')
-        new_labels = (labels
-                      .join(neighbor_min.withColumnRenamed('src', 'node'),
-                            'node', 'left')
-                      .select('node', F.col('label').alias('old'),
-                              F.least('label', F.coalesce('nbr_label',
-                                                          'label'))
+        grand = labels.select(F.col('node').alias('label'),
+                              F.col('label').alias('grand_label'))
+        new_labels = (stepped
+                      .join(grand, 'label', 'left')
+                      .select('node', 'old',
+                              F.least('label',
+                                      F.coalesce('grand_label', 'label'))
                               .alias('label'))
                       .observe(obs, F.sum((F.col('label') != F.col('old'))
                                           .cast('long')).alias('changed'))

