@@ -242,10 +242,65 @@ def _stress_spatial(spark, sf_dir: str) -> dict:
         t0 = _t.time()
         pq_encode(pq_vecs, books).groupBy().count().collect()
         best = min(best, _t.time() - t0)
-    pq_vecs.unpersist()
-    books.unpersist()
     out['pq_encode_100k_d64_m8'] = round(best, 3)
     out['pq_vecs_per_sec'] = round(pq_n / best, 1)
+
+    # big-Q ADC A/B (r4-verdict wrong-list #1 / r5 task 3): 10k queries
+    # against a 20k-code corpus. The broadcast path collects the query
+    # matrix to the driver and Python-loops over all 10k queries in
+    # every Arrow batch; the distributed path is the fragment-replicate
+    # cogroup (queries shuffled, never driver-materialized, all-query
+    # vectorized scoring blocks). Identical results (tested); the row
+    # records the wall ratio + the executed-plan evidence that the big-Q
+    # path scores through a cogroup, not a collected broadcast.
+    from geostructures_spark.operators.pq import pq_adc_topk, pq_adc_topk_bigq
+    enc20 = (pq_encode(pq_vecs.filter('vec_id < 20000'), books)
+             .repartition(32).cache())
+    enc20.count()
+    qs_big = spark.range(10_000).selectExpr(
+        'id + 1000000 AS query_id',
+        f'transform(sequence(1, {pq_dim}), '
+        'i -> cast(sin(id * 11 + i * 5) as double)) AS q_embedding').cache()
+    qs_big.count()
+    bigq_df = pq_adc_topk_bigq(enc20, books, qs_big, k=10)
+    plan = bigq_df._jdf.queryExecution().executedPlan().toString()
+    t0 = _t.time()
+    bigq_df.groupBy().count().collect()
+    bigq_t = _t.time() - t0
+    out['adc_bigq_10kq_20kc'] = round(bigq_t, 3)
+    out['adc_bigq_cogroup_plan'] = 'FlatMapCoGroupsInPandas' in plan
+    t0 = _t.time()
+    (pq_adc_topk(enc20, books, qs_big, k=10, strategy='broadcast')
+     .groupBy().count().collect())
+    bq_t = _t.time() - t0
+    out['adc_broadcast_10kq_20kc'] = round(bq_t, 3)
+    out['adc_bigq_speedup_x'] = round(bq_t / bigq_t, 2)
+    enc20.unpersist()
+    qs_big.unpersist()
+    pq_vecs.unpersist()
+    books.unpersist()
+
+    # BPE merge-round envelope (r4-verdict wrong-list #4): bpe_train is
+    # one Spark job per merge round by construction (the 1-row collect
+    # IS the model); this row measures rounds/sec at a production-shaped
+    # vocabulary (10^6 word occurrences, ~50k distinct words) so the
+    # scheduling cost of an n-merge budget is a published number, not a
+    # docstring claim (a 32k-merge GPT-2 vocab = 32000 / rounds_per_sec
+    # seconds of driver scheduling, amortized once per trained model).
+    from geostructures_spark.operators.bpe import bpe_train
+    bpe_vocab = (spark.range(1_000_000)
+                 .selectExpr("concat('w', CAST((id * 2654435761) % 50021 "
+                             'AS STRING)) AS word')
+                 .groupBy('word').agg(F.count('*').alias('wcount'))
+                 .cache())
+    bpe_vocab.count()
+    n_rounds = 15
+    t0 = _t.time()
+    merges, _sym = bpe_train(bpe_vocab, n_merges=n_rounds, n_partitions=4)
+    bpe_t = _t.time() - t0
+    bpe_vocab.unpersist()
+    out['bpe_train_15rounds_1m_words'] = round(bpe_t, 3)
+    out['bpe_train_rounds_per_sec'] = round(len(merges) / bpe_t, 2)
     return out
 
 

@@ -125,8 +125,8 @@ def _apply_merge(ex: DataFrame, left: str, right: str) -> DataFrame:
             .withColumn('nxt', F.lead('sym').over(w)))
 
 
-def bpe_train(vocab: DataFrame, n_merges: int,
-              min_count: int = 1) -> tuple[list[tuple], DataFrame]:
+def bpe_train(vocab: DataFrame, n_merges: int, min_count: int = 1,
+              n_partitions: int = None) -> tuple[list[tuple], DataFrame]:
     """Learn ``n_merges`` BPE merges over a (word, wcount) vocabulary.
 
     Returns (merges, final_symbols): merges is a list of
@@ -137,8 +137,18 @@ def bpe_train(vocab: DataFrame, n_merges: int,
 
     Stops early when no pair reaches ``min_count`` (classic BPE stops
     below 2; default 1 trains the full budget for determinism).
+
+    ``n_partitions`` bounds the symbols table's partitioning for the
+    whole merge loop. The table is DISTINCT words x symbols — bounded
+    (~10^7 rows for any real corpus, regardless of corpus size), so a
+    vocabulary-sized width beats inheriting a corpus-sized one: every
+    merge round is two driver-scheduled jobs over this table, and task
+    count is the dominant per-round cost once the data is this small.
     """
-    ex = _explode_symbols(vocab).localCheckpoint(eager=True)
+    ex = _explode_symbols(vocab)
+    if n_partitions:
+        ex = ex.repartition(n_partitions)
+    ex = ex.localCheckpoint(eager=True)
     merges: list[tuple] = []
     for r in range(n_merges):
         top = (ex.where(F.col('nxt').isNotNull())

@@ -41,8 +41,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ['pq_train', 'pq_encode', 'pq_adc_topk', 'subvectors_df',
-           'adc_dist_col', 'ivfpq_topk']
+__all__ = ['pq_train', 'pq_encode', 'pq_adc_topk', 'pq_adc_topk_bigq',
+           'subvectors_df', 'adc_dist_col', 'adc_dist_joined_col',
+           'ivfpq_topk']
 
 
 def subvectors_df(vectors: DataFrame, m: int, dsub: int,
@@ -194,7 +195,9 @@ def pq_encode(vectors: DataFrame, codebooks: DataFrame,
 
 def pq_adc_topk(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
                 k: int, id_col: str = 'vec_id', codes_col: str = 'codes',
-                q_id: str = 'query_id', q_vec: str = 'q_embedding') -> DataFrame:
+                q_id: str = 'query_id', q_vec: str = 'q_embedding',
+                strategy: str = 'auto',
+                big_q_threshold: int = 4096) -> DataFrame:
     """ADC top-k: rank code arrays by per-query LUT sums (squared L2).
 
     Per Arrow batch: LUT[q, s, j] = ||q_s - C[s, j]||^2 built once from
@@ -203,9 +206,25 @@ def pq_adc_topk(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
     rows per query emitted (exact-union argument as
     simsearch.cosine_topk_exact). Excludes self-matches on equal ids.
 
+    ``strategy``: 'broadcast' = this collect-the-queries fast path
+    (right for probe workloads); 'distributed' = pq_adc_topk_bigq's
+    fragment-replicate cogroup (no driver materialization — right when
+    scoring a full eval corpus); 'auto' = one COUNT of the query table
+    picks: distributed above ``big_q_threshold`` queries.
+
     Output: (query_id, neighbor_id, adc_dist, rank) — rank 1..k by
-    (adc_dist ASC, neighbor_id ASC).
+    (adc_dist ASC, neighbor_id ASC). Identical values under every
+    strategy.
     """
+    if strategy not in ('auto', 'broadcast', 'distributed'):
+        raise ValueError(f'unknown strategy: {strategy!r}')
+    if strategy == 'auto':
+        strategy = ('distributed' if queries.count() > big_q_threshold
+                    else 'broadcast')
+    if strategy == 'distributed':
+        return pq_adc_topk_bigq(codes, codebooks, queries, k,
+                                id_col=id_col, codes_col=codes_col,
+                                q_id=q_id, q_vec=q_vec)
     bcC = _codebook_broadcast(codebooks)
     qrows = queries.select(q_id, q_vec).collect()
     qrows.sort(key=lambda r: r[0])
@@ -266,6 +285,116 @@ def pq_adc_topk(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
             .filter(F.col('rank') <= k))
 
 
+def pq_adc_topk_bigq(codes: DataFrame, codebooks: DataFrame,
+                     queries: DataFrame, k: int, id_col: str = 'vec_id',
+                     codes_col: str = 'codes', q_id: str = 'query_id',
+                     q_vec: str = 'q_embedding', n_splits: int = None,
+                     q_block: int = 256, cand_block: int = 8192) -> DataFrame:
+    """ADC top-k for LARGE query sets — no driver materialization.
+
+    pq_adc_topk collects + broadcasts the query matrix and loops over
+    queries per batch: right for probe workloads (10s-100s of queries),
+    a driver bottleneck and O(n_queries x n_batches) Python-loop work
+    when scoring a full eval corpus. This variant keeps BOTH sides
+    distributed with a fragment-replicate cogroup join:
+
+    - the code table is split into ``n_splits`` hash fragments;
+    - the query table is replicated once per fragment (a shuffle of
+      Q x n_splits small rows — queries are the small side by
+      definition, so this is the cheap direction);
+    - one applyInPandas per (fragment) cogroup scores ALL of that
+      fragment's candidates against ALL queries in vectorized
+      (q_block x cand_block x m) NumPy blocks, emitting only block-local
+      top-(k+1) rows per query.
+
+    The global window then ranks O(n_splits x blocks x k) partial rows
+    per query — the same exact-union argument as pq_adc_topk (every
+    true global top-k member is in its own block's top-k). Results are
+    identical to pq_adc_topk for any n_splits.
+
+    Memory envelope per task: one fragment's codes (~N/n_splits rows of
+    m ints) + one (q_block x cand_block x m) float64 scoring block
+    (defaults: 256 x 8192 x m x 8 B = 16 MB per code dim). Size
+    ``n_splits`` so a fragment fits the executor; default = the
+    session's shuffle partitioning.
+    """
+    spark = codes.sparkSession
+    if n_splits is None:
+        n_splits = int(spark.conf.get('spark.sql.shuffle.partitions'))
+    bcC = _codebook_broadcast(codebooks)
+
+    id_type = codes.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField('query_id', T.LongType()),
+        T.StructField('neighbor_id', id_type),
+        T.StructField('adc_dist', T.DoubleType()),
+    ])
+
+    def score(codes_pdf, queries_pdf):
+        if len(codes_pdf) == 0 or len(queries_pdf) == 0:
+            return pd.DataFrame({'query_id': pd.Series(dtype='int64'),
+                                 'neighbor_id': pd.Series(dtype='int64'),
+                                 'adc_dist': pd.Series(dtype='float64')})
+        C = bcC.value
+        m, ksub, dsub = C.shape
+        codes_m = np.asarray(codes_pdf[codes_col].tolist(), dtype=np.int64)
+        nids = codes_pdf[id_col].to_numpy()
+        qids = queries_pdf[q_id].to_numpy(dtype=np.int64)
+        Q = np.asarray(queries_pdf[q_vec].tolist(), dtype=np.float64)
+        Qs = Q.reshape(len(qids), m, dsub)
+        n = len(nids)
+        out_q, out_n, out_d = [], [], []
+        sub_idx = np.arange(m)[None, :]
+        for q0 in range(0, len(qids), q_block):
+            q1 = min(q0 + q_block, len(qids))
+            # LUT[q, s, j] for this query block only
+            lut = ((Qs[q0:q1, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)
+            for c0 in range(0, n, cand_block):
+                c1 = min(c0 + cand_block, n)
+                cm = codes_m[c0:c1]
+                ids_b = nids[c0:c1]
+                # (qb, nb, m) gather -> (qb, nb) distances
+                d = lut[:, sub_idx, cm].sum(axis=2)
+                nb = c1 - c0
+                take = min(k + 1, nb)
+                if take < nb:
+                    # Emit every candidate at-or-under the block's
+                    # per-query (k+1)-th distance — an UNORDERED
+                    # SUPERSET of the block top-(k+1) (boundary ties
+                    # included wholesale instead of cut by a per-query
+                    # lexsort; the global window does the exact
+                    # ordering anyway). Fully vectorized — no per-query
+                    # Python loop. Worst case (all-equal distances)
+                    # emits the whole block; typical overshoot is the
+                    # handful of boundary ties.
+                    part = np.argpartition(d, take - 1, axis=1)[:, :take]
+                    cut = np.take_along_axis(d, part, axis=1).max(axis=1)
+                    qq, ii = np.nonzero(d <= cut[:, None])
+                else:
+                    qq, ii = np.nonzero(np.ones(d.shape, dtype=bool))
+                out_q.append(qids[q0 + qq])
+                out_n.append(ids_b[ii])
+                out_d.append(d[qq, ii])
+        return pd.DataFrame({'query_id': np.concatenate(out_q),
+                             'neighbor_id': np.concatenate(out_n),
+                             'adc_dist': np.concatenate(out_d)})
+
+    left = (codes.select(id_col, codes_col)
+            .withColumn('_split', F.pmod(F.hash(F.col(id_col)),
+                                         F.lit(n_splits))))
+    right = (queries.select(q_id, q_vec)
+             .crossJoin(spark.range(n_splits)
+                        .select(F.col('id').cast('int').alias('_split'))))
+    cand = (left.groupBy('_split')
+            .cogroup(right.groupBy('_split'))
+            .applyInPandas(score, schema)
+            .filter(F.col('neighbor_id') != F.col('query_id')))
+    w = Window.partitionBy('query_id').orderBy(F.col('adc_dist').asc(),
+                                               F.col('neighbor_id').asc())
+    return (cand.withColumn('rank', F.row_number().over(w))
+            .filter(F.col('rank') <= k))
+
+
 def adc_dist_col(query_ids, codes_col, codebooks: DataFrame,
                  queries: DataFrame, q_id: str = 'query_id',
                  q_vec: str = 'q_embedding'):
@@ -306,12 +435,46 @@ def adc_dist_col(query_ids, codes_col, codebooks: DataFrame,
     return _adc(query_ids, codes_col)
 
 
+def adc_dist_joined_col(query_ids, q_vecs, codes_col, codebooks: DataFrame):
+    """Squared-L2 ADC distance for candidate rows that CARRY their query
+    vector — the no-driver-materialization companion of adc_dist_col
+    for large query sets: instead of collecting + broadcasting every
+    query, the caller equi-joins the query vector onto the candidate
+    rows (a keyed shuffle Catalyst sizes itself) and this kernel builds
+    each LUT once per batch-local UNIQUE query. After the q_id-keyed
+    join, a batch's rows are clustered by query, so the per-batch
+    unique count stays small regardless of total query count."""
+    bcC = _codebook_broadcast(codebooks)
+
+    @F.pandas_udf('double')
+    def _adc(qid: pd.Series, qvec: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(qid) == 0:
+            return pd.Series(np.zeros(0))
+        C = bcC.value
+        m, ksub, dsub = C.shape
+        ids = qid.to_numpy(dtype=np.int64)
+        cm = np.asarray(codes.tolist(), dtype=np.int64)
+        out = np.empty(len(ids), dtype=np.float64)
+        uniq, first, inv = np.unique(ids, return_index=True,
+                                     return_inverse=True)
+        sub_idx = np.arange(m)[None, :]
+        for ui in range(len(uniq)):
+            mask = inv == ui
+            q = np.asarray(qvec.iloc[first[ui]], dtype=np.float64)
+            lut = ((q.reshape(m, 1, dsub) - C) ** 2).sum(axis=2)
+            out[mask] = lut[sub_idx, cm[mask]].sum(axis=1)
+        return pd.Series(out)
+
+    return _adc(query_ids, q_vecs, codes_col)
+
+
 def ivfpq_topk(codes: DataFrame, codebooks: DataFrame, inverted: DataFrame,
                centroids: DataFrame, queries: DataFrame, k: int,
                n_probe: int = 2, id_col: str = 'vec_id',
                codes_col: str = 'codes', c_id: str = 'centroid_id',
                c_vec: str = 'c_embedding', q_id: str = 'query_id',
-               q_vec: str = 'q_embedding') -> DataFrame:
+               q_vec: str = 'q_embedding', strategy: str = 'auto',
+               big_q_threshold: int = 4096) -> DataFrame:
     """IVF-PQ ANN top-k: probe ``n_probe`` IVF buckets per query, rank
     only the bucket members by PQ ADC distance.
 
@@ -326,9 +489,23 @@ def ivfpq_topk(codes: DataFrame, codebooks: DataFrame, inverted: DataFrame,
     Plan: GEMM probe of the query side (ivf_assign), a centroid-keyed
     equi-join against the inverted file, a codes join on vec_id, one
     vectorized Arrow ADC column, and a per-query top-k window.
+
+    ``strategy``: 'broadcast' scores with adc_dist_col (queries
+    collected + broadcast — the small-Q fast path); 'distributed'
+    equi-joins each query's vector onto its candidate rows and scores
+    with adc_dist_joined_col (batch-local unique-query LUTs, nothing
+    on the driver); 'auto' counts the query table once and picks
+    distributed above ``big_q_threshold``. Identical values either way.
+
     Output: (query_id, neighbor_id, adc_dist, rank).
     """
     from geostructures_spark.operators.simsearch import ivf_assign
+
+    if strategy not in ('auto', 'broadcast', 'distributed'):
+        raise ValueError(f'unknown strategy: {strategy!r}')
+    if strategy == 'auto':
+        strategy = ('distributed' if queries.count() > big_q_threshold
+                    else 'broadcast')
 
     q_probe = (ivf_assign(queries, centroids, id_col=q_id, vec_col=q_vec,
                           c_id=c_id, c_vec=c_vec, n_assign=n_probe)
@@ -337,11 +514,20 @@ def ivfpq_topk(codes: DataFrame, codebooks: DataFrame, inverted: DataFrame,
             .filter(F.col(id_col) != F.col(q_id))
             .select(q_id, id_col).distinct()
             .join(codes.select(id_col, codes_col), id_col))
-    scored = cand.select(
-        F.col(q_id).alias('query_id'),
-        F.col(id_col).alias('neighbor_id'),
-        adc_dist_col(F.col(q_id), F.col(codes_col), codebooks, queries,
-                     q_id=q_id, q_vec=q_vec).alias('adc_dist'))
+    if strategy == 'distributed':
+        cand = cand.join(queries.select(q_id, q_vec), q_id)
+        scored = cand.select(
+            F.col(q_id).alias('query_id'),
+            F.col(id_col).alias('neighbor_id'),
+            adc_dist_joined_col(F.col(q_id), F.col(q_vec),
+                                F.col(codes_col), codebooks)
+            .alias('adc_dist'))
+    else:
+        scored = cand.select(
+            F.col(q_id).alias('query_id'),
+            F.col(id_col).alias('neighbor_id'),
+            adc_dist_col(F.col(q_id), F.col(codes_col), codebooks, queries,
+                         q_id=q_id, q_vec=q_vec).alias('adc_dist'))
     w = Window.partitionBy('query_id').orderBy(F.col('adc_dist').asc(),
                                                F.col('neighbor_id').asc())
     return (scored.withColumn('rank', F.row_number().over(w))

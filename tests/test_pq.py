@@ -185,3 +185,61 @@ def test_adc_dist_col_missing_query_raises(spark, data):
                                  books, queries))
     with pytest.raises(Exception, match='not present'):
         bad.collect()
+
+
+def test_bigq_distributed_matches_broadcast(spark, data):
+    # r5 task 3: the fragment-replicate big-Q path must produce exactly
+    # the broadcast path's rows, for any split count.
+    from geostructures_spark.operators.pq import pq_adc_topk_bigq
+    m, ksub = 2, 4
+    vecs = _vecs(spark, data)
+    books = pq_train(vecs, m=m, ksub=ksub, n_iter=1)
+    enc = pq_encode(vecs, books)
+    queries = (vecs.where(F.col('vec_id').isin([0, 7, 23, 41]))
+               .select(F.col('vec_id').alias('query_id'),
+                       F.col('embedding').alias('q_embedding')))
+    base = sorted([(r['query_id'], r['neighbor_id'], r['adc_dist'], r['rank'])
+                   for r in pq_adc_topk(enc, books, queries, k=5,
+                                        strategy='broadcast').collect()])
+    for n_splits in (1, 3, 16):
+        got = sorted([(r['query_id'], r['neighbor_id'], r['adc_dist'],
+                       r['rank'])
+                      for r in pq_adc_topk_bigq(enc, books, queries, k=5,
+                                                n_splits=n_splits,
+                                                q_block=3, cand_block=7)
+                      .collect()])
+        assert got == base, n_splits
+
+
+def test_ivfpq_distributed_matches_broadcast(spark, data):
+    from geostructures_spark.operators.pq import ivfpq_topk
+    from geostructures_spark.operators.simsearch import ivf_assign
+    m, ksub = 2, 4
+    vecs = _vecs(spark, data)
+    books = pq_train(vecs, m=m, ksub=ksub, n_iter=1)
+    enc = pq_encode(vecs, books)
+    cents = (vecs.where(F.col('vec_id') < 3)
+             .select(F.col('vec_id').alias('centroid_id'),
+                     F.col('embedding').alias('c_embedding')))
+    inv = ivf_assign(vecs, cents).select('vec_id', 'centroid_id')
+    q = (vecs.where(F.col('vec_id').isin([5, 17]))
+         .select(F.col('vec_id').alias('query_id'),
+                 F.col('embedding').alias('q_embedding')))
+    base = sorted([tuple(r) for r in
+                   ivfpq_topk(enc, books, inv, cents, q, k=8, n_probe=2,
+                              strategy='broadcast').collect()])
+    got = sorted([tuple(r) for r in
+                  ivfpq_topk(enc, books, inv, cents, q, k=8, n_probe=2,
+                             strategy='distributed').collect()])
+    assert got == base
+
+
+def test_adc_strategy_validation(spark, data):
+    vecs = _vecs(spark, data)
+    books = pq_train(vecs, m=2, ksub=4, n_iter=1)
+    enc = pq_encode(vecs, books)
+    q = (vecs.where(F.col('vec_id') == 0)
+         .select(F.col('vec_id').alias('query_id'),
+                 F.col('embedding').alias('q_embedding')))
+    with pytest.raises(ValueError, match='strategy'):
+        pq_adc_topk(enc, books, q, k=2, strategy='bogus')
