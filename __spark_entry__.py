@@ -5136,7 +5136,8 @@ def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge application are re-derived independently by DuckDB."""
     from geostructures_spark.operators.bpe import bpe_train, word_vocab
     _load(spark, sf_dir, 'documents')
-    merges, _ = bpe_train(word_vocab(spark.table('documents')), _BPE_MERGES)
+    merges, _ = bpe_train(word_vocab(spark.table('documents')), _BPE_MERGES,
+                          n_partitions=4)
     return spark.createDataFrame(
         [(int(r), l, rt, int(c)) for r, l, rt, c in merges],
         'merge_round int, left_sym string, right_sym string, '
@@ -5152,7 +5153,7 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                    word_vocab, words_expr)
     _load(spark, sf_dir, 'documents')
     docs = spark.table('documents')
-    merges, _ = bpe_train(word_vocab(docs), _BPE_MERGES)
+    merges, _ = bpe_train(word_vocab(docs), _BPE_MERGES, n_partitions=4)
     enc = bpe_encode(
         docs.select('doc_id', words_expr(F.col('text')).alias('words')),
         [(l, r) for _, l, r, _ in merges])
