@@ -21,13 +21,17 @@ Scale notes (10^12 rows):
 - cost = one shuffle of (left + right), same as any keyed join; AQE
   coalesces small partitions.
 - a pathologically hot key serializes inside one task (windows cannot be
-  salted without breaking the running-last semantics); the mitigation is
-  the standard pre-filter — bucket both sides by coarse time range first,
-  joining each right row into its own and the NEXT bucket, which bounds
-  per-task rows while preserving backward matches across the bucket edge.
-  That variant composes from this operator + a bucket column; the hot-key
-  case (one entity with billions of pings) is rare enough that the simple
-  form is the default, as in DuckDB/Pandas/kdb.
+  salted without breaking the running-last semantics); pass
+  ``time_bucket_sec`` to switch to the hot-key plan: both sides bucket by
+  coarse time range, a bucket-granular carry-in table (the last right row
+  BEFORE each bucket, computed with a per-key window over bucket summaries
+  — rows = buckets, not pings) is injected as one synthetic right row per
+  (key, bucket), and the running-last window partitions by (key, bucket).
+  Per-task rows are then bounded by one bucket's rows + 1, at the cost of
+  two extra bucket-granular shuffles. Identical results to the simple
+  plan for any bucket width; the hot-key case (one entity with billions
+  of pings) is rare enough that the simple form is the default, as in
+  DuckDB/Pandas/kdb.
 
 Ties: at equal (key, ts) the right row sorts BEFORE the left row, so a
 backward match at ts == left.ts is inclusive (DuckDB ``ASOF JOIN ... ON
@@ -49,13 +53,21 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | Sequence[str],
               left_ts: str = 'ts', right_ts: str = 'ts',
               direction: str = 'backward',
               tolerance_sec: Optional[float] = None,
-              prefix: str = 'r_') -> DataFrame:
+              prefix: str = 'r_',
+              time_bucket_sec: Optional[float] = None) -> DataFrame:
     """As-of join: left rows + the time-nearest right row per key.
 
     Returns every left row (left-join semantics) with the matched right
     row's non-key columns attached as ``<prefix><col>`` (null when no
     right row qualifies, or the nearest one is farther than
     ``tolerance_sec``).
+
+    ``time_bucket_sec`` switches to the hot-key plan (see module
+    docstring): the running-last window partitions by (key, coarse time
+    bucket) instead of key alone, with a bucket-granular carry-in row
+    preserving matches across bucket edges — per-task rows bounded by
+    one bucket regardless of key skew. Results identical to the default
+    plan for any width.
     """
     if direction not in ('backward', 'forward'):
         raise ValueError(f'direction must be backward|forward: {direction}')
@@ -66,34 +78,88 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | Sequence[str],
         raise ValueError(f'right_ts {right_ts!r} missing from right side')
     l_cols = [c for c in left.columns]
 
+    l_null = ('struct<' + ','.join(
+        f'{c}:{left.schema[c].dataType.simpleString()}'
+        for c in l_cols) + '>')
+    r_null = ('struct<' + ','.join(
+        f'{c}:{right.schema[c].dataType.simpleString()}'
+        for c in r_payload) + '>')
+
     l_tag = left.select(
         *[F.col(c) for c in keys],
         F.col(left_ts).alias('__ts'),
         F.lit(1).alias('__is_left'),
         F.struct(*[F.col(c) for c in l_cols]).alias('__l'),
-        F.lit(None).cast(
-            'struct<' + ','.join(
-                f'{c}:{right.schema[c].dataType.simpleString()}'
-                for c in r_payload) + '>').alias('__r'))
+        F.lit(None).cast(r_null).alias('__r'))
     r_tag = right.select(
         *[F.col(c) for c in keys],
         F.col(right_ts).alias('__ts'),
         F.lit(0).alias('__is_left'),
-        F.lit(None).cast(
-            'struct<' + ','.join(
-                f'{c}:{left.schema[c].dataType.simpleString()}'
-                for c in l_cols) + '>').alias('__l'),
+        F.lit(None).cast(l_null).alias('__l'),
         F.struct(*[F.col(c) for c in r_payload]).alias('__r'))
 
-    u = l_tag.unionByName(r_tag)
     # backward: ascending ts, right-before-left at ties -> running last
     # forward: descending ts, right-before-left at ties -> running last is
     # the EARLIEST right row with ts >= left ts
-    order = ([F.col('__ts').asc(), F.col('__is_left').asc()]
-             if direction == 'backward'
+    backward = direction == 'backward'
+    order = ([F.col('__ts').asc(), F.col('__is_left').asc()] if backward
              else [F.col('__ts').desc(), F.col('__is_left').asc()])
-    w = (Window.partitionBy(*keys).orderBy(*order)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    if time_bucket_sec is None:
+        u = l_tag.unionByName(r_tag)
+        w = (Window.partitionBy(*keys).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    else:
+        # Hot-key plan: partition the window by (key, coarse bucket) so
+        # a skewed key splits across tasks. Matches that cross a bucket
+        # edge are preserved by ONE synthetic carry-in row per
+        # (key, bucket): the extreme right row from the match-direction
+        # side of the bucket (latest earlier row for backward, earliest
+        # later row for forward), computed over bucket SUMMARIES — the
+        # per-key carry window sees one row per bucket, not per ping,
+        # so the hot key never serializes its rows anywhere.
+        ts_t = left.schema[left_ts].dataType.simpleString()
+        if ts_t.startswith('timestamp'):
+            def _sec(c):
+                return F.unix_micros(c.cast('timestamp')) / F.lit(1e6)
+        else:
+            def _sec(c):
+                return c.cast('double')
+        bkt = F.floor(_sec(F.col('__ts'))
+                      / F.lit(float(time_bucket_sec))).cast('long')
+        l_tag = l_tag.withColumn('__bkt', bkt)
+        r_tag = r_tag.withColumn('__bkt', bkt)
+
+        ext = (F.max_by(F.struct('__ts', '__r'), '__ts') if backward
+               else F.min_by(F.struct('__ts', '__r'), '__ts'))
+        rb = r_tag.groupBy(*keys, '__bkt').agg(ext.alias('__ext'))
+        lb = (l_tag.select(*keys, '__bkt').distinct()
+              .withColumn('__has_left', F.lit(1)))
+        allb = lb.join(rb, [*keys, '__bkt'], 'full')
+        w_c = (Window.partitionBy(*keys)
+               .orderBy(F.col('__bkt').asc() if backward
+                        else F.col('__bkt').desc())
+               .rowsBetween(Window.unboundedPreceding, -1))
+        carry = (allb
+                 .withColumn('__c', F.last('__ext', ignorenulls=True)
+                             .over(w_c))
+                 .where(F.col('__has_left').isNotNull()
+                        & F.col('__c').isNotNull()))
+        carry_tag = carry.select(
+            *[F.col(c) for c in keys],
+            F.col('__c.__ts').alias('__ts'),
+            F.lit(0).alias('__is_left'),
+            F.lit(None).cast(l_null).alias('__l'),
+            F.col('__c.__r').alias('__r'),
+            F.col('__bkt'))
+        u = l_tag.unionByName(r_tag).unionByName(carry_tag)
+        # the carry row's ts lies strictly outside its assigned bucket
+        # on the match side, so it sorts before every in-bucket row
+        # under either direction's ordering — exactly the running-last
+        # seed the un-bucketed plan would have carried in.
+        w = (Window.partitionBy(*keys, '__bkt').orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
     matched = u.withColumn('__m', F.last('__r', ignorenulls=True).over(w)) \
                .where(F.col('__is_left') == 1)
 
