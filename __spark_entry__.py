@@ -4182,6 +4182,47 @@ _STREAMING_DEDUP_DUCK = """
 """
 
 
+def _q_streaming_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH dedup state
+    (streaming/dedup.minhash_bucket_groups): (band, minhash) buckets
+    with canonical id + member count, driven over the documents parquet
+    as a file stream (complete-mode memory sink). The per-doc signature
+    is row-local (one streaming aggregation total), value-identical to
+    operators/dedup.minhash_signature; the bucket table is commutative,
+    so the batch SQL replay checks the streaming result value-exactly
+    (same pattern as streaming_exact_dedup / streaming_cms_sketch)."""
+    from geostructures_spark.streaming.dedup import (minhash_bucket_groups,
+                                                     run_stream_to_memory)
+    out = run_stream_to_memory(
+        spark, os.path.join(sf_dir, 'documents.parquet'),
+        minhash_bucket_groups, 'minhash_stream_oracle')
+    return (out.select(F.col('band').cast('int').alias('band'),
+                       'minhash',
+                       F.col('canonical_id').cast('long').alias('canonical_id'),
+                       F.col('n_docs').cast('long').alias('n_docs'))
+            .orderBy('band', 'minhash'))
+
+
+_STREAMING_MINHASH_DUCK = """
+  WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents),
+  sh AS (
+    SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+      THEN list_transform(range(1, len(w) - 3),
+                          j -> array_to_string(w[j:j+4], ' '))
+      ELSE [array_to_string(w, ' ')] END) AS shingle
+    FROM toks),
+  sig AS (
+    SELECT doc_id, band, MIN(substr(md5(shingle), band * 8 + 1, 8)) AS minhash
+    FROM sh, (SELECT unnest([0,1,2,3]) AS band)
+    GROUP BY doc_id, band)
+  SELECT CAST(band AS INTEGER) AS band, minhash,
+         CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM sig GROUP BY 1, 2 ORDER BY band, minhash
+"""
+
+
 _SPLIT_FRACS = [('train', 0.8), ('valid', 0.1), ('test', 0.1)]
 
 
@@ -5552,6 +5593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'host_stats_crawl': _q_host_stats,
         'quality_gate_mask': _q_quality_gate,
         'streaming_url_dedup': _q_streaming_url_dedup,
+        'streaming_minhash_dedup': _q_streaming_minhash,
         # -- new in r4 (late): never driver-certified, must sit in [0:50] --
         'line_dedup_docs': _q_line_dedup,
         'decontaminate_ngrams': _q_decontaminate,
@@ -5762,6 +5804,7 @@ def oracle_sql() -> dict[str, str]:
         'linear_count_tokens': _LINEAR_COUNT_DUCK,
         'zonal_stats_circles': _ZONAL_DUCK,
         'streaming_cms_sketch': _STREAMING_CMS_DUCK,
+        'streaming_minhash_dedup': _STREAMING_MINHASH_DUCK,
         'resample_track_grid': _resample_duckdb(),
         'tfidf_top_terms': _TFIDF_DUCK,
         'simplify_track_radial': _simplify_radial_duckdb(),

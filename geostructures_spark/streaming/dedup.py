@@ -29,8 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ['DOCS_SCHEMA', 'dedup_group_agg', 'drop_seen',
-           'drop_seen_urls', 'run_dedup_groups_to_memory',
-           'run_stream_to_memory']
+           'drop_seen_urls', 'minhash_bucket_groups',
+           'run_dedup_groups_to_memory', 'run_stream_to_memory']
 
 DOCS_SCHEMA = ('doc_id long, text string, lang string, source string, '
                'n_chars long')
@@ -59,6 +59,59 @@ def drop_seen(docs: DataFrame, text_col: str = 'text',
         src = src.withWatermark(watermark_col, delay)
         return src.dropDuplicatesWithinWatermark(['content_hash'])
     return src.dropDuplicates(['content_hash'])
+
+
+def minhash_bucket_groups(docs: DataFrame, n_bands: int = 4,
+                          shingle_k: int = 5, id_col: str = 'doc_id',
+                          text_col: str = 'text') -> DataFrame:
+    """Streaming MinHash-LSH near-dup state: one row per (band, minhash)
+    bucket with its canonical (min) doc id and member count — the
+    incremental-ingest twin of operators/dedup.minhash_lsh_pairs'
+    bucket table. An arriving doc is a near-dup CANDIDATE iff any of
+    its n_bands buckets already exists with a lower canonical id; the
+    bucket table is a commutative aggregation, so batch and stream
+    states are identical and arrival-order independent (the property
+    the contract oracle checks, like dedup_group_agg).
+
+    Streaming shape: chained stateful aggregations are unsupported, so
+    the per-doc band signature CANNOT use the batch form's
+    explode -> groupBy(doc, band).min. Instead it is computed
+    ROW-LOCALLY — array_min over the shingle array's per-band hash
+    slices, value-identical to minhash_signature (same md5 slices, same
+    string total order) — leaving exactly ONE stateful aggregation over
+    (band, minhash). State is one row per distinct bucket; the shuffle
+    carries (band, minhash, partial-min, partial-count) only.
+
+    Works identically on a batch frame (the oracle replay path).
+    """
+    from geostructures_spark.operators.dedup import (shingles_from_tokens,
+                                                     tokens_expr)
+    base = docs.select(F.col(id_col),
+                       tokens_expr(F.col(text_col)).alias('_tk'))
+    sh = base.select(id_col,
+                     shingles_from_tokens(F.col('_tk'), shingle_k)
+                     .alias('_shs'))
+    bands = sh.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias('band'),
+        '_shs')
+    if n_bands <= 4:
+        # four 32-bit band hashes are SLICES of one md5 per shingle —
+        # same scheme as minhash_signature's n_bands <= 4 fast path
+        mh = F.array_min(F.transform(
+            '_shs',
+            lambda s: F.substring(F.md5(s), F.col('band') * 8 + 1,
+                                  F.lit(8))))
+    else:
+        mh = F.array_min(F.transform(
+            '_shs',
+            lambda s: F.md5(F.concat_ws(':', F.col('band').cast('string'),
+                                        s))))
+    rows = (bands.select(id_col, 'band', mh.alias('minhash'))
+            .where(F.col('minhash').isNotNull()))
+    return (rows.groupBy('band', 'minhash')
+            .agg(F.min(id_col).alias('canonical_id'),
+                 F.count('*').alias('n_docs')))
 
 
 def drop_seen_urls(pages: DataFrame, url_col: str = 'url') -> DataFrame:

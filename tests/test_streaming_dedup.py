@@ -79,3 +79,50 @@ def test_drop_seen_urls_batch_survivor_set(spark):
     out = drop_seen_urls(df).collect()
     assert sorted(r['norm_url'] for r in out) == [
         'https://a.example/x', 'https://b.example/y']
+
+
+def test_minhash_bucket_groups_stream_equals_batch(spark):
+    """Streaming MinHash-LSH bucket state == batch replay, including
+    across multi-file triggers (arrival-order independence), and the
+    row-local signature == the batch groupBy signature."""
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geostructures_spark.operators.dedup import minhash_signature
+    from geostructures_spark.streaming.dedup import (DOCS_SCHEMA,
+                                                     minhash_bucket_groups)
+    d = tempfile.mkdtemp(prefix='gs_mh_stream_')
+    texts = ['the quick brown fox jumps over the lazy dog',
+             'the quick brown fox jumps over the lazy cat',
+             'completely different content here with many words',
+             'the quick brown fox jumps over the lazy dog',  # exact dup
+             'short doc']
+    half = len(texts) // 2
+    for i, sl in enumerate((slice(0, half), slice(half, None))):
+        idx = range(len(texts))[sl]
+        pd.DataFrame({'doc_id': list(idx),
+                      'text': [texts[j] for j in idx],
+                      'lang': ['en'] * len(idx), 'source': ['s'] * len(idx),
+                      'n_chars': [len(texts[j]) for j in idx]}
+                     ).to_parquet(os.path.join(d, f'p{i}.parquet'))
+    stream = (spark.readStream.schema(DOCS_SCHEMA)
+              .option('maxFilesPerTrigger', 1).parquet(d))
+    q = (minhash_bucket_groups(stream).writeStream.outputMode('complete')
+         .format('memory').queryName('t_mh_groups').start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.sql('SELECT * FROM t_mh_groups').collect()))
+    batch = spark.read.parquet(d)
+    expect = sorted(map(tuple, (
+        minhash_signature(batch, n_bands=4)
+        .groupBy('band', 'minhash')
+        .agg(F.min('doc_id').alias('canonical_id'),
+             F.count('*').alias('n_docs'))).collect()))
+    assert got == expect
+    # the exact dup pair (0, 3) shares ALL 4 buckets with canonical 0
+    shared = [t for t in got if t[3] >= 2 and t[2] == 0]
+    assert len(shared) >= 4
