@@ -162,7 +162,14 @@ def _utm_epsg(code: int):
     property of the CRS, not the data, exactly as pyproj treats it."""
     family, zone = code // 100, code % 100
     if family not in (326, 327) or not 1 <= zone <= 60:
-        raise ValueError(f'unsupported EPSG code: {code}')
+        raise ValueError(
+            f'unsupported EPSG code: {code}. Supported from scratch: 4326, '
+            f'3857, UTM 326xx/327xx, and the national grids / geographic '
+            f'datums in kernels/datum.py (27700, 23028-23038, 2154, 27572, '
+            f'32040, 5070, 4277, 4230, Pulkovo GK zones) — see the "EPSG '
+            f'support matrix" section of README.md. Codes needing '
+            f'published grid files (NTv2/NADCON, e.g. NAD27 state plane) '
+            f'cannot be implemented without those files and always raise.')
     return zone, family == 327
 
 
