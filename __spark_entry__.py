@@ -85,10 +85,18 @@ def _hav(lon1, lat1, lon2, lat2) -> str:
 def _niemeyer6_duckdb(lon: str, lat: str) -> str:
     """Niemeyer length-6 base-16 cell as DuckDB SQL: 12-bit quantization per
     axis + MSB-first bit interleave (lon first) = the hex string of the
-    24-bit code. Matches kernels/niemeyer.py for points not on dyadic
-    boundaries (derived points are offset away from all boundaries)."""
-    qlon = f'CAST(floor(({lon} + 180.0) / 360.0 * 4096.0) AS BIGINT)'
-    qlat = f'CAST(floor(({lat} + 90.0) / 180.0 * 4096.0) AS BIGINT)'
+    24-bit code. Boundary rule: the reference's bisection uses strict
+    `coord > mid` (geohash.py:161,169), so a point EXACTLY on a dyadic
+    split belongs to the LOWER cell — plain floor() would put it in the
+    upper one (caught live at sf0.1: page coords are exact millidegrees
+    and doc 3750's lon 78.75 sits on a split). ceil(q) - 1 equals
+    floor(q) for non-integral q and q - 1 at exact boundaries, clamped
+    at the domain edge; bisection midpoints at 12 bits are exact dyadic
+    doubles, so this closed form is otherwise identical."""
+    qlon = (f'GREATEST(CAST(ceil(({lon} + 180.0) / 360.0 * 4096.0) '
+            f'AS BIGINT) - 1, 0)')
+    qlat = (f'GREATEST(CAST(ceil(({lat} + 90.0) / 180.0 * 4096.0) '
+            f'AS BIGINT) - 1, 0)')
     terms = []
     for b in range(12):
         terms.append(f'((({qlon} >> {11 - b}) & 1) << {23 - 2 * b})')
