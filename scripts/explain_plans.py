@@ -195,6 +195,61 @@ def main() -> int:
           f'no data-path shuffle')
     ok &= pq
 
+    # Big-Q ADC (r5): fragment-replicate cogroup — the query side reaches
+    # the scorer through a shuffle on _split, never a driver collect or
+    # broadcast; the scorer is FlatMapCoGroupsInPandas
+    from pyspark.sql import functions as F
+    from geostructures_spark.operators.pq import (pq_adc_topk_bigq,
+                                                  pq_encode, pq_train)
+    vecs = spark.range(200).selectExpr(
+        'id AS vec_id',
+        'transform(sequence(1, 8), i -> cast(cos(id * 3 + i) as double))'
+        ' AS embedding')
+    books = pq_train(vecs, m=2, ksub=4, n_iter=1)
+    q = (vecs.where(F.col('vec_id') < 5)
+         .select(F.col('vec_id').alias('query_id'),
+                 F.col('embedding').alias('q_embedding')))
+    plan = formatted(pq_adc_topk_bigq(pq_encode(vecs, books), books, q, k=3))
+    # the only legitimate broadcast is the n_splits-row id range that
+    # replicates the query side (IdentityBroadcastMode over _split);
+    # the query VECTORS must reach the scorer through the _split shuffle
+    import re as _re
+    bc_vec = any('q_embedding' in seg.split('\n')[1]
+                 for seg in _re.split(r'\(\d+\) BroadcastExchange', plan)[1:])
+    bigq = 'FlatMapCoGroupsInPandas' in plan and not bc_vec
+    print(f'[{"OK" if bigq else "FAIL"}] big-Q ADC: cogroup scorer, '
+          f'query vectors shuffled (only the split-id range broadcasts)')
+    ok &= bigq
+
+    # As-of hot-key variant (r5): the running-last window partitions by
+    # (key, __bkt) — the skewed key splits across tasks
+    from geostructures_spark.operators.asof import asof_join
+    left = spark.range(100).selectExpr("'k' AS k", 'CAST(id AS DOUBLE) AS ts',
+                                       'id AS lid')
+    right = spark.range(20).selectExpr("'k' AS k",
+                                       'CAST(id * 5 AS DOUBLE) AS ts',
+                                       'CAST(id AS DOUBLE) AS px')
+    plan = formatted(asof_join(left, right, on='k', time_bucket_sec=10.0))
+    hot = '__bkt' in plan and 'hashpartitioning' in plan
+    print(f'[{"OK" if hot else "FAIL"}] asof hot-key: window partitioned '
+          f'by (key, time bucket)')
+    ok &= hot
+
+    # Streaming minhash (r5): the per-doc signature is row-local (HOF
+    # array_min) — exactly ONE aggregate pair in the plan (the bucket
+    # groupBy's partial+final), no per-doc aggregation
+    from geostructures_spark.streaming.dedup import minhash_bucket_groups
+    docs = spark.range(50).selectExpr(
+        'id AS doc_id', "repeat(concat('w', CAST(id % 7 AS STRING), ' '), 8)"
+        ' AS text')
+    plan = formatted(minhash_bucket_groups(docs))
+    aggs = plan.count('HashAggregate')
+    mh = aggs <= 4 and 'EvalPython' not in plan
+    print(f'[{"OK" if mh else "FAIL"}] streaming minhash: row-local '
+          f'signature, single aggregation pair, zero Python '
+          f'({aggs} HashAggregate nodes)')
+    ok &= mh
+
     spark.stop()
     return 0 if ok else 1
 
