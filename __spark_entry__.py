@@ -4190,6 +4190,70 @@ _STREAMING_DEDUP_DUCK = """
 """
 
 
+def _q_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate (operators/sketch.py
+    hll_registers/hll_estimate, p=8): the register table (bit-exact
+    across engines — md5-derived 60-bit hash, same conv/CAST parity as
+    the CMS family) with the corrected cardinality estimate attached.
+    Oracle: full SQL replay — identical bit arithmetic (format('{:b}')
+    bit length), identical raw-vs-linear-counting branch, 6dp round."""
+    from geostructures_spark.operators.bpe import words_expr
+    from geostructures_spark.operators.sketch import (hll_estimate,
+                                                      hll_registers)
+    _load(spark, sf_dir, 'documents')
+    items = (spark.table('documents')
+             .select(F.explode(words_expr(F.col('text'))).alias('item'))
+             .where(F.col('item') != ''))
+    regs = hll_registers(items, p=8)
+    est = hll_estimate(regs, p=8)
+    return (regs.crossJoin(est)
+            .select(F.col('idx').cast('int').alias('idx'),
+                    F.col('rho').cast('int').alias('rho'),
+                    F.col('n_registers_hit').cast('long')
+                    .alias('n_registers_hit'),
+                    'estimate')
+            .orderBy('idx'))
+
+
+_HLL_DUCK = r"""
+  WITH items AS (
+    SELECT w AS item FROM (
+      SELECT unnest(string_split(regexp_replace(
+        lower(substr(text, 1, 150)), '[^a-z ]', ' ', 'g'), ' ')) AS w
+      FROM documents) z
+    WHERE w <> ''),
+  h AS (
+    SELECT CAST(concat('0x', substr(md5(item), 1, 15)) AS BIGINT) AS hv
+    FROM items),
+  r AS (
+    SELECT CAST(hv >> 52 AS INTEGER) AS idx,
+           CAST(CASE WHEN (hv & ((CAST(1 AS BIGINT) << 52) - 1)) = 0
+                THEN 53
+                ELSE 52 - length(format('{:b}',
+                       hv & ((CAST(1 AS BIGINT) << 52) - 1))) + 1
+                END AS INTEGER) AS rho
+    FROM h),
+  regs AS (SELECT idx, MAX(rho) AS rho FROM r GROUP BY idx),
+  agg AS (
+    SELECT SUM(power(2.0e0, -rho)) AS s_seen,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM regs),
+  est AS (
+    SELECT cnt AS n_registers_hit,
+           ROUND(CASE WHEN ((0.7213e0 / (1.0e0 + 1.079e0 / 256))
+                            * 256 * 256 / (s_seen + (256.0e0 - cnt)))
+                           <= 640.0e0
+                      AND (256 - cnt) > 0
+                 THEN 256.0e0 * ln(256.0e0 / (256 - cnt))
+                 ELSE (0.7213e0 / (1.0e0 + 1.079e0 / 256))
+                      * 256 * 256 / (s_seen + (256.0e0 - cnt)) END,
+                 6) AS estimate
+    FROM agg)
+  SELECT regs.idx, regs.rho, est.n_registers_hit, est.estimate
+  FROM regs, est ORDER BY idx
+"""
+
+
 def _q_streaming_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MinHash-LSH dedup state
     (streaming/dedup.minhash_bucket_groups): (band, minhash) buckets
@@ -5692,6 +5756,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'unit_conversions': _q_unit_conversions,
         'track_extremes': _q_track_extremes,
         'media_real_decode': _q_media_real_decode,
+        # -- new in r5, back half (judge-sweep oracle row; not in the
+        # -- certified window this round) --
+        'hll_count_tokens': _q_hll_tokens,
     }
 
 
@@ -5814,6 +5881,7 @@ def oracle_sql() -> dict[str, str]:
         'zonal_stats_circles': _ZONAL_DUCK,
         'streaming_cms_sketch': _STREAMING_CMS_DUCK,
         'streaming_minhash_dedup': _STREAMING_MINHASH_DUCK,
+        'hll_count_tokens': _HLL_DUCK,
         'resample_track_grid': _resample_duckdb(),
         'tfidf_top_terms': _TFIDF_DUCK,
         'simplify_track_radial': _simplify_radial_duckdb(),

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ['cms_hash_expr', 'cms_table', 'cms_estimate', 'linear_count',
-           'bloom_bits', 'bloom_contains']
+           'bloom_bits', 'bloom_contains', 'hll_registers', 'hll_estimate']
 
 
 def cms_hash_expr(item: Column, d: int, width: int) -> Column:
@@ -139,3 +139,65 @@ def bloom_contains(bits: DataFrame, probes: DataFrame,
             .select(item_col,
                     (F.coalesce('n_set', F.lit(0)) == n_hashes)
                     .alias('maybe_present')))
+
+
+#: HLL geometry: p index bits over a 60-bit md5-derived hash (15 hex
+#: chars — 60 bits keeps the value positive in BOTH engines' BIGINT).
+_HLL_HASH_BITS = 60
+
+
+def hll_registers(items: DataFrame, item_col: str = 'item',
+                  p: int = 8) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007): (idx, rho)
+    with idx = top ``p`` hash bits and rho = max over items of
+    (leading zeros of the remaining bits + 1).
+
+    Same scale contract as cms_table: ONE map-side-combined groupBy
+    whose shuffle carries at most 2^p distinct keys per partition no
+    matter how many input rows — the canonical distributed-cardinality
+    sketch (registers merge by max, so partial aggregation IS the
+    sketch union). Registers never hit by any item are absent (their
+    implied rho is 0); hll_estimate accounts for them.
+
+    Hashing is md5-derived so a SQL oracle replays the table
+    bit-for-bit (module docstring): h = int(md5(item)[0:15], 16) — 60
+    bits; w = h mod 2^(60-p); rho = (60-p) - bitlength(w) + 1, with
+    the w = 0 convention rho = 60-p+1.
+    """
+    wbits = _HLL_HASH_BITS - p
+    hv = F.conv(F.substring(F.md5(F.col(item_col)), 1, 15), 16, 10) \
+        .cast('long')
+    w = hv.bitwiseAND(F.lit((1 << wbits) - 1))
+    rho = (F.when(w == 0, F.lit(wbits + 1))
+           .otherwise(F.lit(wbits) - F.length(F.bin(w)) + 1)
+           .cast('int'))
+    return (items.select(F.shiftright(hv, wbits).cast('int').alias('idx'),
+                         rho.alias('rho'))
+            .groupBy('idx')
+            .agg(F.max('rho').alias('rho')))
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """One-row cardinality estimate from an hll_registers table.
+
+    Raw estimate E = alpha_m * m^2 / sum_j 2^-M_j (absent registers
+    contribute 2^0 = 1); small-range correction switches to linear
+    counting m * ln(m / V) when E <= 2.5 m and V = #zero registers > 0
+    (the published recipe; the 2^60 large-range branch is unreachable
+    at any real cardinality). Returns (n_registers_hit, estimate)
+    with estimate rounded to 6dp — the float formula is written
+    operation-for-operation identically in the SQL oracle.
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col('rho'))).alias('s_seen'),
+        F.count('*').cast('long').alias('cnt'))
+    s = F.col('s_seen') + (F.lit(float(m)) - F.col('cnt'))
+    raw = F.lit(alpha * m * m) / s
+    v = F.lit(m) - F.col('cnt')
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v)) \
+        .otherwise(raw)
+    return agg.select(F.col('cnt').alias('n_registers_hit'),
+                      F.round(est, 6).alias('estimate'))

@@ -93,3 +93,52 @@ def test_bloom_duplicate_probes_stay_present(spark):
            bloom_contains(bits, probes, m_bits=4096, n_hashes=4).collect()}
     assert got['a'] is True and got['b'] is True
     assert set(got) == {'a', 'b', 'zz'}
+
+
+def test_hll_registers_match_scalar_replay(spark):
+    import hashlib
+
+    from geostructures_spark.operators.sketch import hll_registers
+    vals = [f'tok{i}' for i in range(1000)]
+    got = sorted(map(tuple, hll_registers(_items(spark, vals)).collect()))
+    R = {}
+    for s in vals:
+        h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        idx, w = h >> 52, h & ((1 << 52) - 1)
+        rho = 53 if w == 0 else 52 - w.bit_length() + 1
+        R[idx] = max(R.get(idx, 0), rho)
+    assert got == sorted(R.items())
+
+
+def test_hll_estimate_accuracy_and_linear_branch(spark):
+    from geostructures_spark.operators.sketch import (hll_estimate,
+                                                      hll_registers)
+    # large cardinality: raw HLL branch, expect ~1.04/sqrt(256) = 6.5%
+    # std error — assert within 4 sigma
+    big = _items(spark, [f'x{i}' for i in range(5000)])
+    est = hll_estimate(hll_registers(big)).collect()[0]['estimate']
+    assert abs(est - 5000) / 5000 < 0.26
+    # small cardinality: E <= 2.5m with zero registers -> linear counting
+    import math
+    small = _items(spark, [f'y{i}' for i in range(40)])
+    regs = hll_registers(small).collect()
+    hit = len(regs)
+    row = hll_estimate(hll_registers(small)).collect()[0]
+    assert row['n_registers_hit'] == hit
+    assert row['estimate'] == round(256.0 * math.log(256.0 / (256 - hit)), 6)
+
+
+def test_hll_merge_is_register_max(spark):
+    # sketch union == max-merge of register tables (the distributed
+    # aggregation property that makes HLL shuffle-bounded)
+    from pyspark.sql import functions as F
+
+    from geostructures_spark.operators.sketch import hll_registers
+    a = _items(spark, [f'a{i}' for i in range(300)])
+    b = _items(spark, [f'b{i}' for i in range(300)])
+    both = a.unionByName(b)
+    direct = sorted(map(tuple, hll_registers(both).collect()))
+    merged = sorted(map(tuple, (
+        hll_registers(a).unionByName(hll_registers(b))
+        .groupBy('idx').agg(F.max('rho').alias('rho'))).collect()))
+    assert direct == merged
