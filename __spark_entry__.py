@@ -2857,6 +2857,80 @@ _IVF_ANN_DUCK = """
 """
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate (operators/simsearch.ann_recall): per-query
+    recall@5 of the IVF ANN path (8 buckets, n_probe=2 — the same
+    config as ivf_ann_topk) against the exact cosine top-5 over the
+    same query set. Oracle: both chains replayed in SQL + the same
+    semi-join recall arithmetic."""
+    from geostructures_spark.operators.simsearch import (ann_recall,
+                                                         cosine_topk_exact,
+                                                         ivf_assign,
+                                                         ivf_topk)
+    _load(spark, sf_dir, 'embeddings')
+    vecs = spark.table('embeddings')
+    cents = (vecs.filter(F.col('vec_id') < 8)
+             .select(F.col('vec_id').alias('centroid_id'),
+                     F.col('embedding').alias('c_embedding')))
+    q = (vecs.filter((F.col('vec_id') >= 10) & (F.col('vec_id') < 15))
+         .select(F.col('vec_id').alias('query_id'),
+                 F.col('embedding').alias('q_embedding')))
+    approx = ivf_topk(ivf_assign(vecs, cents), cents, q, k=5, n_probe=2)
+    exact = cosine_topk_exact(vecs, q, k=5)
+    out = ann_recall(approx, exact, k=5)
+    return (out.select(F.col('query_id').cast('long').alias('query_id'),
+                       'n_true', 'n_hit', 'recall')
+            .orderBy('query_id'))
+
+
+_ANN_RECALL_DUCK = """
+  WITH cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+                 FROM embeddings WHERE vec_id < 8),
+  q AS (SELECT vec_id AS query_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id >= 10 AND vec_id < 15),
+  assigned AS (
+    SELECT vec_id, embedding, centroid_id FROM (
+      SELECT v.vec_id, v.embedding, c.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_cosine_similarity(v.embedding, c.c_emb) DESC,
+                                         c.centroid_id ASC) AS r
+      FROM embeddings v, cents c) WHERE r = 1),
+  probes AS (
+    SELECT query_id, q_emb, centroid_id FROM (
+      SELECT q.query_id, q.q_emb, c.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY list_cosine_similarity(q.q_emb, c.c_emb) DESC,
+                                         c.centroid_id ASC) AS r
+      FROM q, cents c) WHERE r <= 2),
+  approx AS (
+    SELECT query_id, neighbor_id FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                ORDER BY list_cosine_similarity(a.embedding, p.q_emb) DESC,
+                                         a.vec_id ASC) AS rank
+      FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id != p.query_id) WHERE rank <= 5),
+  exact AS (
+    SELECT query_id, neighbor_id FROM (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY list_cosine_similarity(v.embedding, q.q_emb) DESC,
+                                         v.vec_id ASC) AS rank
+      FROM embeddings v, q WHERE v.vec_id != q.query_id) WHERE rank <= 5),
+  truth AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_true
+            FROM exact GROUP BY query_id),
+  hits AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+           FROM exact e JOIN approx a
+             ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+           GROUP BY e.query_id)
+  SELECT CAST(t.query_id AS BIGINT) AS query_id, t.n_true,
+         COALESCE(h.n_hit, 0) AS n_hit,
+         ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_true, 6) AS recall
+  FROM truth t LEFT JOIN hits h USING (query_id)
+  ORDER BY t.query_id
+"""
+
+
 def _q_ellipse_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ellipse <-> 2x2 covariance round trip (reference
     structures.py:1066-1147): derived ellipses -> covariance_matrix columns
@@ -5759,6 +5833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r5, back half (judge-sweep oracle row; not in the
         # -- certified window this round) --
         'hll_count_tokens': _q_hll_tokens,
+        'ann_recall_ivf': _q_ann_recall,
     }
 
 
@@ -5882,6 +5957,7 @@ def oracle_sql() -> dict[str, str]:
         'streaming_cms_sketch': _STREAMING_CMS_DUCK,
         'streaming_minhash_dedup': _STREAMING_MINHASH_DUCK,
         'hll_count_tokens': _HLL_DUCK,
+        'ann_recall_ivf': _ANN_RECALL_DUCK,
         'resample_track_grid': _resample_duckdb(),
         'tfidf_top_terms': _TFIDF_DUCK,
         'simplify_track_radial': _simplify_radial_duckdb(),

@@ -47,8 +47,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ['cosine_sim_expr', 'cosine_pairs_col', 'cosine_topk_exact',
-           'ivf_assign', 'ivf_assign_hof', 'ivf_topk',
+__all__ = ['ann_recall', 'cosine_sim_expr', 'cosine_pairs_col',
+           'cosine_topk_exact', 'ivf_assign', 'ivf_assign_hof', 'ivf_topk',
            'kmeans_train', 'embedding_neardup_pairs']
 
 
@@ -385,3 +385,34 @@ def ivf_topk(inverted: DataFrame, centroids: DataFrame, queries: DataFrame,
     w2 = Window.partitionBy('query_id').orderBy(F.col('cos_sim').desc(),
                                                 F.col('neighbor_id').asc())
     return cand.withColumn('rank', F.row_number().over(w2)).filter(F.col('rank') <= k)
+
+
+def ann_recall(approx: DataFrame, exact: DataFrame, k: int,
+               q_id: str = 'query_id',
+               n_id: str = 'neighbor_id') -> DataFrame:
+    """Per-query recall@k of an approximate top-k against the exact one
+    — the standard ANN quality gate (what "n_probe=2 reaches 0.95
+    recall" means), run as a composition over any two (query_id,
+    neighbor_id, rank) results (ivf_topk vs cosine_topk_exact,
+    ivfpq_topk vs pq_adc_topk, ...).
+
+    recall@k = |approx top-k  intersect  exact top-k| / |exact top-k|
+    per query (the denominator is the EXACT result's row count, which
+    can be < k for tiny corpora). Plan: one left-semi equi-join on
+    (query, neighbor) + two bounded groupBys — O(queries x k) rows
+    everywhere, independent of corpus size.
+
+    Returns (query_id, n_true, n_hit, recall) with recall rounded to
+    6dp.
+    """
+    e = exact.filter(F.col('rank') <= k).select(q_id, n_id)
+    a = approx.filter(F.col('rank') <= k).select(q_id, n_id)
+    truth = e.groupBy(q_id).agg(F.count('*').cast('long').alias('n_true'))
+    hits = (e.join(a, [q_id, n_id], 'left_semi')
+            .groupBy(q_id).agg(F.count('*').cast('long').alias('n_hit')))
+    return (truth.join(hits, q_id, 'left')
+            .select(q_id,
+                    'n_true',
+                    F.coalesce('n_hit', F.lit(0)).cast('long').alias('n_hit'),
+                    F.round(F.coalesce('n_hit', F.lit(0)).cast('double')
+                            / F.col('n_true'), 6).alias('recall')))

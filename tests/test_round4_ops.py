@@ -591,3 +591,27 @@ def test_resample_slerp_stays_on_great_circle(spark):
     for r in resample_track(same, 1800, method='slerp').collect():
         assert r['lon'] == approx(7.0, abs=1e-9)
         assert r['lat'] == approx(7.0, abs=1e-9)
+
+
+def test_ann_recall_composition(spark):
+    # recall of a result against itself is 1; against disjoint is 0
+    import pandas as pd
+
+    from geostructures_spark.operators.simsearch import ann_recall
+    exact = spark.createDataFrame(pd.DataFrame(
+        {'query_id': [1, 1, 1, 2, 2], 'neighbor_id': [10, 11, 12, 20, 21],
+         'rank': [1, 2, 3, 1, 2]}))
+    same = {r['query_id']: r['recall']
+            for r in ann_recall(exact, exact, k=3).collect()}
+    assert same == {1: 1.0, 2: 1.0}
+    approx = spark.createDataFrame(pd.DataFrame(
+        {'query_id': [1, 1, 1, 2, 2], 'neighbor_id': [10, 99, 98, 77, 76],
+         'rank': [1, 2, 3, 1, 2]}))
+    got = {r['query_id']: (r['n_true'], r['n_hit'], r['recall'])
+           for r in ann_recall(approx, exact, k=3).collect()}
+    assert got[1] == (3, 1, round(1 / 3, 6))
+    assert got[2] == (2, 0, 0.0)
+    # k cuts BOTH sides
+    got2 = {r['query_id']: r['n_true']
+            for r in ann_recall(approx, exact, k=1).collect()}
+    assert got2 == {1: 1, 2: 1}
