@@ -2857,6 +2857,39 @@ _IVF_ANN_DUCK = """
 """
 
 
+def _q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog: hll_registers driven over the documents
+    parquet as a file stream (complete-mode memory sink) — registers
+    merge by max, so the sketch is a commutative monoid and batch ==
+    stream state exactly (same pattern as streaming_cms_sketch); the
+    estimate is computed over the materialized state (a second
+    streaming aggregation would be unsupported). State bounded by 2^p
+    rows regardless of stream length. Oracle: the batch replay
+    (_HLL_DUCK)."""
+    from geostructures_spark.operators.bpe import words_expr
+    from geostructures_spark.operators.sketch import (hll_estimate,
+                                                      hll_registers)
+    from geostructures_spark.streaming.dedup import run_stream_to_memory
+
+    def transform(stream):
+        items = (stream.select(F.explode(words_expr(F.col('text')))
+                               .alias('item'))
+                 .where(F.col('item') != ''))
+        return hll_registers(items, p=8)
+
+    regs = run_stream_to_memory(
+        spark, os.path.join(sf_dir, 'documents.parquet'), transform,
+        'hll_stream_oracle')
+    est = hll_estimate(regs, p=8)
+    return (regs.crossJoin(est)
+            .select(F.col('idx').cast('int').alias('idx'),
+                    F.col('rho').cast('int').alias('rho'),
+                    F.col('n_registers_hit').cast('long')
+                    .alias('n_registers_hit'),
+                    'estimate')
+            .orderBy('idx'))
+
+
 def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality gate (operators/simsearch.ann_recall): per-query
     recall@5 of the IVF ANN path (8 buckets, n_probe=2 — the same
@@ -5834,6 +5867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- certified window this round) --
         'hll_count_tokens': _q_hll_tokens,
         'ann_recall_ivf': _q_ann_recall,
+        'streaming_hll_sketch': _q_streaming_hll,
     }
 
 
@@ -5958,6 +5992,7 @@ def oracle_sql() -> dict[str, str]:
         'streaming_minhash_dedup': _STREAMING_MINHASH_DUCK,
         'hll_count_tokens': _HLL_DUCK,
         'ann_recall_ivf': _ANN_RECALL_DUCK,
+        'streaming_hll_sketch': _HLL_DUCK,
         'resample_track_grid': _resample_duckdb(),
         'tfidf_top_terms': _TFIDF_DUCK,
         'simplify_track_radial': _simplify_radial_duckdb(),
