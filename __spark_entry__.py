@@ -2857,6 +2857,74 @@ _IVF_ANN_DUCK = """
 """
 
 
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (operators/dsir.py, Xie et al. 2023):
+    score every document in the pool by how much its hashed-n-gram
+    distribution looks like the target slice (sources src0-src2) vs the
+    pool at large — the published data-selection recipe. Oracle: full
+    SQL replay (same md5 bucket hashing as the sketch family, same
+    Laplace smoothing, same log-ratio sum, 6dp round)."""
+    from geostructures_spark.operators.dsir import dsir_logweights
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    target = docs.filter(F.col('source').isin('src0', 'src1', 'src2'))
+    out = dsir_logweights(docs, target, m=1024)
+    return (out.select(F.col('doc_id').cast('long').alias('doc_id'),
+                       'n_feats', 'logweight')
+            .orderBy('doc_id'))
+
+
+_DSIR_DUCK = r"""
+  WITH feats AS (
+    SELECT doc_id, g AS feat FROM (
+      SELECT doc_id, w,
+             list_concat(w, CASE WHEN len(w) >= 2
+               THEN list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i + 1])
+               ELSE [] END) AS grams
+      FROM (
+        SELECT doc_id, list_filter(string_split(regexp_replace(
+                 lower(substr(text, 1, 150)), '[^a-z ]', ' ', 'g'), ' '),
+                 x -> x <> '') AS w
+        FROM documents)) z, unnest(z.grams) AS u(g)),
+  fb AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(feat), 1, 8)) AS BIGINT) % 1024
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM feats GROUP BY 1, 2),
+  tgt_ids AS (SELECT doc_id FROM documents
+              WHERE source IN ('src0', 'src1', 'src2')),
+  tf AS (SELECT fb.bucket, fb.c FROM fb JOIN tgt_ids USING (doc_id)),
+  p_raw AS (
+    SELECT bucket,
+           (SUM(c) + 1) / (CAST((SELECT SUM(c) FROM fb) AS DOUBLE) + 1024)
+             AS p_raw
+    FROM fb GROUP BY bucket),
+  p_tgt AS (
+    SELECT bucket,
+           (SUM(c) + 1) / (CAST((SELECT SUM(c) FROM tf) AS DOUBLE) + 1024)
+             AS p_tgt
+    FROM tf GROUP BY bucket),
+  ratio AS (
+    SELECT r.bucket,
+           ln(COALESCE(t.p_tgt,
+                       1.0e0 / (CAST((SELECT SUM(c) FROM tf) AS DOUBLE)
+                                + 1024)))
+           - ln(r.p_raw) AS log_ratio
+    FROM p_raw r LEFT JOIN p_tgt t USING (bucket)),
+  scored AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+           ROUND(SUM(c * log_ratio), 6) AS logweight
+    FROM fb JOIN ratio USING (bucket) GROUP BY doc_id)
+  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         COALESCE(s.n_feats, 0) AS n_feats,
+         COALESCE(s.logweight, 0.0e0) AS logweight
+  FROM documents d LEFT JOIN scored s USING (doc_id)
+  ORDER BY d.doc_id
+"""
+
+
 def _q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HyperLogLog: hll_registers driven over the documents
     parquet as a file stream (complete-mode memory sink) — registers
@@ -5868,6 +5936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'hll_count_tokens': _q_hll_tokens,
         'ann_recall_ivf': _q_ann_recall,
         'streaming_hll_sketch': _q_streaming_hll,
+        'dsir_logweights': _q_dsir_weights,
     }
 
 
@@ -5993,6 +6062,7 @@ def oracle_sql() -> dict[str, str]:
         'hll_count_tokens': _HLL_DUCK,
         'ann_recall_ivf': _ANN_RECALL_DUCK,
         'streaming_hll_sketch': _HLL_DUCK,
+        'dsir_logweights': _DSIR_DUCK,
         'resample_track_grid': _resample_duckdb(),
         'tfidf_top_terms': _TFIDF_DUCK,
         'simplify_track_radial': _simplify_radial_duckdb(),
