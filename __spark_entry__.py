@@ -23,7 +23,7 @@ from collections.abc import Callable
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geostructures_spark.plans import bpe_sql as _bpe_sql
@@ -2922,6 +2922,43 @@ _DSIR_DUCK = r"""
          COALESCE(s.logweight, 0.0e0) AS logweight
   FROM documents d LEFT JOIN scored s USING (doc_id)
   ORDER BY d.doc_id
+"""
+
+
+def _q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR top-k selection: the 25 pool documents most target-like by
+    importance log-weight (deterministic rank — logweight is 6dp-rounded
+    and value-exact cross-engine per dsir_logweights, doc_id tie-break),
+    i.e. the greedy variant of the paper's resampling draw. Oracle: the
+    dsir chain + the same ORDER BY."""
+    from geostructures_spark.operators.dsir import dsir_logweights
+    _load(spark, sf_dir, 'documents')
+    docs = spark.table('documents')
+    target = docs.filter(F.col('source').isin('src0', 'src1', 'src2'))
+    lw = dsir_logweights(docs, target, m=1024)
+    out = (lw.orderBy(F.col('logweight').desc(), F.col('doc_id').asc())
+           .limit(25)
+           .withColumn('sel_rank',
+                       F.row_number().over(
+                           Window.orderBy(F.col('logweight').desc(),
+                                          F.col('doc_id').asc()))))
+    return (out.select(F.col('sel_rank').cast('int').alias('sel_rank'),
+                       F.col('doc_id').cast('long').alias('doc_id'),
+                       'logweight')
+            .orderBy('sel_rank'))
+
+
+def _dsir_topk_duckdb() -> str:
+    inner = _DSIR_DUCK.strip().rstrip('"').strip()
+    # reuse the full dsir replay as a subquery, then rank
+    return f"""
+  WITH base AS ({inner.replace("ORDER BY d.doc_id", "")})
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY logweight DESC, doc_id ASC)
+              AS INTEGER) AS sel_rank,
+         doc_id, logweight
+  FROM base
+  ORDER BY logweight DESC, doc_id ASC
+  LIMIT 25
 """
 
 
@@ -5937,6 +5974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_recall_ivf': _q_ann_recall,
         'streaming_hll_sketch': _q_streaming_hll,
         'dsir_logweights': _q_dsir_weights,
+        'dsir_select_topk': _q_dsir_topk,
     }
 
 
@@ -6063,6 +6101,7 @@ def oracle_sql() -> dict[str, str]:
         'ann_recall_ivf': _ANN_RECALL_DUCK,
         'streaming_hll_sketch': _HLL_DUCK,
         'dsir_logweights': _DSIR_DUCK,
+        'dsir_select_topk': _dsir_topk_duckdb(),
         'resample_track_grid': _resample_duckdb(),
         'tfidf_top_terms': _TFIDF_DUCK,
         'simplify_track_radial': _simplify_radial_duckdb(),
