@@ -65,8 +65,8 @@ def profile_spatial_join(spark, sf_dir):
         F.lit(None).cast('map<string,string>').alias('properties'),
     )
 
-    timed(spark, '  catalog_size agg', lambda: sj._catalog_size(shapes))
-    n_shapes, _ = sj._catalog_size(shapes)
+    timed(spark, '  catalog_size agg', lambda: sj._catalog_size(shapes, 4, 16))
+    n_shapes = sj._catalog_size(shapes, 4, 16)[0]
     cover_parts = min(64, max(4, n_shapes // 25 + 1))
     timed(spark, '  cover_shapes (noop)',
           lambda: noop(cover_shapes(shapes, 4, 16, n_partitions=cover_parts)))

@@ -516,6 +516,59 @@ def interval_union_exprs(s_start: Column, s_end: Column,
 
 # --- pandas UDFs over the NumPy kernels ------------------------------------
 
+def niemeyer_interleave_expr(qlon: Column, qlat: Column, length: int,
+                             base: int = 16) -> Column:
+    """Niemeyer cell string from already-quantized integer axis codes:
+    MSB-first bit interleave (lon first) formatted as the base-16 cell.
+    Base 16 only (4 bits/char -> an even split of bits across axes and a
+    charset identical to lowercase hex)."""
+    if base != 16:
+        raise ValueError('niemeyer_interleave_expr supports base 16 only')
+    total = 4 * length
+    m = total // 2
+    code = F.lit(0).cast('long')
+    for b in range(m):
+        code = code + F.shiftleft(
+            F.shiftright(qlon, m - 1 - b).bitwiseAND(F.lit(1)), total - 1 - 2 * b)
+        code = code + F.shiftleft(
+            F.shiftright(qlat, m - 1 - b).bitwiseAND(F.lit(1)), total - 2 - 2 * b)
+    return F.format_string(f'%0{length}x', code)
+
+
+def niemeyer_quantize_exprs(lon: Column, lat: Column, length: int,
+                            base: int = 16):
+    """(qlon, qlat) integer axis codes for the closed-form Niemeyer encode.
+
+    ``ceil(q) - 1`` (clamped to the domain) instead of ``floor(q)``: the
+    reference's bisection uses strict ``coord > mid`` (geohash.py:161,169),
+    so a point EXACTLY on a dyadic split belongs to the LOWER cell — the
+    same closed form the DuckDB oracle replay uses (__spark_entry__
+    _niemeyer6_duckdb), so Spark and oracle agree by construction. Verified
+    bit-identical to kernels.niemeyer.encode over dyadic boundary grids,
+    millidegree lattices and 20k random points at lengths 4/6/8."""
+    if base != 16:
+        raise ValueError('niemeyer_quantize_exprs supports base 16 only')
+    m = (4 * length) // 2
+    scale = F.lit(float(1 << m))
+    hi = F.lit((1 << m) - 1)
+    qlon = F.least(F.greatest(
+        F.ceil(((lon + F.lit(180.0)) / F.lit(360.0)) * scale) - 1,
+        F.lit(0)), hi).cast('long')
+    qlat = F.least(F.greatest(
+        F.ceil(((lat + F.lit(90.0)) / F.lit(180.0)) * scale) - 1,
+        F.lit(0)), hi).cast('long')
+    return qlon, qlat
+
+
+def niemeyer_cell_expr(lon: Column, lat: Column, length: int,
+                       base: int = 16) -> Column:
+    """Closed-form Niemeyer encode as a pure Column expression (base 16):
+    whole-stage codegen, no Python worker — the JVM twin of
+    ``niemeyer_encode_udf`` (value-identical, see niemeyer_quantize_exprs)."""
+    qlon, qlat = niemeyer_quantize_exprs(lon, lat, length, base)
+    return niemeyer_interleave_expr(qlon, qlat, length, base)
+
+
 def niemeyer_encode_udf(length: int, base: int):
     """Arrow-batched Niemeyer encoder: (lon, lat) -> cell string.
 

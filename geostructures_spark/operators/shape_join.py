@@ -62,8 +62,8 @@ def shape_join(shapes_a: DataFrame, shapes_b: DataFrame,
         _BROADCAST_MAX_SHAPES, _BROADCAST_MAX_RING_VERTS, _catalog_size,
         _shape_spec_col)
     spark = shapes_a.sparkSession
-    na, va = _catalog_size(shapes_a)
-    nb, vb = _catalog_size(shapes_b)
+    na, va = _catalog_size(shapes_a)[:2]
+    nb, vb = _catalog_size(shapes_b)[:2]
     use_broadcast = (na + nb <= _BROADCAST_MAX_SHAPES and
                      va + vb <= _BROADCAST_MAX_RING_VERTS)
 

@@ -45,17 +45,36 @@ _BROADCAST_MAX_SHAPES = 200_000
 _BROADCAST_MAX_RING_VERTS = 20_000_000   # ~640 MB of packed ring floats
 
 
-def _catalog_size(shapes: DataFrame):
-    """(n_shapes, total ring vertices) — one cheap agg over the catalog side
-    to decide broadcast vs shipped-spec execution."""
+def _plain_circle_expr():
+    """Plain circle = no holes, radius set (Columns built lazily — module
+    import must not require an active SparkContext)."""
+    return (
+        (F.col('kind') == 'circle') &
+        F.col('params').getField('radius').isNotNull() &
+        (F.size(F.coalesce(
+            F.col('rings'),
+            F.array().cast('array<array<struct<lon:double,lat:double>>>'))) <= 0))
+
+
+def _catalog_size(shapes: DataFrame, length: int = None, base: int = 16):
+    """(n_shapes, total ring vertices, n_plain_circles, n_sql_cover) — ONE
+    cheap agg over the catalog side deciding broadcast vs shipped-spec
+    execution, the all-circle JVM exact predicate (plain circle = no holes,
+    radius set), and how many shapes the pure-SQL circle cover can serve
+    (when ``length`` is given and base is 16)."""
+    sql_ok = (_sql_cover_ok_expr(length) if (length is not None and base == 16)
+              else F.lit(False))
     row = shapes.agg(
         F.count('*').alias('n'),
         F.coalesce(F.sum(F.aggregate(
             F.coalesce(F.col('rings'),
                        F.array().cast('array<array<struct<lon:double,lat:double>>>')),
-            F.lit(0), lambda acc, ring: acc + F.size(ring))), F.lit(0)).alias('verts')
+            F.lit(0), lambda acc, ring: acc + F.size(ring))), F.lit(0)).alias('verts'),
+        F.coalesce(F.sum(_plain_circle_expr().cast('int')), F.lit(0)).alias('plain'),
+        F.coalesce(F.sum(sql_ok.cast('int')), F.lit(0)).alias('sql_cover'),
     ).collect()[0]
-    return int(row['n']), int(row['verts'])
+    return (int(row['n']), int(row['verts']), int(row['plain']),
+            int(row['sql_cover']))
 
 
 def _shape_broadcast(spark: SparkSession, shapes: DataFrame):
@@ -140,6 +159,144 @@ def _exact_predicate_udf(bc, predicate: str):
     return _pred
 
 
+_SQL_COVER_MAX_BOXES = 65_536
+
+
+def _circle_window_exprs(length: int):
+    """Bbox-window box-index Columns for plain circles (keyed off the
+    ``params`` struct): the spherical-cap bounding box. Every point p with
+    hav(p, center) <= r satisfies |lat_p - clat| <= ang and |lon_p - clon|
+    <= asin(sin(ang)/cos(clat)) (cap not containing a pole), so the
+    window — with a +-1 cell slack for quantization-rule edge cases —
+    contains every cell that holds a matching point; cells outside it can
+    only hold candidates the exact predicate would reject anyway.
+    Full-longitude fallback when the cap touches a pole or the window
+    crosses the antimeridian (mirroring the Python cover's fallback).
+
+    Returns (i0, i1, j0, j1, nbox, full) Columns; NULL-free for plain
+    circles (radius non-null)."""
+    from geostructures_spark.kernels.geodesy import EARTH_RADIUS_METERS
+    m = (4 * length) // 2
+    w = 360.0 / (1 << m)
+    h = 180.0 / (1 << m)
+    hi = (1 << m) - 1
+    clon = F.col('params').getField('center_lon')
+    clat = F.col('params').getField('center_lat')
+    ang = F.degrees(F.col('params').getField('radius').cast('double') /
+                    F.lit(EARTH_RADIUS_METERS))
+    lat_lo = clat - ang
+    lat_hi = clat + ang
+    pole = (lat_hi >= 90.0) | (lat_lo <= -90.0)
+    # tight cap extent; the asin argument is < 1 when no pole is inside,
+    # clamped against fp overshoot
+    extent = F.degrees(F.asin(F.least(
+        F.sin(F.radians(ang)) /
+        F.greatest(F.cos(F.radians(clat)), F.lit(1e-12)),
+        F.lit(1.0))))
+    full = pole | (clon - extent < -180.0) | (clon + extent > 180.0)
+    lon_lo = F.when(full, F.lit(-180.0)).otherwise(clon - extent)
+    lon_hi = F.when(full, F.lit(180.0)).otherwise(clon + extent)
+    i0 = F.greatest(F.floor((lon_lo + 180.0) / w) - 1, F.lit(0)).cast('long')
+    i1 = F.least(F.floor((lon_hi + 180.0) / w) + 1, F.lit(hi)).cast('long')
+    j0 = F.greatest(F.floor((F.greatest(lat_lo, F.lit(-90.0)) + 90.0) / h) - 1,
+                    F.lit(0)).cast('long')
+    j1 = F.least(F.floor((F.least(lat_hi, F.lit(90.0)) + 90.0) / h) + 1,
+                 F.lit(hi)).cast('long')
+    nbox = (i1 - i0 + 1) * (j1 - j0 + 1)
+    return i0, i1, j0, j1, nbox, full
+
+
+def _sql_cover_ok_expr(length: int):
+    """Deterministic routing predicate: this shape's cover can be built by
+    the pure-SQL circle window (plain circle, bounded box count). Never
+    NULL (FALSE for non-circles by three-valued AND)."""
+    nbox = _circle_window_exprs(length)[4]
+    return _plain_circle_expr() & (nbox <= _SQL_COVER_MAX_BOXES)
+
+
+def _circle_cover_sql(circles: DataFrame, length: int,
+                      drop_chars: int = 0,
+                      with_params: bool = False) -> DataFrame:
+    """(shape_id, cell) cover rows for plain circles as a pure Column plan:
+    the bbox enumeration window of kernels.tiling_niemeyer._enum_cover,
+    trimmed by a triangle-inequality distance test — a SUPERSET of the
+    Python cover, so the exact containment predicate downstream sees every
+    candidate it saw before (plus a few extra it rejects; results
+    identical). Cells are built by interleaving the (i, j) box indices
+    directly — no Python stage. Base 16 only; caller routes with
+    _sql_cover_ok_expr so the per-shape explode stays bounded.
+
+    Trim-safety: a cell containing a point p inside the circle satisfies
+    hav(center, clamp(center)) <= hav(center, p) + hav(p, clamp(center))
+    <= r + (widest parallel arc + meridian height of the cell), so keeping
+    every cell with clamped-distance <= r + pad can drop no needed cell.
+    Clamping ignores longitude wrap, which over-estimates distance only
+    when the window wraps — those shapes fall into the full-longitude
+    branch, where the trim is skipped.
+
+    ``drop_chars`` > 0 emits the cover at PARENT-cell granularity (the
+    Niemeyer prefix of length - drop_chars chars; one dropped char = 2
+    bits per axis): ~16x fewer cover rows per dropped char for the same
+    candidate-superset guarantee — the knob that keeps the broadcast
+    relation small when candidates are cheap to reject (all-circle JVM
+    predicate). Join such covers against a substring of the points' cell
+    column."""
+    import math as _math
+
+    from geostructures_spark.functions.geo import (
+        haversine_expr, niemeyer_interleave_expr)
+    from geostructures_spark.kernels.geodesy import EARTH_RADIUS_METERS
+    out_len = length - drop_chars
+    assert out_len >= 1
+    s = 2 * drop_chars          # bits dropped per axis
+    m = (4 * length) // 2
+    w = 360.0 / (1 << (m - s))  # parent-cell geometry
+    h = 180.0 / (1 << (m - s))
+    i0, i1, j0, j1, _, full = _circle_window_exprs(length)
+    clon = F.col('params').getField('center_lon')
+    clat = F.col('params').getField('center_lat')
+    r = F.col('params').getField('radius').cast('double')
+    if s:
+        i0, i1 = F.shiftright(i0, s), F.shiftright(i1, s)
+        j0, j1 = F.shiftright(j0, s), F.shiftright(j1, s)
+    base = circles.select(
+        'shape_id', clon.alias('_clon'), clat.alias('_clat'),
+        r.alias('_r'), full.alias('_full'),
+        i0.alias('_i0'), i1.alias('_i1'),
+        j0.alias('_j0'), j1.alias('_j1'))
+    if drop_chars == 0:
+        # parallelize big fine-grained explodes: the shapes side typically
+        # scans from a small file (1-2 input partitions) — a tiny keyed
+        # repartition spreads the window enumeration over the cluster.
+        # Prefix covers (~16x fewer rows per dropped char) skip the extra
+        # shuffle stage.
+        spark = circles.sparkSession
+        n_parts = max(8, spark.sparkContext.defaultParallelism)
+        base = base.repartition(n_parts, 'shape_id')
+    rows = (base
+            .select('shape_id', '_clon', '_clat', '_r', '_full', '_j0', '_j1',
+                    F.explode(F.sequence('_i0', '_i1')).alias('_i'))
+            .select('shape_id', '_clon', '_clat', '_r', '_full', '_i',
+                    F.explode(F.sequence('_j0', '_j1')).alias('_j')))
+    lon_lo = F.lit(-180.0) + F.col('_i') * w
+    lat_lo = F.lit(-90.0) + F.col('_j') * h
+    lon_cl = F.least(F.greatest(F.col('_clon'), lon_lo), lon_lo + w)
+    lat_cl = F.least(F.greatest(F.col('_clat'), lat_lo), lat_lo + h)
+    # widest parallel of the cell (the latitude nearest the equator)
+    lat_wide = F.when((lat_lo <= 0.0) & (lat_lo + h >= 0.0), F.lit(0.0)) \
+        .otherwise(F.least(F.abs(lat_lo), F.abs(lat_lo + h)))
+    pad = (haversine_expr(F.lit(0.0), lat_wide, F.lit(w), lat_wide) +
+           F.lit(EARTH_RADIUS_METERS * _math.radians(h)))
+    keep = F.col('_full') | (
+        haversine_expr(F.col('_clon'), F.col('_clat'), lon_cl, lat_cl)
+        <= F.col('_r') + pad)
+    extra = ['_clon', '_clat', '_r'] if with_params else []
+    return rows.filter(keep).select(
+        'shape_id',
+        niemeyer_interleave_expr(F.col('_i'), F.col('_j'), out_len)
+        .alias('cell'), *extra)
+
+
 def spatial_join_points(
     points: DataFrame,
     shapes: DataFrame,
@@ -169,15 +326,53 @@ def spatial_join_points(
     if cell_col not in points.columns:
         points = with_cell(points, length, base, cell_col=cell_col)
 
-    n_shapes, n_verts = _catalog_size(shapes)
+    n_shapes, n_verts, n_plain, n_sql = _catalog_size(shapes, length, base)
     use_broadcast = (n_shapes <= max_broadcast_shapes and
                      n_verts <= max_broadcast_ring_verts)
+    all_plain_circles = n_shapes > 0 and n_plain == n_shapes
+    gated = time_gated and 'warc_ts' in points.columns
 
-    cover_parts = min(64, max(4, n_shapes // 25 + 1))
-    covers = cover_shapes(shapes, length, base, n_partitions=cover_parts)
-    dt_map = shapes.select('shape_id', 'dt_start', 'dt_end')
-    covers = covers.join(F.broadcast(dt_map) if use_broadcast else dt_map,
-                         'shape_id')
+    # cover side: plain circles within the box cap get the pure-SQL window
+    # cover (no Python stage); everything else keeps the per-shape
+    # applyInPandas covering. The SQL cover is a superset of the Python one
+    # for the same circle, so candidates only grow and the exact predicate
+    # keeps results identical. When ALL covers are SQL-built, the JVM
+    # predicate is cheap, and the covers broadcast, emit the cover at
+    # parent-cell granularity (one prefix char dropped): ~16x fewer rows in
+    # the broadcast relation for a modest candidate inflation the codegen
+    # haversine filter absorbs.
+    prefix_drop = 1 if (n_sql == n_shapes and n_sql > 0 and use_broadcast
+                        and all_plain_circles and length >= 2) else 0
+    # when every cover row is SQL-built for a plain circle, the circle's
+    # (center, radius) triple rides the cover rows themselves — the exact
+    # predicate then needs NO second join at all
+    carry_params = all_plain_circles and n_sql == n_shapes and n_sql > 0
+    if n_sql > 0:
+        sql_ok = _sql_cover_ok_expr(length)
+        covers = _circle_cover_sql(shapes.filter(sql_ok), length, prefix_drop,
+                                   with_params=carry_params)
+        if n_sql < n_shapes:
+            rest = shapes.filter(~sql_ok)
+            cover_parts = min(64, max(4, (n_shapes - n_sql) // 25 + 1))
+            covers = covers.unionByName(
+                cover_shapes(rest, length, base, n_partitions=cover_parts))
+    else:
+        cover_parts = min(64, max(4, n_shapes // 25 + 1))
+        covers = cover_shapes(shapes, length, base, n_partitions=cover_parts)
+
+    if gated:
+        # only attach interval columns when the gate is live — an untimed
+        # join skips the dt map join outright
+        dt_map = shapes.select('shape_id', 'dt_start', 'dt_end')
+        covers = covers.join(F.broadcast(dt_map) if use_broadcast else dt_map,
+                             'shape_id')
+
+    if prefix_drop:
+        points = points.withColumn(
+            '_ck', F.substring(F.col(cell_col), 1, length - prefix_drop))
+        pkey = '_ck'
+    else:
+        pkey = cell_col
 
     if salt_shards > 0:
         # replicate the broadcast side per shard; salt the big side
@@ -186,26 +381,50 @@ def spatial_join_points(
             'join_key', F.concat_ws('#', 'cell', F.col('_shard').cast('string')))
         points = points.withColumn(
             'join_key',
-            F.concat_ws('#', F.col(cell_col),
+            F.concat_ws('#', F.col(pkey),
                         F.pmod(F.xxhash64(*[c for c in ('url', 'lon', 'lat')
                                             if c in points.columns]),
                                F.lit(salt_shards)).cast('string')))
         join_key = 'join_key'
     else:
-        covers = covers.withColumnRenamed('cell', cell_col)
-        join_key = cell_col
+        covers = covers.withColumnRenamed('cell', pkey)
+        join_key = pkey
 
-    covers_sel = covers.select(join_key, 'shape_id', 'dt_start', 'dt_end')
+    dt_cols = ['dt_start', 'dt_end'] if gated else []
+    param_cols = ['_clon', '_clat', '_r'] if carry_params else []
+    covers_sel = covers.select(join_key, 'shape_id', *dt_cols, *param_cols)
     cand = points.join(F.broadcast(covers_sel) if use_broadcast else covers_sel,
                        join_key)
 
-    if time_gated and 'warc_ts' in points.columns:
+    if gated:
         no_dt = F.col('dt_start').isNull() | F.col('dt_end').isNull()
         gate = no_dt | interval_contains_instant_expr(
             F.col('dt_start'), F.col('dt_end'), F.col('warc_ts'))
         cand = cand.filter(gate)
 
-    if use_broadcast:
+    if all_plain_circles:
+        # exact containment for a circle is haversine(point, center) <=
+        # radius — the identical formula (and argument order) the NumPy
+        # kernel evaluates (kernels/shapes.py:291-293), as a JVM Column
+        # expression: no Arrow boundary, no Python workers, whole-stage
+        # codegen through the candidate join. The (center, radius) triple
+        # rides the cover rows when all covers are SQL-built (no second
+        # join); otherwise it joins by shape_id (24 bytes/shape — never
+        # driver-collected on the no-broadcast path).
+        from geostructures_spark.functions.geo import haversine_expr
+        if not carry_params:
+            params = shapes.select(
+                'shape_id',
+                F.col('params').getField('center_lon').alias('_clon'),
+                F.col('params').getField('center_lat').alias('_clat'),
+                F.col('params').getField('radius').cast('double').alias('_r'))
+            cand = cand.join(F.broadcast(params) if use_broadcast else params,
+                             'shape_id')
+        out = (cand.filter(haversine_expr(F.col('lon'), F.col('lat'),
+                                          F.col('_clon'), F.col('_clat'))
+                           <= F.col('_r'))
+               .drop('_clon', '_clat', '_r'))
+    elif use_broadcast:
         bc = _shape_broadcast(spark, shapes)
         pred = _exact_predicate_udf(bc, 'contains')
         out = cand.filter(pred(F.col('shape_id'), F.col('lon'), F.col('lat')))
@@ -216,7 +435,8 @@ def spatial_join_points(
                .filter(pred(F.col('shape_id'), F.col('_spec'),
                             F.col('lon'), F.col('lat')))
                .drop('_spec'))
-    drop = ['dt_start', 'dt_end'] + (['join_key', '_shard'] if salt_shards else [])
+    drop = dt_cols + (['join_key', '_shard'] if salt_shards else []) + \
+        (['_ck'] if prefix_drop else [])
     return out.drop(*[c for c in drop if c in out.columns])
 
 

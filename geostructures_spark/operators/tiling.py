@@ -104,6 +104,14 @@ def with_cell(df: DataFrame, length: int = 8, base: int = 16,
     elif scheme == 's2':
         from geostructures_spark.functions.geo import s2_encode_udf
         enc = s2_encode_udf(resolution)
+    elif base == 16:
+        # closed-form JVM expression (functions/geo.niemeyer_cell_expr):
+        # value-identical to the Arrow kernel, but whole-stage codegen fuses
+        # the encode with the surrounding scan/join — no Python worker, no
+        # Arrow boundary on the (big) points side of cell equi-joins
+        from geostructures_spark.functions.geo import niemeyer_cell_expr
+        return df.withColumn(cell_col,
+                             niemeyer_cell_expr(F.col(lon), F.col(lat), length))
     else:
         enc = niemeyer_encode_udf(length, base)
     return df.withColumn(cell_col, enc(F.col(lon), F.col(lat)))

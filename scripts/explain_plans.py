@@ -67,14 +67,41 @@ def main() -> int:
           f'with the cover side still broadcast')
     ok &= salted
 
-    # spec path (catalog beyond broadcast budget): no broadcast of covers;
-    # geometry ships through a shape_id equi-join as a JSON spec column
+    # all-circle catalog: exact predicate is the JVM haversine expression —
+    # no Python evaluation node anywhere in the join (r6 fast path), for
+    # both the broadcast and the over-budget (no driver collect) plans
+    plan = formatted(spatial_join_points(pts, shapes, length=4, base=16,
+                                         time_gated=False))
+    jvm_pred = 'EvalPython' not in plan and 'ATAN2' in plan.upper()
+    print(f'[{"OK" if jvm_pred else "FAIL"}] all-circle join is pure JVM '
+          f'(no Python eval; haversine in codegen)')
+    ok &= jvm_pred
     plan = formatted(spatial_join_points(pts, shapes, length=4, base=16,
                                          time_gated=False,
                                          max_broadcast_shapes=0))
+    jvm_pred0 = 'EvalPython' not in plan
+    print(f'[{"OK" if jvm_pred0 else "FAIL"}] over-budget all-circle join '
+          f'stays JVM with no driver collect')
+    ok &= jvm_pred0
+
+    # spec path (catalog beyond broadcast budget, non-circle kinds): no
+    # broadcast of covers; geometry ships through a shape_id equi-join as a
+    # JSON spec column
+    poly = spark.sql(
+        "SELECT CAST(qid AS LONG) AS shape_id, 'polygon' AS kind, "
+        'CAST(NULL AS struct<center_lon:double,center_lat:double,radius:double>) AS params, '
+        'array(array(named_struct("lon", q_lon - 1.0e0, "lat", q_lat - 1.0e0), '
+        'named_struct("lon", q_lon + 1.0e0, "lat", q_lat - 1.0e0), '
+        'named_struct("lon", q_lon, "lat", q_lat + 1.0e0), '
+        'named_struct("lon", q_lon - 1.0e0, "lat", q_lat - 1.0e0))) AS rings, '
+        'CAST(NULL AS timestamp) AS dt_start, CAST(NULL AS timestamp) AS dt_end '
+        f'FROM ({em._pts_supplier_sql()})')
+    plan = formatted(spatial_join_points(pts, poly, length=4, base=16,
+                                         time_gated=False,
+                                         max_broadcast_shapes=0))
     spec = '_spec' in plan and 'structstojson' in plan.lower()
-    print(f'[{"OK" if spec else "FAIL"}] over-budget catalog ships specs '
-          f'through the join (no driver collect)')
+    print(f'[{"OK" if spec else "FAIL"}] over-budget polygon catalog ships '
+          f'specs through the join (no driver collect)')
     ok &= spec
 
     # bucketed co-located join: repeated joins on the points' cell key scan
