@@ -223,6 +223,10 @@ def _q_niemeyer_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas-UDF encoder) -> groupBy(cell).count — hash_coordinates at scale."""
     from geostructures_spark.operators.tiling import with_cell
     _load(spark, sf_dir, 'customer')
+    # no repartition here: the encode is a cheap JVM expression and the
+    # aggregation is high-cardinality (~1 cell/customer), so widening the
+    # partial agg only multiplies per-task partial rows (measured neutral
+    # to slightly negative at sf1.0)
     pts = spark.sql(_pts_customer_sql())
     return (with_cell(pts, length=6, base=16)
             .groupBy('cell').agg(F.count('*').cast('long').alias('n'))
@@ -302,7 +306,11 @@ def _q_spatial_join_circles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled up per shape."""
     from geostructures_spark.operators.spatial_join import spatial_join_points
     _load(spark, sf_dir, 'customer', 'supplier')
+    # single-row-group scan -> 2 tasks; the broadcast-probe stage (cell
+    # assign + candidate join + haversine + partial agg) inherits the scan
+    # partitioning, so spread the narrow points first (see _q_minhash_pairs)
     pts = (spark.sql(_pts_customer_sql())
+           .repartition(spark.sparkContext.defaultParallelism)
            .withColumnRenamed('pid', 'url'))  # operator's point key column
     sup = spark.sql(_pts_supplier_sql())
     shapes = sup.select(
@@ -350,7 +358,11 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact brute-force baseline; the cell-pruned variant is knn_join)."""
     from geostructures_spark.operators.knn import knn_join_exact
     _load(spark, sf_dir, 'customer', 'supplier')
-    pts = spark.sql(_pts_customer_sql()).withColumnRenamed('pid', 'url')
+    # spread the broadcast-probe (cross join + haversine) stage beyond the
+    # 2-task scan
+    pts = (spark.sql(_pts_customer_sql())
+           .repartition(spark.sparkContext.defaultParallelism)
+           .withColumnRenamed('pid', 'url'))
     q = (spark.sql(_pts_supplier_sql())
          .filter(F.col('qid') <= 5)
          .select(F.col('qid').cast('long').alias('query_id'), 'q_lon', 'q_lat'))
