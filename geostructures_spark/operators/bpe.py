@@ -145,14 +145,42 @@ def bpe_train(vocab: DataFrame, n_merges: int, min_count: int = 1,
     merge round is two driver-scheduled jobs over this table, and task
     count is the dominant per-round cost once the data is this small.
     """
-    ex = _explode_symbols(vocab)
+    # r6 representation: each word's symbol list is ONE space-padded string
+    # (' h e l l o </w> '). A merge round is then a single regexp_replace
+    # projection — Java regex replacement is left-to-right over
+    # non-overlapping matches, which IS greedy-leftmost ('a a a' matches
+    # once and leaves ' aa a '), so the merge pass needs NO shuffle and NO
+    # window sort (the old exploded-table form paid one exchange + four
+    # window passes per round; measured ~2x rounds/sec on the bench
+    # vocabulary). Pair counts re-derive per round by exploding adjacent
+    # symbol pairs — the same (sym, nxt, sum wcount) aggregation as
+    # before, so the learned merges (argmax + tie-break) are identical;
+    # _apply_merge/_explode_symbols remain as the tested equivalence
+    # witnesses of the island-merge semantics.
+    syms = F.concat(F.split('word', ''), F.array(F.lit(EOW)))
+    st = vocab.select(
+        'word', 'wcount',
+        F.concat(F.lit(' '), F.concat_ws(' ', syms), F.lit(' ')).alias('s'))
     if n_partitions:
-        ex = ex.repartition(n_partitions)
-    ex = ex.localCheckpoint(eager=True)
+        st = st.repartition(n_partitions)
+    # EAGER checkpoint (two jobs per round) is deliberate: a lazy
+    # localCheckpoint only truncates lineage for actions invoked on
+    # the returned Dataset itself — DataFrames DERIVED from it keep
+    # the full logical plan, so the merge chain grows quadratically
+    # (measured 4x slower by round 6 when this was briefly lazy).
+    st = st.localCheckpoint(eager=True)
     merges: list[tuple] = []
     for r in range(n_merges):
-        top = (ex.where(F.col('nxt').isNotNull())
-               .groupBy('sym', 'nxt')
+        toks = F.split(F.trim('s'), ' ')
+        base = st.select('wcount', toks.alias('_t'))
+        pos = F.explode(
+            F.when(F.size('_t') >= 2, F.sequence(F.lit(0), F.size('_t') - 2))
+            .otherwise(F.array().cast('array<int>')))
+        pairs = (base.select('wcount', '_t', pos.alias('_j'))
+                 .select('wcount',
+                         F.element_at('_t', F.col('_j') + 1).alias('sym'),
+                         F.element_at('_t', F.col('_j') + 2).alias('nxt')))
+        top = (pairs.groupBy('sym', 'nxt')
                .agg(F.sum('wcount').alias('pair_count'))
                .orderBy(F.desc('pair_count'), 'sym', 'nxt')
                .limit(1).collect())
@@ -160,13 +188,16 @@ def bpe_train(vocab: DataFrame, n_merges: int, min_count: int = 1,
             break
         left, right, cnt = top[0]['sym'], top[0]['nxt'], int(top[0]['pair_count'])
         merges.append((r, left, right, cnt))
-        # EAGER checkpoint (two jobs per round) is deliberate: a lazy
-        # localCheckpoint only truncates lineage for actions invoked on
-        # the returned Dataset itself — DataFrames DERIVED from it keep
-        # the full logical plan, so the merge chain grows quadratically
-        # (measured 4x slower by round 6 when this was briefly lazy).
-        ex = _apply_merge(ex, left, right).localCheckpoint(eager=True)
-    return merges, ex.select('word', 'wcount', 'pos', 'sym')
+        # \Q...\E quoting: symbols only ever contain [a-z] and '</w>', so
+        # no quoting terminator can appear inside a symbol
+        pat = f'(?<= )\\Q{left}\\E \\Q{right}\\E(?= )'
+        st = (st.select('word', 'wcount',
+                        F.regexp_replace('s', pat, left + right).alias('s'))
+              .localCheckpoint(eager=True))
+    final = st.select(
+        'word', 'wcount',
+        F.posexplode(F.split(F.trim('s'), ' ')).alias('pos', 'sym'))
+    return merges, final
 
 
 def merge_once(syms: list[str], left: str, right: str) -> list[str]:
