@@ -119,6 +119,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | Sequence[str],
         # per-key carry window sees one row per bucket, not per ping,
         # so the hot key never serializes its rows anywhere.
         ts_t = left.schema[left_ts].dataType.simpleString()
+        # the bucket conversion is chosen from the LEFT ts type and applied
+        # to both sides' __ts — make the incidental constraint explicit
+        # (ADVICE r5): unionByName would reject a mismatch later anyway,
+        # but fail here with the actual reason
+        right_t = right.schema[right_ts].dataType.simpleString()
+        if ts_t.startswith('timestamp') != right_t.startswith('timestamp'):
+            raise ValueError(
+                f'asof_join(time_bucket_sec=...) needs matching ts kinds: '
+                f'left {left_ts}:{ts_t} vs right {right_ts}:{right_t}')
         if ts_t.startswith('timestamp'):
             def _sec(c):
                 return F.unix_micros(c.cast('timestamp')) / F.lit(1e6)

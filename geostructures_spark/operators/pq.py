@@ -320,7 +320,12 @@ def pq_adc_topk_bigq(codes: DataFrame, codebooks: DataFrame,
     """
     spark = codes.sparkSession
     if n_splits is None:
-        n_splits = int(spark.conf.get('spark.sql.shuffle.partitions'))
+        # the conf may be non-numeric on AQE-managed platforms ('auto');
+        # fall back to the scheduler's parallelism (ADVICE r5)
+        try:
+            n_splits = int(spark.conf.get('spark.sql.shuffle.partitions'))
+        except (ValueError, TypeError):
+            n_splits = max(2, spark.sparkContext.defaultParallelism)
     bcC = _codebook_broadcast(codebooks)
 
     id_type = codes.schema[id_col].dataType

@@ -191,7 +191,12 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
     agg = registers.agg(
-        F.sum(F.pow(F.lit(2.0), -F.col('rho'))).alias('s_seen'),
+        # coalesce: SUM over zero rows is NULL, which would propagate a
+        # NULL estimate for an empty stream/corpus — with 0.0 the formula
+        # degenerates to linear counting m*ln(m/m) = 0, the correct empty
+        # cardinality (ADVICE r5). Non-empty inputs are unchanged.
+        F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col('rho'))),
+                   F.lit(0.0)).alias('s_seen'),
         F.count('*').cast('long').alias('cnt'))
     s = F.col('s_seen') + (F.lit(float(m)) - F.col('cnt'))
     raw = F.lit(alpha * m * m) / s
