@@ -219,8 +219,11 @@ def pq_adc_topk(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
     if strategy not in ('auto', 'broadcast', 'distributed'):
         raise ValueError(f'unknown strategy: {strategy!r}')
     if strategy == 'auto':
-        strategy = ('distributed' if queries.count() > big_q_threshold
-                    else 'broadcast')
+        # bounded probe (ADVICE r5): limit(threshold+1).count() stops the
+        # scan as soon as the threshold is exceeded instead of counting the
+        # full (possibly unmaterialized) query lineage
+        probe = queries.limit(big_q_threshold + 1).count()
+        strategy = 'distributed' if probe > big_q_threshold else 'broadcast'
     if strategy == 'distributed':
         return pq_adc_topk_bigq(codes, codebooks, queries, k,
                                 id_col=id_col, codes_col=codes_col,
@@ -509,8 +512,11 @@ def ivfpq_topk(codes: DataFrame, codebooks: DataFrame, inverted: DataFrame,
     if strategy not in ('auto', 'broadcast', 'distributed'):
         raise ValueError(f'unknown strategy: {strategy!r}')
     if strategy == 'auto':
-        strategy = ('distributed' if queries.count() > big_q_threshold
-                    else 'broadcast')
+        # bounded probe (ADVICE r5): limit(threshold+1).count() stops the
+        # scan as soon as the threshold is exceeded instead of counting the
+        # full (possibly unmaterialized) query lineage
+        probe = queries.limit(big_q_threshold + 1).count()
+        strategy = 'distributed' if probe > big_q_threshold else 'broadcast'
 
     q_probe = (ivf_assign(queries, centroids, id_col=q_id, vec_col=q_vec,
                           c_id=c_id, c_vec=c_vec, n_assign=n_probe)
