@@ -213,7 +213,14 @@ def _gen_batch(pdf: pd.DataFrame, seed: int) -> pd.DataFrame:
 def pages_df(spark: SparkSession, n_rows: int, seed: int = 42,
              partitions: int | None = None) -> DataFrame:
     """Distributed deterministic pages table (stateless per row id)."""
-    rng = spark.range(0, n_rows, 1, partitions or max(8, min(64, n_rows // 50_000 + 1)))
+    if partitions is None:
+        # generation + any fused miner stage is CPU-bound Python: default
+        # to the scheduler's full width (bounded by ~5k rows/task so tiny
+        # tables don't pay empty-task overhead). 200k bench rows on 8
+        # fixed partitions left 3/4 of a 32-core host idle.
+        partitions = max(1, min(max(8, spark.sparkContext.defaultParallelism),
+                                n_rows // 5_000 + 1))
+    rng = spark.range(0, n_rows, 1, partitions)
 
     def gen(it):
         for pdf in it:
