@@ -216,7 +216,8 @@ def _sql_cover_ok_expr(length: int):
 
 def _circle_cover_sql(circles: DataFrame, length: int,
                       drop_chars: int = 0,
-                      with_params: bool = False) -> DataFrame:
+                      with_params: bool = False,
+                      numeric_key: bool = False) -> DataFrame:
     """(shape_id, cell) cover rows for plain circles as a pure Column plan:
     the bbox enumeration window of kernels.tiling_niemeyer._enum_cover,
     trimmed by a triangle-inequality distance test — a SUPERSET of the
@@ -291,10 +292,15 @@ def _circle_cover_sql(circles: DataFrame, length: int,
         haversine_expr(F.col('_clon'), F.col('_clat'), lon_cl, lat_cl)
         <= F.col('_r') + pad)
     extra = ['_clon', '_clat', '_r'] if with_params else []
-    return rows.filter(keep).select(
-        'shape_id',
-        niemeyer_interleave_expr(F.col('_i'), F.col('_j'), out_len)
-        .alias('cell'), *extra)
+    # numeric_key: skip building the cell STRING — the join key is the
+    # packed (i, j) box-index pair. Only valid when the points side derives
+    # the same packed key from the same quantization (caller-guarded), and
+    # it lets Catalyst prune the string encode wholesale.
+    key = (F.shiftleft(F.col('_i'), 32).bitwiseOR(F.col('_j')).alias('cell')
+           if numeric_key else
+           niemeyer_interleave_expr(F.col('_i'), F.col('_j'), out_len)
+           .alias('cell'))
+    return rows.filter(keep).select('shape_id', key, *extra)
 
 
 def spatial_join_points(
@@ -323,7 +329,8 @@ def spatial_join_points(
     geometry travels to its candidate rows as a JSON spec through a
     shape_id equi-join (set the thresholds to 0 to force that path)."""
     spark = points.sparkSession
-    if cell_col not in points.columns:
+    had_cell = cell_col in points.columns
+    if not had_cell:
         points = with_cell(points, length, base, cell_col=cell_col)
 
     n_shapes, n_verts, n_plain, n_sql = _catalog_size(shapes, length, base)
@@ -347,10 +354,17 @@ def spatial_join_points(
     # (center, radius) triple rides the cover rows themselves — the exact
     # predicate then needs NO second join at all
     carry_params = all_plain_circles and n_sql == n_shapes and n_sql > 0
+    # when we assigned the points' cells ourselves (same closed-form
+    # quantization as the SQL cover windows), join on the packed (i, j)
+    # integer key instead of cell strings: no string building on either
+    # side, and Catalyst prunes the points' string encode wholesale when
+    # the caller doesn't read it
+    numeric_key = carry_params and not had_cell and base == 16
     if n_sql > 0:
         sql_ok = _sql_cover_ok_expr(length)
         covers = _circle_cover_sql(shapes.filter(sql_ok), length, prefix_drop,
-                                   with_params=carry_params)
+                                   with_params=carry_params,
+                                   numeric_key=numeric_key)
         if n_sql < n_shapes:
             rest = shapes.filter(~sql_ok)
             cover_parts = min(64, max(4, (n_shapes - n_sql) // 25 + 1))
@@ -367,7 +381,16 @@ def spatial_join_points(
         covers = covers.join(F.broadcast(dt_map) if use_broadcast else dt_map,
                              'shape_id')
 
-    if prefix_drop:
+    if numeric_key:
+        from geostructures_spark.functions.geo import niemeyer_quantize_exprs
+        s = 2 * prefix_drop
+        qlon, qlat = niemeyer_quantize_exprs(F.col('lon'), F.col('lat'),
+                                             length)
+        points = points.withColumn(
+            '_ck', F.shiftleft(F.shiftright(qlon, s), 32)
+            .bitwiseOR(F.shiftright(qlat, s)))
+        pkey = '_ck'
+    elif prefix_drop:
         points = points.withColumn(
             '_ck', F.substring(F.col(cell_col), 1, length - prefix_drop))
         pkey = '_ck'
@@ -436,7 +459,7 @@ def spatial_join_points(
                             F.col('lon'), F.col('lat')))
                .drop('_spec'))
     drop = dt_cols + (['join_key', '_shard'] if salt_shards else []) + \
-        (['_ck'] if prefix_drop else [])
+        (['_ck'] if (prefix_drop or numeric_key) else [])
     return out.drop(*[c for c in drop if c in out.columns])
 
 
