@@ -51,6 +51,13 @@ for _r in range(1, 6):
 
 _PENT_BASE_MASK = np.array([b[2] == 1 for b in T.BASE_CELL_DATA], dtype=bool)
 
+# (bc, face) -> base_cell_is_cw_offset, tabulated for vectorized lookup
+_CW_OFFSET_TAB = np.zeros((T.NUM_BASE_CELLS, 20), dtype=bool)
+for _bc, _b in enumerate(T.BASE_CELL_DATA):
+    for _f in _b[3]:
+        if _f >= 0:  # (-1, -1) marks a pentagon with no cw-offset faces
+            _CW_OFFSET_TAB[_bc, _f] = True
+
 # substrate-grid vertices of an origin-centered cell (aperture 33r)
 _VERTS_CII = np.array([[2, 1, 0], [1, 2, 0], [0, 2, 1],
                        [0, 1, 2], [1, 0, 2], [2, 0, 1]], dtype=np.int64)
@@ -595,6 +602,49 @@ def _assemble_index(res: int, bc: int, digits, face: int, nrot: int) -> int:
     return h
 
 
+def _leading_nonzero_vec(d: np.ndarray) -> np.ndarray:
+    """Per-row leading nonzero digit of a (m, res) digit matrix (0 if none)."""
+    if d.shape[1] == 0:
+        return np.zeros(len(d), dtype=np.int64)
+    nz = d != 0
+    lead = d[np.arange(len(d)), nz.argmax(axis=1)].copy()
+    lead[~nz.any(axis=1)] = 0
+    return lead
+
+
+def _assemble_pentagon_vec(res: int, base, digits, face, rots) -> np.ndarray:
+    """Vectorized `_assemble_index` for pentagon base cells.
+
+    Identical semantics, derived from the scalar form: the K-axis leading
+    digit triggers one cw/ccw rotation (by `base_cell_is_cw_offset`), and
+    each of the `nrot` pentagon rotations is one ccw digit-permutation pass
+    followed by one more iff the rotated leading digit lands on the K axis
+    (`_rotate_pent60ccw`'s mid-loop extra rotation hits every digit exactly
+    once, so it commutes to a whole-row second pass). Equality with the
+    scalar path is property-tested digit-for-digit in tests.
+    """
+    d = digits[:, :res].copy() if digits.shape[1] > res else digits.copy()
+    kmask = _leading_nonzero_vec(d) == 1
+    if kmask.any():
+        rows = np.flatnonzero(kmask)
+        cw = _CW_OFFSET_TAB[base[rows], face[rows]]
+        d[rows[cw]] = _ROT60CW_DIGIT[d[rows[cw]]]
+        d[rows[~cw]] = _ROT60CCW_DIGIT[d[rows[~cw]]]
+    for nr in range(1, 6):
+        sub = np.flatnonzero(rots >= nr)
+        if not len(sub):
+            break
+        d[sub] = _ROT60CCW_DIGIT[d[sub]]
+        extra = sub[_leading_nonzero_vec(d[sub]) == 1]
+        d[extra] = _ROT60CCW_DIGIT[d[extra]]
+    h = (np.uint64(1) << np.uint64(59)) | (np.uint64(res) << np.uint64(52)) \
+        | (base.astype(np.uint64) << np.uint64(45))
+    h = h | np.uint64(sum(7 << (3 * (15 - rr)) for rr in range(res + 1, 16)))
+    for rr in range(1, res + 1):
+        h = h | (d[:, rr - 1].astype(np.uint64) << np.uint64(3 * (15 - rr)))
+    return h
+
+
 def _walk_up(face, x, y, res):
     """hex2d -> (base ijk, digits matrix) via the upward aperture walk."""
     ijk = _hex2d_to_coordijk(x, y)
@@ -720,10 +770,13 @@ def latlng_to_cell(lats_deg, lons_deg, res: int) -> np.ndarray:
             h = h | (rd[:, rr - 1].astype(np.uint64) << np.uint64(3 * (15 - rr)))
         out[fast] = h
 
-    # slow path: pentagons + numeric fallbacks
-    for idx in np.flatnonzero(pent_mask):
-        out[idx] = _assemble_index(res, int(base[idx]), digits[idx],
-                                   int(face[idx]), int(rots[idx]))
+    # pentagons: vectorized digit-permutation assembly (scalar
+    # `_assemble_index` kept as the property-tested equivalence witness)
+    if pent_mask.any():
+        out[pent_mask] = _assemble_pentagon_vec(
+            res, base[pent_mask], digits[pent_mask],
+            face[pent_mask], rots[pent_mask])
+    # numeric fallbacks (epsilon-perturbed retry; empty in practice)
     for idx in np.flatnonzero(~ok):
         out[idx] = _latlng_retry(float(lats[idx]), float(lons[idx]), res)
     return out

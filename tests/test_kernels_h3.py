@@ -228,3 +228,43 @@ def test_pentagon_boundary_class_ii_and_iii():
             assert all(on_edge)          # Class II: vertices sit on edges
         else:
             assert sum(on_edge) == 5     # Class III: the 5 inserted ones
+
+
+def test_pentagon_vectorized_assembly_matches_scalar():
+    """_assemble_pentagon_vec must be digit-for-digit identical to the
+    scalar _assemble_index for pentagon base cells (the r6 vectorization
+    of latlng_to_cell's slow path)."""
+    rng = np.random.default_rng(7)
+    pents = sorted({4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117})
+    for res in (1, 3, 7, 15):
+        m = 3000
+        digits = rng.integers(0, 7, size=(m, res))
+        bcs = rng.choice(pents, size=m)
+        faces = rng.integers(0, 20, size=m)
+        rots = rng.integers(0, 6, size=m)
+        vec = H._assemble_pentagon_vec(res, bcs, digits, faces, rots)
+        for i in range(m):
+            s = H._assemble_index(res, int(bcs[i]), list(digits[i]),
+                                  int(faces[i]), int(rots[i]))
+            assert np.uint64(s) == vec[i], (res, bcs[i], faces[i],
+                                            rots[i], digits[i])
+    # pentagon centers (all-zero digits) and single-leading-digit rows
+    res = 5
+    rows = [np.zeros(res, dtype=np.int64)]
+    for pos in range(res):
+        for val in range(1, 7):
+            d = np.zeros(res, dtype=np.int64)
+            d[pos] = val
+            rows.append(d)
+    digits = np.array(rows)
+    m = len(digits)
+    for bc in (4, 14, 117):  # no-offset and cw-offset pentagons
+        for face in range(20):
+            for rot in (0, 1, 5):
+                vec = H._assemble_pentagon_vec(
+                    res, np.full(m, bc), digits, np.full(m, face),
+                    np.full(m, rot))
+                for i in range(m):
+                    s = H._assemble_index(res, bc, list(digits[i]),
+                                          face, rot)
+                    assert np.uint64(s) == vec[i]
